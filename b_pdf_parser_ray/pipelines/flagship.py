@@ -1,0 +1,149 @@
+"""Flagship pipeline: documents(spans) → extracted records, resumable.
+
+Ray Data restatement of the reference's production path
+(``batch.py:254-414``, SURVEY.md §3):
+
+    read_parquet(documents)                    # streaming source, Arrow blocks
+      → map_batches(Extractor, concurrency=…)  # actor pool, warm patterns
+      → write_parquet(out/shard=…)             # sink from the tasks that hold
+                                               #   the data (the reference
+                                               #   serialized CSV on the
+                                               #   driver — removed)
+    + per-shard manifest with metrics          # idempotent resume
+
+Skew: extraction cost is per-document and long docs are ~10× the median
+(heavy family).  Batches are count-bounded (``batch_size``) so the actor
+pool load-balances at batch granularity; blocks are additionally split by
+``DataContext.target_max_block_size`` on output.  That bounds straggler
+time to one batch of heavy docs — the practical size-bucketing for a
+map-only stage (no shuffle spent on it; a shuffle would cost more than the
+skew it removes at this stage shape).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import pyarrow.compute as pc
+
+from ..stages.extract import Extractor
+from ..state.manifest import ManifestStore
+
+DEFAULT_BATCH_SIZE = 128
+
+
+def _default_concurrency() -> tuple:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus))
+
+
+def extract_documents(
+    ds,
+    verify: bool = True,
+    default_strategy: str = "column",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency=None,
+):
+    """documents(doc_id, spans[, strategy]) → extracted dataset (lazy)."""
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    return ds.map_batches(
+        Extractor,
+        fn_constructor_kwargs={
+            "default_strategy": default_strategy,
+            "verify": verify,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def summarize(extracted) -> Dict[str, object]:
+    """Corpus metrics ≈ the reference's batch counters (batch.py:396-414),
+    computed distributed: per-batch partials → tiny driver-side merge."""
+
+    def partial(batch):
+        import pyarrow as pa
+
+        n_txn = pc.sum(pc.list_value_length(batch.column("transactions"))).as_py() or 0
+        return pa.Table.from_pydict(
+            {
+                "total": [batch.num_rows],
+                "valid": [pc.sum(pc.cast(batch.column("is_valid"), "int64")).as_py() or 0],
+                "errors": [batch.num_rows - batch.column("error").null_count
+                           if "error" in batch.column_names else 0],
+                "transactions": [n_txn],
+                "chars": [pc.sum(batch.column("n_chars")).as_py() or 0
+                          if "n_chars" in batch.column_names else 0],
+            }
+        )
+
+    parts = extracted.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "total" not in parts.columns:  # empty shard
+        return {
+            "total": 0, "valid": 0, "failed": 0, "success_rate": 0.0,
+            "errors": 0, "transactions": 0, "chars": 0,
+        }
+    total = int(parts["total"].sum())
+    valid = int(parts["valid"].sum())
+    return {
+        "total": total,
+        "valid": valid,
+        "failed": total - valid,
+        "success_rate": (valid / total * 100.0) if total else 0.0,
+        "errors": int(parts["errors"].sum()),
+        "transactions": int(parts["transactions"].sum()),
+        "chars": int(parts["chars"].sum()),
+    }
+
+
+def run_resumable(
+    input_files: List[str],
+    output_dir: str,
+    verify: bool = True,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency=None,
+) -> List[Dict[str, object]]:
+    """Process a sharded corpus with per-shard manifests; finished shards are
+    skipped on restart.  Shard = input file (the unit the driver of a 100 TB
+    run would also use: Lance fragments / parquet files).
+
+    Returns the manifest records for this run (including skipped ones).
+    """
+    import os
+
+    import ray.data
+
+    store = ManifestStore(output_dir)
+    records = []
+    for path in input_files:
+        shard = os.path.splitext(os.path.basename(path))[0]
+        if store.is_done(shard):
+            rec = store.load(shard)
+            rec["skipped"] = True
+            records.append(rec)
+            continue
+        t0 = time.perf_counter()
+        ds = ray.data.read_parquet(path)
+        extracted = extract_documents(
+            ds, verify=verify, batch_size=batch_size, concurrency=concurrency
+        )
+        # One shard is object-store-sized by construction (shards are the
+        # resume unit), so materialize once and feed both the sink and the
+        # metrics pass without re-running extraction.
+        extracted = extracted.materialize()
+        out_path = os.path.join(output_dir, f"shard={shard}")
+        extracted.write_parquet(out_path)
+        metrics = summarize(extracted)
+        metrics["duration_sec"] = time.perf_counter() - t0
+        metrics["output_path"] = out_path
+        store.record(shard, metrics)
+        rec = store.load(shard)
+        rec["skipped"] = False
+        records.append(rec)
+    return records

@@ -1,0 +1,167 @@
+"""End-to-end Ray Data pipeline tests: extraction stage, span equality at
+corpus level, explode/reassemble round-trip, resumable sink."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from b_pdf_parser_ray import fixtures, kernel, model
+from b_pdf_parser_ray.pipelines.flagship import (
+    extract_documents,
+    run_resumable,
+    summarize,
+)
+from b_pdf_parser_ray.stages.reassemble import explode, reassemble
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return fixtures.corpus_table(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(ray_session, corpus):
+    import ray.data
+
+    ds = ray.data.from_arrow(corpus)
+    out = extract_documents(ds, concurrency=2, batch_size=32).take_all()
+    return {r["doc_id"]: r for r in out}
+
+
+def _span_tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_extraction_matches_kernel_per_document(corpus, extracted_rows):
+    """The distributed pipeline must agree with the plain kernel on every
+    document — parity of the Ray layer, not just the kernel."""
+    assert len(extracted_rows) == N_DOCS
+    for row in corpus.to_pylist():
+        got = extracted_rows[row["doc_id"]]
+        text = model.render_text(row["spans"])
+        want = kernel.parse_document(row["doc_id"], text, strategy=row["strategy"])
+        want_md = dict.fromkeys(model.ALL_METADATA_KEYS, "")
+        want_md.update(want["metadata"])
+        assert got["metadata"] == want_md, row["doc_id"]
+        assert got["transactions"] == want["transactions"], row["doc_id"]
+        assert got["is_valid"] == want["is_valid"], row["doc_id"]
+        v = want["verification"]
+        assert got["verification"]["status"] == v["status"]
+        assert got["verification"]["passed"] == v["passed"]
+        assert got["verification"]["total_debit_calculated"] == pytest.approx(
+            v["total_debit_calculated"]
+        )
+        assert got["error"] is None
+
+
+def test_span_sequence_equality_whole_corpus(corpus, extracted_rows):
+    """North-rule invariant: output spans == input spans in offset order,
+    (kind, text, media_ref, offset) all preserved — media spans included."""
+    for row in corpus.to_pylist():
+        expected = sorted(row["spans"], key=lambda s: s["offset"])
+        got = extracted_rows[row["doc_id"]]["out_spans"]
+        assert _span_tuples(got) == _span_tuples(expected), row["doc_id"]
+
+
+def test_extractor_handles_unsorted_spans(ray_session):
+    """Block order is never a correctness carrier: shuffle spans within a
+    document; rendered text and out_spans must be identical."""
+    import random
+
+    import ray.data
+
+    doc = fixtures.make_document(3)
+    shuffled = list(doc["spans"])
+    random.Random(7).shuffle(shuffled)
+    tbl = pa.Table.from_pylist(
+        [{**doc, "spans": shuffled}], schema=fixtures.CORPUS_SCHEMA
+    )
+    out = extract_documents(
+        ray.data.from_arrow(tbl), concurrency=1, batch_size=8
+    ).take_all()[0]
+    expected = sorted(doc["spans"], key=lambda s: s["offset"])
+    assert _span_tuples(out["out_spans"]) == _span_tuples(expected)
+    text = model.render_text(doc["spans"])
+    want = kernel.parse_document(doc["doc_id"], text, strategy=doc["strategy"])
+    assert out["transactions"] == want["transactions"]
+
+
+def test_explode_reassemble_roundtrip(ray_session, corpus):
+    import ray.data
+
+    small = corpus.slice(0, 25)
+    ds = ray.data.from_arrow(small)
+    back = reassemble(explode(ds)).take_all()
+    by_id = {r["doc_id"]: r["spans"] for r in back}
+    assert len(by_id) == 25
+    for row in small.to_pylist():
+        expected = sorted(row["spans"], key=lambda s: s["offset"])
+        assert _span_tuples(by_id[row["doc_id"]]) == _span_tuples(expected)
+
+
+def test_summarize_counts(ray_session, corpus):
+    import ray.data
+
+    s = summarize(extract_documents(ray.data.from_arrow(corpus), concurrency=2))
+    assert s["total"] == N_DOCS
+    assert 0 < s["valid"] <= N_DOCS
+    assert s["transactions"] > 0
+    n_invalid = sum(
+        1
+        for r in corpus.to_pylist()
+        if fixtures.family_of(int(r["doc_id"].rsplit("_", 1)[1])) == "truncated"
+    )
+    assert s["failed"] == n_invalid
+
+
+def test_resumable_run_skips_done_shards(ray_session, tmp_path):
+    shard_dir = tmp_path / "in"
+    shard_dir.mkdir()
+    files = []
+    for k in range(3):
+        p = shard_dir / f"shard{k}.parquet"
+        pq.write_table(fixtures.corpus_table(30, start=k * 30), p)
+        files.append(str(p))
+
+    out = tmp_path / "out"
+    first = run_resumable(files, str(out), concurrency=2)
+    assert [r["skipped"] for r in first] == [False, False, False]
+    assert all(r["status"] == "done" for r in first)
+    assert sum(r["total"] for r in first) == 90
+
+    second = run_resumable(files, str(out), concurrency=2)
+    assert [r["skipped"] for r in second] == [True, True, True]
+
+    # outputs are readable and complete
+    import ray.data
+
+    total = ray.data.read_parquet(str(out)).count()
+    assert total == 90
+
+
+def test_poison_document_becomes_error_row(ray_session, monkeypatch):
+    """A document that makes the kernel raise must yield an error row, not a
+    failed job (reference batch.py:183-189 behavior)."""
+    import ray.data
+
+    bad = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "poison",
+                "spans": [{"kind": "text", "text": None, "media_ref": "", "offset": 0}],
+                "strategy": "column",
+                "family": "poison",
+            }
+        ],
+        schema=fixtures.CORPUS_SCHEMA,
+    )
+    out = extract_documents(
+        ray.data.from_arrow(bad), concurrency=1
+    ).take_all()
+    assert len(out) == 1
+    assert out[0]["error"] is not None
+    assert out[0]["is_valid"] is False
