@@ -1,0 +1,388 @@
+"""Deduplication operators — exact and near-duplicate — Ray-Data-first.
+
+These are the corpus-scale versions of the patterns in ray_guide.md
+('Exact dedup', 'Near-dup MinHash-LSH'):
+
+* exact:      content-hash inside map_batches → groupby(hash) → first per
+              group.  The shuffle moves one short hash + id per row, never
+              the text.
+* MinHash+LSH: shingle → k minhashes → band rows (band_id, band_hash,
+              doc_id) → groupby(band) → candidate pairs within buckets →
+              signature-estimated Jaccard filter.  Shuffle payload =
+              bands × 16 bytes per doc.
+* SimHash:    64-bit simhash → 4×16-bit bands → groupby(band) → candidate
+              pairs → Hamming-distance filter on full signatures.
+* n-gram Jaccard: exact verification kernel for candidate pairs.
+* embedding near-dup: random-hyperplane LSH buckets → within-bucket cosine.
+
+All candidate generation is distributed; only confirmed pairs (a tiny
+result at any realistic dup rate) reach the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import token_hash64
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a 16-byte hex content hash per row."""
+    hashes = [
+        hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """One representative (min id) + copy count per distinct text.
+
+    groupby key is the 128-bit content hash, so the shuffle never carries
+    document bodies.
+    """
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col).select([id_col, "content_hash"]),
+        batch_format="pyarrow",
+    )
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
+        .select_columns([id_col, "n_copies"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, width: int = 3) -> np.ndarray:
+    """Hashes of word w-shingles (order-sensitive n-grams)."""
+    toks = text.split()
+    if len(toks) < width:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
+    return np.unique(
+        np.fromiter((token_hash64(g) for g in grams), dtype=np.uint64, count=len(grams))
+    )
+
+
+class MinHasher:
+    """Actor-state minhash signatures: hash params built once per actor."""
+
+    def __init__(self, num_hashes: int = 64, shingle_width: int = 3, seed: int = 7):
+        self.a, self.b = _minhash_params(num_hashes, seed)
+        self.num_hashes = num_hashes
+        self.width = shingle_width
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.width)
+        if len(sh) == 0:
+            return np.full(self.num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (h*a + b) mod p, min over shingles — vectorized outer product
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [
+            self.signature(t or "") for t in batch.column("text").to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+            ],
+            names=["doc_id", "minhash"],
+        )
+
+
+def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
+    doc_ids, band_ids, band_hashes, sig_blobs = [], [], [], []
+    for doc_id, sig in zip(
+        batch.column("doc_id").to_pylist(), batch.column("minhash").to_pylist()
+    ):
+        arr = np.asarray(sig, dtype=np.uint64)
+        blob = arr.tobytes()
+        for b in range(bands):
+            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            doc_ids.append(doc_id)
+            band_ids.append(b)
+            band_hashes.append(h)
+            sig_blobs.append(blob)
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids),
+            pa.array(band_ids, type=pa.int32()),
+            pa.array(band_hashes, type=pa.string()),
+            pa.array(sig_blobs, type=pa.binary()),
+        ],
+        names=["doc_id", "band_id", "band_hash", "sig"],
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame, threshold: float, max_bucket: int = 200) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, filtered by signature-estimated
+    Jaccard.  Oversized buckets (degenerate content, e.g. empty docs) are
+    truncated — logged via the truncated flag rather than silently."""
+    n = len(group)
+    if n < 2:
+        return pd.DataFrame({"a": [], "b": [], "est_jaccard": [], "truncated": []})
+    truncated = n > max_bucket
+    if truncated:
+        group = group.nsmallest(max_bucket, "doc_id")
+        n = max_bucket
+    ids = group["doc_id"].to_numpy()
+    sigs = np.stack(
+        [np.frombuffer(s, dtype=np.uint64) for s in group["sig"].to_numpy()]
+    )
+    a_out, b_out, j_out = [], [], []
+    for i in range(n):
+        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        keep = np.nonzero(eq >= threshold)[0]
+        for k in keep:
+            lo, hi = sorted((ids[i], ids[i + 1 + k]))
+            a_out.append(lo)
+            b_out.append(hi)
+            j_out.append(float(eq[k]))
+    return pd.DataFrame(
+        {"a": a_out, "b": b_out, "est_jaccard": j_out, "truncated": truncated}
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    concurrency=None,
+):
+    """Near-duplicate candidate pairs by MinHash-LSH.
+
+    Pipeline: signatures (actor pool, params warm per actor) → band explode →
+    groupby(band_id, band_hash) bucket → in-bucket pair generation → global
+    pair dedup (a pair can fire in several bands).
+    """
+    from ray.data.aggregate import Max
+
+    rows_per_band = num_hashes // bands
+    if concurrency is None:
+        concurrency = (1, 8)
+    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_hashes": num_hashes},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    banded = sigs.map_batches(
+        lambda b: _band_rows(b, bands, rows_per_band), batch_format="pyarrow"
+    )
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+    )
+    # same pair may surface from multiple bands → dedup on (a, b)
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(
+            Max("est_jaccard", alias_name="est_jaccard"),
+            Max("truncated", alias_name="truncated"),
+        )
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, width: int = 3) -> float:
+    """Exact n-gram Jaccard — the verification kernel for candidate pairs."""
+    a, b = set(shingle_hashes(text_a, width)), set(shingle_hashes(text_b, width))
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit simhash over whitespace tokens (weights = term counts)."""
+
+    def __init__(self):
+        self.cache: Dict[str, int] = {}
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        cache = self.cache
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+        for tok in text.split():
+            h = cache.get(tok)
+            if h is None:
+                h = cache[tok] = token_hash64(tok)
+            bits = (np.uint64(h) >> shifts) & one
+            acc += np.where(bits == one, 1, -1)
+        out = 0
+        for i in np.nonzero(acc > 0)[0]:
+            out |= 1 << int(i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = [self.simhash(t or "") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(sh, type=pa.uint64())],
+            names=["doc_id", "simhash"],
+        )
+
+
+def simhash_pairs(ds, max_hamming: int = 3, concurrency=None):
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    LSH by 4 × 16-bit bands (any pair within Hamming ≤ 3 shares at least one
+    exact band — pigeonhole), then exact Hamming check within buckets.
+    """
+    from ray.data.aggregate import Min
+
+    if concurrency is None:
+        concurrency = (1, 8)
+    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=concurrency
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_vals, full = [], [], [], []
+        for doc_id, h in zip(
+            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
+        ):
+            for b in range(4):
+                doc_ids.append(doc_id)
+                band_ids.append(b)
+                band_vals.append((h >> (16 * b)) & 0xFFFF)
+                full.append(h)
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids),
+                pa.array(band_ids, type=pa.int32()),
+                pa.array(band_vals, type=pa.int32()),
+                pa.array(full, type=pa.uint64()),
+            ],
+            names=["doc_id", "band_id", "band_val", "simhash"],
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        if n < 2 or n > 500:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        ids = group["doc_id"].to_numpy()
+        hs = group["simhash"].to_numpy().astype(np.uint64)
+        a_out, b_out, d_out = [], [], []
+        for i in range(n):
+            x = hs[i + 1 :] ^ hs[i]
+            # vectorized popcount via uint8 view
+            dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            for k in np.nonzero(dist <= max_hamming)[0]:
+                lo, hi = sorted((ids[i], ids[i + 1 + k]))
+                a_out.append(lo)
+                b_out.append(hi)
+                d_out.append(int(dist[k]))
+        return pd.DataFrame({"a": a_out, "b": b_out, "hamming": d_out})
+
+    pairs = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 11,
+    dim: int = 64,
+):
+    """Cosine-similarity near-duplicate pairs via random-hyperplane LSH.
+
+    Each vector gets n_tables bucket keys (n_planes sign bits each); pairs
+    are generated within buckets and verified by exact cosine.  Recall
+    grows with n_tables; candidate cost shrinks with n_planes.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(norms, 1e-12)
+        out_ids, out_tables, out_buckets, out_vecs = [], [], [], []
+        for t in range(n_tables):
+            bits = (mat @ planes[t].T) > 0  # (n, planes)
+            keys = bits @ (1 << np.arange(n_planes))
+            out_ids.extend(ids)
+            out_tables.extend([t] * len(ids))
+            out_buckets.extend(int(k) for k in keys)
+            out_vecs.extend(mat.tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_ids),
+                pa.array(out_tables, type=pa.int32()),
+                pa.array(out_buckets, type=pa.int64()),
+                pa.array(out_vecs, type=pa.list_(pa.float64())),
+            ],
+            names=["vec_id", "table_id", "bucket", "vec"],
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        if n < 2 or n > 1000:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ids = group["vec_id"].to_numpy()
+        mat = np.stack(group["vec"].to_numpy())
+        sims = mat @ mat.T
+        a_out, b_out, c_out = [], [], []
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        for i, j in zip(ii, jj):
+            lo, hi = sorted((int(ids[i]), int(ids[j])))
+            a_out.append(lo)
+            b_out.append(hi)
+            c_out.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": c_out})
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["table_id", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))

@@ -1,0 +1,143 @@
+"""Text-analysis operators over a ``documents(doc_id, text, …)`` table.
+
+Large-scale training-data pipeline staples: token counting, term frequency,
+language ID, quality scoring, document fingerprinting.  All are stateless
+per-row transforms → plain ``map_batches`` functions, vectorized with
+pyarrow.compute where a kernel exists; the per-row Python that remains
+operates on already-split token lists (no per-character Python).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .numeric import sql_round
+
+# A BPE-ish word/piece tokenizer: words, numbers, or single non-space symbols.
+TOKEN_RX = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+# Tiny stopword inventories for n-gram/stopword language ID (public-knowledge
+# heuristic: score languages by stopword hits, pick argmax).
+_LANG_STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset("the and of to in is a that for on with as are".split()),
+    "fr": frozenset("le la les de et un une des est pour que dans".split()),
+    "es": frozenset("el la los de y un una que es por para con".split()),
+    "de": frozenset("der die das und ein eine ist zu den von mit für".split()),
+    "id": frozenset("yang dan di ke dari untuk dengan pada adalah ini itu".split()),
+}
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens, n_unique_tokens, uniq_ratio — whitespace tokens.
+
+    n_tokens is computed fully vectorized (substring count); uniqueness uses
+    one Python set per row over the split list.
+    """
+    text = batch.column("text")
+    n_tokens = pc.add(pc.count_substring(text, " "), 1)
+    token_lists = pc.split_pattern(text, " ").to_pylist()
+    n_unique = np.fromiter(
+        (len(set(toks)) for toks in token_lists), dtype=np.int64, count=len(token_lists)
+    )
+    ratio = sql_round(n_unique / pc.cast(n_tokens, pa.float64()).to_numpy(), 4)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pc.cast(n_tokens, pa.int64()),
+            pa.array(n_unique),
+            pa.array(ratio),
+        ],
+        names=["doc_id", "n_tokens", "n_unique_tokens", "uniq_ratio"],
+    )
+
+
+def term_freq_batch(batch: pa.Table, term: str) -> pa.Table:
+    n = pc.count_substring(batch.column("text"), term)
+    out = pa.Table.from_arrays(
+        [batch.column("doc_id"), pc.cast(n, pa.int64())],
+        names=["doc_id", "n_hits"],
+    )
+    return out.filter(pc.greater(out.column("n_hits"), 0))
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-vote language ID; 'und' when nothing scores."""
+    langs = list(_LANG_STOPWORDS)
+    preds: List[str] = []
+    for toks in pc.split_pattern(
+        pc.utf8_lower(batch.column("text")), " "
+    ).to_pylist():
+        tokset = set(toks)
+        scores = [len(tokset & _LANG_STOPWORDS[lang]) for lang in langs]
+        best = max(range(len(langs)), key=scores.__getitem__)
+        preds.append(langs[best] if scores[best] > 0 else "und")
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(preds, type=pa.string())],
+        names=["doc_id", "lang_pred"],
+    )
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Heuristic document quality in [0,1]: length band, alpha ratio,
+    mean-word-length band, repetition penalty (public C4/Gopher-style rules)."""
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).to_numpy().astype(np.float64)
+    token_lists = pc.split_pattern(text, " ").to_pylist()
+    n_tokens = np.fromiter((len(t) for t in token_lists), np.float64, len(token_lists))
+    n_unique = np.fromiter(
+        (len(set(t)) for t in token_lists), np.float64, len(token_lists)
+    )
+    mean_wl = np.where(n_tokens > 0, (n_chars - (n_tokens - 1)) / np.maximum(n_tokens, 1), 0)
+
+    len_score = np.clip(n_tokens / 50.0, 0, 1)  # ramps to 1 at 50 tokens
+    wl_score = np.where((mean_wl >= 2) & (mean_wl <= 12), 1.0, 0.3)
+    rep_score = np.where(n_tokens > 0, n_unique / np.maximum(n_tokens, 1), 0)
+    score = sql_round(0.4 * len_score + 0.2 * wl_score + 0.4 * rep_score, 4)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(score)],
+        names=["doc_id", "quality"],
+    )
+
+
+_FP_BASE = 1099511628211
+_FP_SEED = 14695981039346656037
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def token_hash64(tok: str) -> int:
+    """Deterministic 64-bit token hash (process-independent — Python's
+    builtin hash() is salted per process and must never be used here)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Order-sensitive 64-bit document fingerprint: FNV-style rolling hash
+    over whitespace tokens.  Token hashes are memoized per batch (corpus
+    vocabularies repeat heavily)."""
+    cache: dict = {}
+
+    def th(tok: str) -> int:
+        h = cache.get(tok)
+        if h is None:
+            h = cache[tok] = token_hash64(tok)
+        return h
+
+    fps = []
+    for toks in pc.split_pattern(batch.column("text"), " ").to_pylist():
+        h = _FP_SEED
+        for tok in toks:
+            h = ((h * _FP_BASE) & _MASK64) ^ th(tok)
+        fps.append(f"{h:016x}")
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(fps, type=pa.string())],
+        names=["doc_id", "fingerprint"],
+    )

@@ -1,0 +1,677 @@
+"""Query catalog: named Ray Data pipelines + matching DuckDB oracle SQL.
+
+Each entry is a callable ``(sf_dir) -> Dataset | pandas.DataFrame |
+pyarrow.Table`` and, where the semantics are SQL-expressible, an ANSI-SQL
+string producing the identical result (same column names, float columns
+rounded on both sides) over the same parquet tables.  This is the driver's
+correctness gate (CORRECTNESS_r{N}.json).
+
+Scale discipline per query is noted inline: what is broadcast, what is
+pre-aggregated, where the one shuffle is.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions.agg import grouped_agg
+from .functions.numeric import sql_round
+from .functions.ann import topk_cosine
+from .functions.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .functions.textstats import (
+    fingerprint_batch,
+    lang_id_batch,
+    quality_score_batch,
+    term_freq_batch,
+    token_stats_batch,
+)
+from .sources.tables import read_arrow, read_table
+from .stages.extract import TextExtractor
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavored relational pipelines
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Pricing summary (TPC-H Q1 shape): pre-aggregated partials, then a
+    4-group shuffle of partial rows only."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-12-01"), type=pa.timestamp("us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    out = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price"),
+            ("disc_price", "sum", "sum_disc_price"),
+            ("l_quantity", "mean", "avg_qty"),
+            (None, "count", "count_order"),
+        ],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+            b[c] = sql_round(b[c], 2)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(avg(l_quantity), 2)                          AS avg_qty,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(sf_dir: str):
+    """Revenue of BUILDING-segment orders (TPC-H Q3 shape).
+
+    Join strategy: the two small sides (segment custkeys, then filtered
+    orderkeys) are broadcast via ``ray.put`` into lineitem's map stage —
+    a broadcast semi-join; no all-to-all shuffle touches lineitem."""
+    import ray
+
+    cust = read_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    building = set(
+        pc.filter(
+            cust.column("c_custkey"),
+            pc.equal(cust.column("c_mktsegment"), "BUILDING"),
+        ).to_pylist()
+    )
+    orders = read_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    odate = orders.column("o_orderdate")
+    keep = pc.and_(
+        pc.is_in(orders.column("o_custkey"), value_set=pa.array(building)),
+        pc.less(odate, pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))),
+    )
+    orderkeys = set(pc.filter(orders.column("o_orderkey"), keep).to_pylist())
+    keys_ref = ray.put(orderkeys)
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.is_in(batch.column("l_orderkey"), value_set=pa.array(list(keys)))
+        batch = batch.filter(mask)
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), rev], names=["o_orderkey", "revenue"]
+        )
+        df = t.to_pandas().groupby("o_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.map_batches(revenue_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def round_rev(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = sql_round(b["revenue"], 2)
+        return b
+
+    return (
+        agg.map_batches(round_rev, batch_format="pandas")
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Revenue by customer nation: one big-big hash join (orders ⋈ lineitem
+    via Dataset.join, partitioned on the order key) + broadcast dimension
+    maps (customer→nation is broadcastable here; on a 100 TB run customer
+    would join the same hash-partitioned way)."""
+    import ray
+
+    nation = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    n_map = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    cust = read_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    c_map = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    maps_ref = ray.put((c_map, n_map))
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), rev], names=["l_orderkey", "revenue"]
+        )
+        df = t.to_pandas().groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    li_agg = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    joined = orders.join(
+        li_agg,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        c_map_, n_map_ = ray.get(maps_ref)
+        cust_keys = batch.column("o_custkey").to_pylist()
+        names = [n_map_[c_map_[c]] for c in cust_keys]
+        return pa.Table.from_arrays(
+            [pa.array(names, type=pa.string()), batch.column("revenue")],
+            names=["n_name", "revenue"],
+        )
+
+    out = grouped_agg(
+        joined.map_batches(to_nation, batch_format="pyarrow"),
+        ["n_name"],
+        [("revenue", "sum", "revenue")],
+    )
+
+    def round_rev(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = sql_round(b["revenue"], 2)
+        return b
+
+    return out.map_batches(round_rev, batch_format="pandas")
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM nation
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY n_name
+"""
+
+
+def orders_priority_counts(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
+    return grouped_agg(ds, ["o_orderpriority"], [(None, "count", "n_orders")])
+
+
+ORDERS_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority
+"""
+
+
+def customer_nation_rollup(sf_dir: str):
+    """Broadcast dimension join: nation (tiny) mapped into customer batches."""
+    import ray
+
+    nation = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    n_map = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    n_ref = ray.put(n_map)
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        m = ray.get(n_ref)
+        names = [m[k] for k in batch.column("c_nationkey").to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(names, type=pa.string()), batch.column("c_acctbal")],
+            names=["n_name", "c_acctbal"],
+        )
+
+    out = grouped_agg(
+        cust.map_batches(add_nation, batch_format="pyarrow"),
+        ["n_name"],
+        [(None, "count", "n_customers"), ("c_acctbal", "sum", "total_acctbal")],
+    )
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["total_acctbal"] = sql_round(b["total_acctbal"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+CUSTOMER_NATION_SQL = """
+SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def top_parts_by_retail(sf_dir: str):
+    return (
+        read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+"""
+
+
+def distinct_segments(sf_dir: str):
+    vals = sorted(read_table(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment"))
+    return pa.Table.from_arrays([pa.array(vals, type=pa.string())], names=["c_mktsegment"])
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ---------------------------------------------------------------------------
+# Events (stream-shaped)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window counts/sums per event type.
+
+    Windows are assigned inside map_batches (no shuffle), then pre-aggregated
+    partials shuffle to a (type × hour)-cardinality groupby."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["hour"] = batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        return batch.drop(columns=["ts"])
+
+    out = grouped_agg(
+        ds.map_batches(add_hour, batch_format="pandas"),
+        ["event_type", "hour"],
+        [(None, "count", "n_events"), ("value", "sum", "sum_value")],
+    )
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = sql_round(b["sum_value"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def events_type_stats(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_agg(
+        ds,
+        ["event_type"],
+        [
+            (None, "count", "n_events"),
+            ("value", "sum", "sum_value"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+        ],
+    )
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = sql_round(b["sum_value"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+EVENTS_TYPE_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session counts per user: groupby(user) shuffle, per-group ts sort,
+    session break at gaps > gap_minutes (ray_guide.md 'Streaming-shaped').
+    Ordering assumption: within one user's group only — enforced by the
+    in-group sort, never by block order."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        breaks = (g["ts"].diff() > gap).sum()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(breaks) + 1],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = """
+SELECT user_id, count(*) AS n_events,
+       1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+FROM (
+  SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+) t
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup + extraction
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow"
+    )
+
+
+DOC_TOKEN_SQL = """
+SELECT doc_id,
+       array_length(string_split(text, ' '))                 AS n_tokens,
+       array_length(list_distinct(string_split(text, ' ')))  AS n_unique_tokens,
+       round(array_length(list_distinct(string_split(text, ' ')))
+             / CAST(array_length(string_split(text, ' ')) AS DOUBLE), 4) AS uniq_ratio
+FROM documents
+"""
+
+
+def doc_term_freq(sf_dir: str, term: str = "data"):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: term_freq_batch(b, term), batch_format="pyarrow"
+    )
+
+
+DOC_TERM_SQL = """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS n_hits
+FROM documents
+WHERE length(text) - length(replace(text, 'data', '')) > 0
+"""
+
+
+def lang_counts(sf_dir: str):
+    return grouped_agg(
+        read_table(sf_dir, "documents", columns=["lang"]),
+        ["lang"],
+        [(None, "count", "n_docs")],
+    )
+
+
+LANG_COUNTS_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def top_sources_by_chars(sf_dir: str):
+    return (
+        grouped_agg(
+            read_table(sf_dir, "documents", columns=["source", "n_chars"]),
+            ["source"],
+            [("n_chars", "sum", "total_chars"), (None, "count", "n_docs")],
+        )
+        .sort(["total_chars", "source"], descending=[True, False])
+        .limit(5)
+    )
+
+
+TOP_SOURCES_SQL = """
+SELECT source, sum(n_chars) AS total_chars, count(*) AS n_docs
+FROM documents GROUP BY source
+ORDER BY total_chars DESC, source LIMIT 5
+"""
+
+
+def dedup_exact_docs(sf_dir: str):
+    return exact_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def extract_docs(sf_dir: str):
+    """Flagship extraction kernel over arbitrary rendered text (the driver's
+    documents table): per-doc validity / txn count / verification status.
+    (Statement-shaped corpora are exercised by pytest fixtures and bench.py;
+    this proves the engine is well-behaved on non-statement text.)"""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    extracted = ds.map_batches(
+        TextExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        status = pc.struct_field(batch.column("verification"), "status")
+        n_txns = pc.list_value_length(batch.column("transactions"))
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("doc_id"), pa.int64()),
+                batch.column("is_valid"),
+                pc.cast(n_txns, pa.int64()),
+                status,
+            ],
+            names=["doc_id", "is_valid", "n_txns", "status"],
+        )
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+EXTRACT_DOCS_SQL = """
+SELECT doc_id, CAST(false AS BOOLEAN) AS is_valid, CAST(0 AS BIGINT) AS n_txns,
+       'not_available' AS status
+FROM documents
+"""
+
+
+def doc_lang_id(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow"
+    )
+
+
+def doc_quality(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+
+
+def doc_fingerprints(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def dedup_minhash(sf_dir: str):
+    return minhash_lsh_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
+    )
+
+
+def dedup_simhash(sf_dir: str):
+    return simhash_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3
+    )
+
+
+def dedup_embeddings(sf_dir: str):
+    return embedding_near_dups(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.9,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    emb = read_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = pc.index(emb.column("vec_id"), 0).as_py()
+    return np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def ann_topk(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return topk_cosine(ds, _query_vector(sf_dir), k=20)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST((SELECT qv FROM q) AS DOUBLE[])), 5) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id LIMIT 20
+"""
+
+
+def ann_ivf_topk(sf_dir: str):
+    from .functions.ann import IVFIndex
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    index = IVFIndex.train(ds, n_clusters=8)
+    assigned = index.assign(ds)
+    return index.search(assigned, _query_vector(sf_dir), k=10, nprobe=3)
+
+
+def embedding_norms(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        return pa.Table.from_arrays(
+            [batch.column("vec_id"), pa.array(sql_round(np.linalg.norm(mat, axis=1), 4))],
+            names=["vec_id", "l2_norm"],
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow")
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "orders_priority_counts": orders_priority_counts,
+    "customer_nation_rollup": customer_nation_rollup,
+    "top_parts_by_retail": top_parts_by_retail,
+    "distinct_segments": distinct_segments,
+    "events_hourly": events_hourly,
+    "events_type_stats": events_type_stats,
+    "events_sessionize": events_sessionize,
+    "doc_token_stats": doc_token_stats,
+    "doc_term_freq": doc_term_freq,
+    "lang_counts": lang_counts,
+    "top_sources_by_chars": top_sources_by_chars,
+    "dedup_exact_docs": dedup_exact_docs,
+    "extract_docs": extract_docs,
+    "doc_lang_id": doc_lang_id,
+    "doc_quality": doc_quality,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embeddings": dedup_embeddings,
+    "ann_topk": ann_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_norms": embedding_norms,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_revenue_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "orders_priority_counts": ORDERS_PRIORITY_SQL,
+    "customer_nation_rollup": CUSTOMER_NATION_SQL,
+    "top_parts_by_retail": TOP_PARTS_SQL,
+    "distinct_segments": DISTINCT_SEGMENTS_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_type_stats": EVENTS_TYPE_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "doc_token_stats": DOC_TOKEN_SQL,
+    "doc_term_freq": DOC_TERM_SQL,
+    "lang_counts": LANG_COUNTS_SQL,
+    "top_sources_by_chars": TOP_SOURCES_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "extract_docs": EXTRACT_DOCS_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    "embedding_norms": EMBEDDING_NORMS_SQL,
+    # doc_lang_id / doc_quality / doc_fingerprints / dedup_minhash /
+    # dedup_simhash / dedup_embeddings / ann_ivf_topk: not SQL-expressible →
+    # rows-only driver check (sketch/heuristic/iterative operators)
+}

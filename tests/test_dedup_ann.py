@@ -1,0 +1,140 @@
+"""Behavioral tests for dedup + similarity search with PLANTED duplicates
+(the driver corpus has none, so these synthesize their own ground truth)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from b_pdf_parser_ray.functions.ann import IVFIndex, topk_cosine
+from b_pdf_parser_ray.functions.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_pairs,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _mutate(rng, text, k):
+    toks = text.split()
+    for _ in range(k):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus():
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": _doc(rng)})
+    # exact dups: 100/101 copy doc 0; near dups: 200 mutates doc 1 slightly
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})
+    rows.append({"doc_id": 200, "text": _mutate(rng, rows[1]["text"], 2)})
+    return pa.Table.from_pylist(rows)
+
+
+def test_exact_dedup_finds_copies(ray_session, dup_corpus):
+    import ray.data
+
+    out = exact_dedup(ray.data.from_arrow(dup_corpus)).to_pandas()
+    assert len(out) == 41  # 43 docs, 3 sharing one text
+    rep = out[out["n_copies"] == 3]
+    assert len(rep) == 1 and rep.iloc[0]["doc_id"] == 0
+    assert (out[out["n_copies"] == 1]["doc_id"] != 100).all()
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(ray_session, dup_corpus):
+    import ray.data
+
+    pairs = minhash_lsh_pairs(
+        ray.data.from_arrow(dup_corpus), threshold=0.5
+    ).to_pandas()
+    found = {tuple(p) for p in pairs[["a", "b"]].to_numpy()}
+    assert (0, 100) in found and (0, 101) in found and (100, 101) in found
+    assert (1, 200) in found  # near-dup (2 token edits out of 60)
+    # estimated jaccard of exact dup is 1.0
+    exact = pairs[(pairs["a"] == 0) & (pairs["b"] == 100)]
+    assert float(exact["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_ngram_jaccard_kernel():
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+    mid = ngram_jaccard("a b c d e f g h", "a b c d e f g x")
+    assert 0.0 < mid < 1.0
+
+
+def test_simhash_finds_near_dups(ray_session, dup_corpus):
+    import ray.data
+
+    pairs = simhash_pairs(
+        ray.data.from_arrow(dup_corpus), max_hamming=6
+    ).to_pandas()
+    found = {tuple(p) for p in pairs[["a", "b"]].to_numpy()}
+    assert (0, 100) in found and (0, 101) in found
+    exact = pairs[(pairs["a"] == 0) & (pairs["b"] == 100)]
+    assert int(exact["hamming"].iloc[0]) == 0
+
+
+def test_embedding_near_dups_finds_planted(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(2)
+    base = rng.normal(size=(50, 64))
+    # plant: vec 100 ≈ vec 0 (tiny noise), vec 101 == vec 3 exactly
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+    rows.append({"vec_id": 100, "embedding": (base[0] + rng.normal(scale=0.02, size=64)).tolist()})
+    rows.append({"vec_id": 101, "embedding": base[3].tolist()})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = embedding_near_dups(ds, threshold=0.95).to_pandas()
+    found = {tuple(p) for p in pairs[["a", "b"]].to_numpy()}
+    assert (0, 100) in found
+    assert (3, 101) in found
+
+
+def test_brute_force_topk_is_exact(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(4)
+    mat = rng.normal(size=(300, 64))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    q = mat[7]
+    got = topk_cosine(ds, q, k=10).to_pandas()
+    # numpy ground truth
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = m @ (q / np.linalg.norm(q))
+    want_ids = set(np.argsort(-scores)[:10].tolist())
+    assert set(got["vec_id"]) == want_ids
+    assert got.iloc[0]["vec_id"] == 7 and got.iloc[0]["score"] == 1.0
+
+
+def test_ivf_recall_against_brute_force(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(9)
+    # clustered data so IVF partitions are meaningful
+    centers = rng.normal(size=(8, 64)) * 3
+    vecs = np.concatenate([c + rng.normal(size=(40, 64)) for c in centers])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    q = vecs[5]
+
+    brute = set(topk_cosine(ds, q, k=10).to_pandas()["vec_id"])
+    index = IVFIndex.train(ds, n_clusters=8, sample_fraction=0.5)
+    assigned = index.assign(ds)
+    approx = set(index.search(assigned, q, k=10, nprobe=3).to_pandas()["vec_id"])
+    recall = len(brute & approx) / 10
+    assert recall >= 0.8, f"IVF recall {recall}"

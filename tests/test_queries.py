@@ -1,0 +1,66 @@
+"""Driver-contract tests: every queries() entry runs; every oracle_sql()
+entry matches DuckDB exactly (row count, schema, order-insensitive values) —
+the same comparison the driver performs at sf=0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from b_pdf_parser_ray.queries import ORACLE_SQL, QUERIES
+from b_pdf_parser_ray.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(ray_session, ddb, name):
+    got = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
+    want = _normalize(ddb.sql(ORACLE_SQL[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-9)
+
+
+# pair-producing dedup queries legitimately return empty on corpora with no
+# duplicates (the driver testdata is random text / random embeddings)
+_MAY_BE_EMPTY = {"dedup_minhash", "dedup_simhash", "dedup_embeddings"}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
+def test_rows_only_queries_run(ray_session, name):
+    df = _to_pandas(QUERIES[name](SF_DIR))
+    assert df is not None
+    if name not in _MAY_BE_EMPTY:
+        assert len(df.columns) > 0 and len(df) > 0
