@@ -409,7 +409,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
 
 EVENTS_SESSIONIZE_SQL = """
 SELECT user_id, count(*) AS n_events,
-       1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
   FROM events
@@ -477,7 +477,7 @@ def top_sources_by_chars(sf_dir: str):
 
 
 TOP_SOURCES_SQL = """
-SELECT source, sum(n_chars) AS total_chars, count(*) AS n_docs
+SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
 FROM documents GROUP BY source
 ORDER BY total_chars DESC, source LIMIT 5
 """

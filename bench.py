@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Benchmark harness for the b_pdf_parser_ray engine.
+
+Default mode: runs the flagship span-corpus extraction pipeline plus the
+full query catalog over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+under ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "flagship": {...}}
+
+``--scaling`` mode: runs the flagship extraction twice in FRESH processes
+(num_cpus=8 then num_cpus=32) over the identical pre-generated corpus and
+reports both throughputs plus scaling efficiency = tput(4N) / (4 * tput(N))
+— the sandbox evidence for the north rule's N-vs-4N-nodes criterion
+(BASELINE.md "Scaling-evidence protocol").
+
+The corpus is deterministic (seed=42) and generated once under /tmp;
+generation time is excluded from all timings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _corpus_docs(sf: float) -> int:
+    """Flagship corpus size scaled to sf (sf0.1 → 20k docs ≈ the reference's
+    2k-PDF / 21k-PDF benchmark range, BASELINE.md)."""
+    n = int(os.environ.get("GRAFT_BENCH_DOCS", "0"))
+    if n:
+        return n
+    return max(200, int(200_000 * sf))
+
+
+def _corpus_path(n_docs: int) -> str:
+    return f"/tmp/bench_corpus_{n_docs}_{SEED}"
+
+
+def _ensure_corpus(n_docs: int) -> str:
+    """Generate the deterministic span corpus once (excluded from timing)."""
+    path = _corpus_path(n_docs)
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        from b_pdf_parser_ray.fixtures import write_corpus
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_corpus(path, n_docs, seed=SEED, docs_per_file=2000)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+    return path
+
+
+def run_flagship(n_docs: int) -> dict:
+    """Time the flagship pipeline: read span corpus → actor-pool extraction →
+    distributed metric rollup (the reference's batch counters)."""
+    import ray.data
+
+    from b_pdf_parser_ray.pipelines.flagship import extract_documents, summarize
+
+    path = _ensure_corpus(n_docs)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(path)
+    metrics = summarize(extract_documents(ds))
+    sec = time.perf_counter() - t0
+    return {
+        "docs": metrics["total"],
+        "valid": metrics["valid"],
+        "transactions": metrics["transactions"],
+        "sec": round(sec, 3),
+        "docs_per_sec": round(metrics["total"] / sec, 1),
+    }
+
+
+def _consume(result) -> int:
+    """Force execution; return row count. Query results are small by design
+    (aggregates / top-k / pair lists), so to_pandas is safe here."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result.to_pandas())
+
+
+def run_queries(sf_dir: str) -> dict:
+    from b_pdf_parser_ray.queries import QUERIES
+
+    timings = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        _consume(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true", help="N vs 4N CPU scaling run")
+    ap.add_argument("--flagship-only", action="store_true", help="(child mode) flagship only")
+    ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    sf = _sf_of(args.sf_dir)
+    n_docs = _corpus_docs(sf)
+
+    if args.scaling:
+        # Fresh process per parallelism level so each run owns a clean Ray
+        # session (the sandbox stand-in for N-node vs 4N-node clusters).
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ)
+            env["GRAFT_BENCH_DOCS"] = str(n_docs)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--flagship-only", "--num-cpus", str(cpus), "--sf-dir", args.sf_dir],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr[-4000:])
+                raise SystemExit(f"scaling child (num_cpus={cpus}) failed")
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8 = results[8]["flagship"]["docs_per_sec"]
+        t32 = results[32]["flagship"]["docs_per_sec"]
+        eff = t32 / (4.0 * t8)
+        print(json.dumps({
+            "metric": "flagship_scaling_efficiency_8_to_32_cpus",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "queries": {
+                "flagship_8cpu": results[8]["flagship"]["sec"],
+                "flagship_32cpu": results[32]["flagship"]["sec"],
+            },
+            "sf": sf,
+            "num_cpus": 32,
+            "docs": n_docs,
+            "docs_per_sec_8cpu": t8,
+            "docs_per_sec_32cpu": t32,
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        flagship = run_flagship(n_docs)
+        timings = {} if args.flagship_only else run_queries(args.sf_dir)
+        timings["flagship_extract"] = flagship["sec"]
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "bench_total_sec (flagship span-corpus extraction + query catalog)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": args.num_cpus,
+            "flagship": flagship,
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
