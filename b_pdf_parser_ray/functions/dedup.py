@@ -22,7 +22,7 @@ result at any realistic dup rate) reach the driver.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -78,16 +78,41 @@ def _minhash_params(num_hashes: int, seed: int = 7) -> Tuple[np.ndarray, np.ndar
     return a, b
 
 
-def shingle_hashes(text: str, width: int = 3) -> np.ndarray:
-    """Hashes of word w-shingles (order-sensitive n-grams)."""
+def _pos_consts(width: int) -> np.ndarray:
+    """Deterministic odd 64-bit mixing constants, one per shingle position."""
+    rng = np.random.RandomState(width * 1_000_003 + 17)
+    c = rng.randint(1, 1 << 62, size=width).astype(np.uint64)
+    return (c << np.uint64(1)) | np.uint64(1)
+
+
+def shingle_hashes(
+    text: str, width: int = 3, token_cache: Optional[Dict[str, int]] = None
+) -> np.ndarray:
+    """Hashes of word w-shingles (order-sensitive n-grams), vectorized:
+    one blake2b per *unique token* (memoized via ``token_cache``), then the
+    w-gram hash is a position-weighted xor combine over a numpy window —
+    no per-shingle Python or hashing."""
     toks = text.split()
-    if len(toks) < width:
-        grams = [" ".join(toks)] if toks else []
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if token_cache is None:
+        th = np.fromiter((token_hash64(t) for t in toks), np.uint64, len(toks))
     else:
-        grams = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
-    return np.unique(
-        np.fromiter((token_hash64(g) for g in grams), dtype=np.uint64, count=len(grams))
-    )
+        get, put = token_cache.get, token_cache.setdefault
+        th = np.fromiter(
+            (get(t) or put(t, token_hash64(t)) for t in toks), np.uint64, len(toks)
+        )
+    consts = _pos_consts(width)
+    with np.errstate(over="ignore"):
+        if len(toks) < width:
+            return np.array(
+                [np.bitwise_xor.reduce(th * consts[: len(toks)])], dtype=np.uint64
+            )
+        n_sh = len(toks) - width + 1
+        acc = np.zeros(n_sh, dtype=np.uint64)
+        for k in range(width):
+            acc ^= th[k : k + n_sh] * consts[k]
+    return np.unique(acc)
 
 
 class MinHasher:
@@ -97,9 +122,10 @@ class MinHasher:
         self.a, self.b = _minhash_params(num_hashes, seed)
         self.num_hashes = num_hashes
         self.width = shingle_width
+        self.token_cache: Dict[str, int] = {}  # vocab ≪ token stream
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.width)
+        sh = shingle_hashes(text, self.width, self.token_cache)
         if len(sh) == 0:
             return np.full(self.num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
         # (h*a + b) mod p, min over shingles — vectorized outer product
@@ -227,26 +253,29 @@ def ngram_jaccard(text_a: str, text_b: str, width: int = 3) -> float:
 
 
 class SimHasher:
-    """64-bit simhash over whitespace tokens (weights = term counts)."""
+    """64-bit simhash over whitespace tokens (weights = term counts).
+
+    Vectorized: token hashes memoized per actor, then one (unique_tokens ×
+    64) bit-matrix weighted sum per document — no per-token numpy calls."""
 
     def __init__(self):
         self.cache: Dict[str, int] = {}
+        self._shifts = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
+        toks = text.split()
+        if not toks:
+            return 0
         cache = self.cache
-        shifts = np.arange(64, dtype=np.uint64)
-        one = np.uint64(1)
-        for tok in text.split():
-            h = cache.get(tok)
-            if h is None:
-                h = cache[tok] = token_hash64(tok)
-            bits = (np.uint64(h) >> shifts) & one
-            acc += np.where(bits == one, 1, -1)
-        out = 0
-        for i in np.nonzero(acc > 0)[0]:
-            out |= 1 << int(i)
-        return out
+        get, put = cache.get, cache.setdefault
+        th = np.fromiter(
+            (get(t) or put(t, token_hash64(t)) for t in toks), np.uint64, len(toks)
+        )
+        uniq, counts = np.unique(th, return_counts=True)
+        bits = ((uniq[:, None] >> self._shifts) & np.uint64(1)).astype(np.int64)
+        acc = (counts[:, None] * (2 * bits - 1)).sum(axis=0)
+        out_bits = (acc > 0).astype(np.uint8)
+        return int(np.packbits(out_bits[::-1]).view(">u8")[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sh = [self.simhash(t or "") for t in batch.column("text").to_pylist()]

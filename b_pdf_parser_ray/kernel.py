@@ -241,8 +241,18 @@ def account_no_from_name(stem: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def extract_transactions(text: str) -> List[Dict[str, str]]:
+def _stripped_lines(text: str) -> List[str]:
+    """One shared split+strip pass — every line-oriented extractor strips
+    every line anyway, so parse_document computes this once per document."""
+    return [l.strip() for l in text.split("\n")]
+
+
+def extract_transactions(
+    text: str = "", lines: Optional[List[str]] = None
+) -> List[Dict[str, str]]:
     """Line-oriented transaction state machine (utils.py:237-360).
+    ``lines``, when given, must be the pre-stripped line list
+    (``_stripped_lines``); ``text`` is then ignored.
 
     Behavioral contract (fidelity cases, see FIXTURES.md §2.3):
       * a row is anchored by ``DD/MM/YY HH:MM:SS`` at line start; the whole
@@ -258,19 +268,20 @@ def extract_transactions(text: str) -> List[Dict[str, str]]:
       * subsequent debit/credit/balance are the next non-blank lines taken
         verbatim, '' at EOF
     """
-    lines = text.split("\n")
-    n = len(lines)
+    slines = _stripped_lines(text) if lines is None else lines
+    n = len(slines)
     rows: List[Dict[str, str]] = []
     i = 0
 
     def skip_blank(j: int) -> int:
-        while j < n and not lines[j].strip():
+        while j < n and not slines[j]:
             j += 1
         return j
 
     while i < n:
-        line = lines[i].strip()
-        if not line or not RX_TXN_DATE_ANCHOR.match(line):
+        line = slines[i]
+        # anchor lines always start with a digit — skip the regex otherwise
+        if not line or not line[0].isdigit() or not RX_TXN_DATE_ANCHOR.match(line):
             i += 1
             continue
         if not RX_DATE_PREFIX.match(line):
@@ -281,9 +292,11 @@ def extract_transactions(text: str) -> List[Dict[str, str]]:
         i += 1
         desc_parts: List[str] = []
         while i < n:
-            nxt = lines[i].strip()
-            if RX_TXN_DATE_ANCHOR.match(nxt) or RX_NUMERIC_LINE.match(nxt):
-                break
+            nxt = slines[i]
+            # both break-patterns require a leading digit/','/'.' char
+            if nxt and (nxt[0].isdigit() or nxt[0] in ",."):
+                if RX_TXN_DATE_ANCHOR.match(nxt) or RX_NUMERIC_LINE.match(nxt):
+                    break
             if nxt:
                 desc_parts.append(nxt)
             i += 1
@@ -293,22 +306,22 @@ def extract_transactions(text: str) -> List[Dict[str, str]]:
         if i >= n:
             break  # truncated document: partial row is dropped (utils.py:300-301)
 
-        field = lines[i].strip()
+        field = slines[i]
         if RX_USER_ID.match(field):
             user = field
             i = skip_blank(i + 1)
-            debit = lines[i].strip() if i < n else ""
+            debit = slines[i] if i < n else ""
             i = skip_blank(i + 1)
-            credit = lines[i].strip() if i < n else ""
+            credit = slines[i] if i < n else ""
             i = skip_blank(i + 1)
-            balance = lines[i].strip() if i < n else ""
+            balance = slines[i] if i < n else ""
         elif RX_AMOUNT.match(field):
             user = ""
             debit = field
             i = skip_blank(i + 1)
-            credit = lines[i].strip() if i < n else ""
+            credit = slines[i] if i < n else ""
             i = skip_blank(i + 1)
-            balance = lines[i].strip() if i < n else ""
+            balance = slines[i] if i < n else ""
         else:
             user = field
             debit = credit = balance = ""
@@ -328,14 +341,15 @@ def extract_transactions(text: str) -> List[Dict[str, str]]:
     return rows
 
 
-def extract_transactions_inline(text: str) -> List[Dict[str, str]]:
+def extract_transactions_inline(
+    text: str = "", lines: Optional[List[str]] = None
+) -> List[Dict[str, str]]:
     """One-line transaction rows (pdfplumber_parser.py:85-142).
 
     Header/summary lines are skipped by substring blacklist before matching.
     """
     rows: List[Dict[str, str]] = []
-    for raw in text.split("\n"):
-        line = raw.strip()
+    for line in (_stripped_lines(text) if lines is None else lines):
         if not line:
             continue
         if (
@@ -376,9 +390,12 @@ def extract_transactions_inline(text: str) -> List[Dict[str, str]]:
 # ---------------------------------------------------------------------------
 
 
-def extract_summary_totals(text: str) -> Dict[str, Optional[str]]:
+def extract_summary_totals(
+    text: str, lines: Optional[List[str]] = None
+) -> Dict[str, Optional[str]]:
     """Bilingual summary block via positional label→value zip
-    (utils.py:551-649).
+    (utils.py:551-649).  ``lines``: optional pre-stripped line list
+    (``text`` is still used for the inline regex fallbacks).
 
     Order-sensitive contract: labels dedup by type keeping first occurrence;
     values are the consecutive numeric-only lines scanned from the first
@@ -393,13 +410,18 @@ def extract_summary_totals(text: str) -> Dict[str, Optional[str]]:
         "opening_balance": None,
         "closing_balance": None,
     }
-    lines = text.split("\n")
-    n = len(lines)
+    slines = _stripped_lines(text) if lines is None else lines
+    n = len(slines)
 
     found = set()
     labels: List[tuple] = []  # (label_type, line_index) in scan order
     for idx in range(n):
-        stripped = lines[idx].strip()
+        stripped = slines[idx]
+        # All summary labels start with S/T/O/C ("Saldo…", "Total…",
+        # "Opening…", "Closing…") — this one-char guard skips the 4-regex
+        # attempt on ~95% of lines (summary scan was 60% of kernel time).
+        if not stripped or stripped[0] not in "SsTtOoCc":
+            continue
         for rx, label_type in SUMMARY_LABELS:
             if rx.match(stripped):
                 if label_type not in found:
@@ -411,9 +433,12 @@ def extract_summary_totals(text: str) -> Dict[str, Optional[str]]:
         start = min(pos for _, pos in labels)
         values: List[tuple] = []  # (line_index, text)
         for idx in range(start, n):
-            stripped = lines[idx].strip()
-            if RX_NUMERIC_LINE.match(stripped):
-                values.append((idx, stripped))
+            stripped = slines[idx]
+            if stripped and (stripped[0].isdigit() or stripped[0] in ",."):
+                if RX_NUMERIC_LINE.match(stripped):
+                    values.append((idx, stripped))
+                elif len(values) >= 2:
+                    break
             elif stripped and len(values) >= 2:
                 break
 
@@ -448,11 +473,15 @@ def extract_summary_totals(text: str) -> Dict[str, Optional[str]]:
 
 
 def parse_indonesian_number(value: str) -> float:
-    """'.'-thousands / ','-decimal → float; malformed → 0.0 (utils.py:527-548)."""
-    if not value or not value.strip():
+    """'.'-thousands / ','-decimal → float; malformed → 0.0 (utils.py:527-548).
+
+    (float() itself tolerates surrounding whitespace and rejects
+    whitespace-only, so no explicit strip is needed — same semantics,
+    one less allocation on the per-transaction hot path.)"""
+    if not value:
         return 0.0
     try:
-        return float(value.strip().replace(".", "").replace(",", "."))
+        return float(value.replace(".", "").replace(",", "."))
     except ValueError:
         return 0.0
 
@@ -521,10 +550,15 @@ def verify_turnover(
     transactions: List[Dict[str, str]],
     tolerance: float = 0.01,
     summary_text: str = "",
+    totals: Optional[Dict[str, Optional[str]]] = None,
 ) -> Dict[str, object]:
     """Reconcile extracted summary totals vs transaction sums
-    (utils.py:686-775). Status ∈ {passed, failed, not_available}."""
-    totals = extract_summary_totals(summary_text)
+    (utils.py:686-775). Status ∈ {passed, failed, not_available}.
+
+    Pass ``totals`` when the summary block is already extracted (as
+    ``parse_document`` does) to avoid a second full-text scan."""
+    if totals is None:
+        totals = extract_summary_totals(summary_text)
     calc_debit = debit_sum(transactions)
     calc_credit = credit_sum(transactions)
 
@@ -587,6 +621,7 @@ def parse_document(
     text: str,
     strategy: str = "column",
     verify: bool = True,
+    lines: Optional[List[str]] = None,
 ) -> Dict[str, object]:
     """Parse one document's rendered text layer end-to-end.
 
@@ -607,12 +642,13 @@ def parse_document(
         if fallback:
             metadata["account_no"] = fallback
 
+    slines = _stripped_lines(text) if lines is None else lines
     if strategy == "inline":
-        transactions = extract_transactions_inline(text)
+        transactions = extract_transactions_inline(lines=slines)
     else:
-        transactions = extract_transactions(text)
+        transactions = extract_transactions(lines=slines)
 
-    summary = extract_summary_totals(text)
+    summary = extract_summary_totals(text, lines=slines)
     for key in SUMMARY_KEYS:
         if summary.get(key):
             metadata[key] = summary[key]
@@ -623,5 +659,5 @@ def parse_document(
         "is_valid": is_valid_parse(metadata, transactions),
     }
     if verify:
-        result["verification"] = verify_turnover(transactions, summary_text=text)
+        result["verification"] = verify_turnover(transactions, totals=summary)
     return result

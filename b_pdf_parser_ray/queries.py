@@ -565,6 +565,119 @@ def dedup_embeddings(sf_dir: str):
     )
 
 
+def html_main_content(sf_dir: str):
+    """HTML boilerplate strip (north-star §7.8), self-validating: each doc's
+    text is wrapped in a deterministic boilerplate page, stripped back via
+    the DOM-heuristic stage, and compared to the original.  Oracle checks
+    recovered body length + media count per document."""
+    from .stages.boilerplate import BoilerplateStripper, recovered_body, synth_page
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = [str(d) for d in batch.column("doc_id").to_pylist()]
+        htmls = [synth_page(i, t) for i, t in zip(ids, batch.column("text").to_pylist())]
+        return pa.Table.from_arrays(
+            [pa.array(ids, type=pa.string()), pa.array(htmls, type=pa.string())],
+            names=["doc_id", "html"],
+        )
+
+    stripped = ds.map_batches(wrap, batch_format="pyarrow").map_batches(
+        BoilerplateStripper, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        bodies = [
+            recovered_body(t, i)
+            for t, i in zip(batch.column("main_text").to_pylist(), ids)
+        ]
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("doc_id"), pa.int64()),
+                pa.array([len(b) for b in bodies], type=pa.int64()),
+                pc.cast(batch.column("n_media"), pa.int64()),
+            ],
+            names=["doc_id", "body_chars", "n_media"],
+        )
+
+    return stripped.map_batches(project, batch_format="pyarrow")
+
+
+HTML_MAIN_SQL = """
+SELECT doc_id,
+       length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS body_chars,
+       CAST(1 AS BIGINT) AS n_media
+FROM documents
+"""
+
+
+def dedup_ngram_verify(sf_dir: str, threshold: float = 0.5):
+    """Exact n-gram Jaccard verification of MinHash-LSH candidate pairs.
+
+    Scale shape: the candidate pair list is tiny relative to the corpus, so
+    pair doc_ids are collected and the texts fetched with a pushed-down
+    semi-join filter on the documents read — no all-to-all shuffle; at
+    100 TB the same fetch is a filtered read of only the candidate rows."""
+    from .functions.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=threshold).to_pandas()
+    if pairs.empty:
+        return pa.Table.from_arrays(
+            [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.float64())],
+            names=["doc_a", "doc_b", "jaccard"],
+        )
+    need = set(pairs["a"]) | set(pairs["b"])
+    tbl = read_arrow(sf_dir, "documents", columns=["doc_id", "text"])
+    tbl = tbl.filter(pc.is_in(pc.cast(tbl.column("doc_id"), pa.string()),
+                              value_set=pa.array([str(x) for x in need])))
+    texts = dict(zip((str(d) for d in tbl.column("doc_id").to_pylist()),
+                     tbl.column("text").to_pylist()))
+    jac = [
+        round(ngram_jaccard(texts[str(a)], texts[str(b)]), 5)
+        for a, b in zip(pairs["a"], pairs["b"])
+    ]
+    out = pairs.assign(jaccard=jac).rename(columns={"a": "doc_a", "b": "doc_b"})
+    out = out[out["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def media_image_features(sf_dir: str):
+    """Image decode→feature stage over the synthetic media table (decode is
+    the documented stub; plumbing/batching/features are real)."""
+    import ray.data
+
+    from .stages.media import ImageFeatures, synth_media_table
+
+    n = 120
+    return ray.data.from_arrow(synth_media_table(n)).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    )
+
+
+def media_audio_features(sf_dir: str):
+    import ray.data
+
+    from .stages.media import AudioFeatures, synth_media_table
+
+    return ray.data.from_arrow(synth_media_table(120)).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    )
+
+
+def media_video_frames(sf_dir: str):
+    import ray.data
+
+    from .stages.media import VideoFrameSampler, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(120)).map_batches(
+        VideoFrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    )
+    return ds.select_columns(["media_id", "frame_idx"])
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -650,6 +763,11 @@ QUERIES: Dict[str, Callable] = {
     "ann_topk": ann_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_norms": embedding_norms,
+    "html_main_content": html_main_content,
+    "dedup_ngram_verify": dedup_ngram_verify,
+    "media_image_features": media_image_features,
+    "media_audio_features": media_audio_features,
+    "media_video_frames": media_video_frames,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -671,7 +789,9 @@ ORACLE_SQL: Dict[str, str] = {
     "extract_docs": EXTRACT_DOCS_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,
+    "html_main_content": HTML_MAIN_SQL,
     # doc_lang_id / doc_quality / doc_fingerprints / dedup_minhash /
-    # dedup_simhash / dedup_embeddings / ann_ivf_topk: not SQL-expressible →
-    # rows-only driver check (sketch/heuristic/iterative operators)
+    # dedup_simhash / dedup_embeddings / dedup_ngram_verify / ann_ivf_topk /
+    # media_*: not SQL-expressible → rows-only driver check
+    # (sketch/heuristic/iterative/DOM/codec operators)
 }

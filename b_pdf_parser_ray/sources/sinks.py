@@ -1,0 +1,104 @@
+"""Sinks: normalized CSV / partitioned Parquet writers (SURVEY.md §2.2).
+
+The reference writes per-document semicolon-delimited CSVs from the DRIVER
+(`batch.py:193-219` — a serialization bottleneck its own README flags).
+Here every sink writes from the Ray tasks that hold the data:
+
+* K1/K2 — metadata / transactions CSV: number normalization
+  (`utils.py:363-425` semantics via ``kernel.format_number_for_csv``)
+  happens in a ``map_batches`` stage immediately before the sink, then
+  ``ds.write_csv`` streams per-block files.
+* K3 — partitioned parquet: one directory per key value
+  (``partition_cols``), the resumable layout for 100 TB output.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyarrow as pa
+
+from .. import kernel
+
+
+def normalize_transactions_batch(batch: pa.Table) -> pa.Table:
+    """Explode per-doc transaction lists to row-per-transaction with
+    CSV-normalized amounts — the distributed form of the reference's
+    ``save_transactions_csv`` loop (`utils.py:447-481`)."""
+    doc_ids: List[str] = []
+    rows = {k: [] for k in ("date", "description", "user", "debit", "credit", "balance")}
+    fmt = kernel.format_number_for_csv
+    for doc_id, txns in zip(
+        batch.column("doc_id").to_pylist(), batch.column("transactions").to_pylist()
+    ):
+        for t in txns or []:
+            doc_ids.append(doc_id)
+            rows["date"].append(t["date"])
+            rows["description"].append(t["description"])
+            rows["user"].append(t["user"])
+            rows["debit"].append(fmt(t["debit"]))
+            rows["credit"].append(fmt(t["credit"]))
+            rows["balance"].append(fmt(t["balance"]))
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, type=pa.string())]
+        + [pa.array(rows[k], type=pa.string()) for k in rows],
+        names=["doc_id"] + list(rows),
+    )
+
+
+def normalize_metadata_batch(batch: pa.Table) -> pa.Table:
+    """Flatten the metadata struct to columns with normalized numeric fields
+    (the reference's ``save_metadata_csv``, `utils.py:428-444`)."""
+    fmt = kernel.format_number_for_csv
+    numeric = {"total_debit", "total_credit", "opening_balance", "closing_balance"}
+    metas = batch.column("metadata").to_pylist()
+    field_names = [f.name for f in batch.schema.field("metadata").type]
+    cols = {name: [] for name in field_names}
+    for m in metas:
+        m = m or {}
+        for name in field_names:
+            v = m.get(name) or ""
+            cols[name].append(fmt(v) if name in numeric and v else v)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id")]
+        + [pa.array(cols[n], type=pa.string()) for n in field_names],
+        names=["doc_id"] + field_names,
+    )
+
+
+def write_transactions_csv(extracted_ds, out_dir: str, delimiter: str = ";") -> None:
+    """K2: row-per-transaction CSV files, written from the tasks."""
+    from pyarrow import csv as pacsv
+
+    (
+        extracted_ds.map_batches(normalize_transactions_batch, batch_format="pyarrow")
+        .write_csv(
+            out_dir,
+            arrow_csv_args_fn=lambda: {
+                "write_options": pacsv.WriteOptions(delimiter=delimiter)
+            },
+        )
+    )
+
+
+def write_metadata_csv(extracted_ds, out_dir: str, delimiter: str = ";") -> None:
+    """K1: row-per-document metadata CSV files."""
+    from pyarrow import csv as pacsv
+
+    (
+        extracted_ds.map_batches(normalize_metadata_batch, batch_format="pyarrow")
+        .write_csv(
+            out_dir,
+            arrow_csv_args_fn=lambda: {
+                "write_options": pacsv.WriteOptions(delimiter=delimiter)
+            },
+        )
+    )
+
+
+def write_partitioned_parquet(
+    ds, out_dir: str, partition_cols: Optional[List[str]] = None
+) -> None:
+    """K3: key-partitioned parquet — one directory per key value, the
+    resume/skip unit of a large run."""
+    ds.write_parquet(out_dir, partition_cols=partition_cols)

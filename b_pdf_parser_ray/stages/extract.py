@@ -78,8 +78,16 @@ class Extractor:
         if isinstance(spans_col, pa.ChunkedArray):  # single-chunk guarantee
             spans_col = spans_col.chunk(0)
         flat = spans_col.flatten()
-        kinds = np.asarray(flat.field("kind"))
+        import pyarrow.compute as pc
+
+        kind_arr = flat.field("kind")
+        is_text = pc.equal(kind_arr, "text").to_numpy(zero_copy_only=False)
         texts = flat.field("text").to_pylist()
+        # span texts are single lines in the span model; if any embeds a
+        # newline, fall back to join+split so line semantics match rendering
+        texts_are_lines = not pc.any(
+            pc.match_substring(flat.field("text"), "\n")
+        ).as_py()
         offsets = flat.field("offset").to_numpy(zero_copy_only=False)
         row_offsets = spans_col.offsets.to_numpy(zero_copy_only=False)
 
@@ -89,7 +97,6 @@ class Extractor:
             else [self.default_strategy] * n
         )
 
-        is_text = kinds == "text"
         all_sorted = bool(np.all(offsets[1:] >= offsets[:-1])) if len(offsets) else True
 
         metadata_out: List[Optional[Dict]] = []
@@ -107,7 +114,7 @@ class Extractor:
                 np.all(offsets[lo + 1 : hi] >= offsets[lo : hi - 1])
             )
             if row_sorted:
-                line_idx = [j for j in range(lo, hi) if is_text[j]]
+                line_idx = (np.nonzero(is_text[lo:hi])[0] + lo).tolist()
             else:
                 order = lo + np.argsort(offsets[lo:hi], kind="stable")
                 line_idx = [int(j) for j in order if is_text[j]]
@@ -115,7 +122,7 @@ class Extractor:
                     rebuilt_spans = [None] * n
                 rebuilt_spans[i] = [
                     {
-                        "kind": str(kinds[j]),
+                        "kind": kind_arr[j].as_py(),
                         "text": texts[j],
                         "media_ref": flat.field("media_ref")[j].as_py(),
                         "offset": int(offsets[j]),
@@ -124,10 +131,16 @@ class Extractor:
                 ]
             n_spans_out.append(hi - lo)
             try:
-                text = "\n".join(texts[j] for j in line_idx)
+                row_lines = [texts[j] for j in line_idx]
+                text = "\n".join(row_lines)
                 n_chars_out.append(len(text))
                 res = kernel.parse_document(
-                    doc_ids[i], text, strategy=strategies[i], verify=self.verify
+                    doc_ids[i],
+                    text,
+                    strategy=strategies[i],
+                    verify=self.verify,
+                    # span texts ARE the lines — skip the kernel's re-split
+                    lines=[l.strip() for l in row_lines] if texts_are_lines else None,
                 )
                 md = dict(_EMPTY_METADATA)
                 md.update(res["metadata"])

@@ -1,0 +1,181 @@
+"""HTML boilerplate-strip stage + multimodal media stage tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from b_pdf_parser_ray.functions.html import (
+    classify_blocks,
+    segment_blocks,
+    strip_boilerplate,
+)
+from b_pdf_parser_ray.stages.boilerplate import (
+    BoilerplateStripper,
+    recovered_body,
+    synth_page,
+)
+from b_pdf_parser_ray.stages.media import (
+    AudioFeatures,
+    ImageFeatures,
+    ImageResizer,
+    VideoFrameSampler,
+    _decode_fake,
+    fake_image,
+    synth_media_table,
+)
+
+BODY = (
+    "The quick brown fox jumps over the lazy dog near the riverbank every "
+    "single morning while the farmer watches from the wooden porch with a "
+    "cup of strong black coffee and a folded newspaper under one arm "
+) * 3
+
+
+# ---------------------------------------------------------------------------
+# Pure HTML heuristics
+# ---------------------------------------------------------------------------
+
+
+def test_segment_blocks_skips_script_and_style():
+    blocks = segment_blocks("<script>var x=1;</script><p>hello world text</p><style>a{}</style>")
+    texts = [b["text"] for b in blocks if b["kind"] == "text"]
+    assert texts == ["hello world text"]
+
+
+def test_link_density_marks_nav_as_boilerplate():
+    html = (
+        '<div><a href="/a">one two three four five six seven eight nine ten eleven</a></div>'
+        "<p>" + BODY + "</p>"
+    )
+    blocks = segment_blocks(html)
+    keep = classify_blocks(blocks)
+    kept_texts = [b["text"] for b, k in zip(blocks, keep) if k and b["kind"] == "text"]
+    assert len(kept_texts) == 1 and kept_texts[0].startswith("The quick brown fox")
+
+
+def test_heading_adopts_following_content():
+    html = "<h1>Short title</h1><p>" + BODY + "</p>"
+    blocks = segment_blocks(html)
+    keep = classify_blocks(blocks)
+    assert keep[0] is True  # heading kept because next block is content
+
+
+def test_media_adjacent_to_content_is_kept_nav_icon_dropped():
+    html = (
+        '<nav><img src="logo.png"/><a href="/">home</a></nav>'
+        "<p>" + BODY + '</p><img src="figure.png"/>'
+    )
+    res = strip_boilerplate(html)
+    media = [s["media_ref"] for s in res["spans"] if s["kind"] == "media"]
+    assert media == ["figure.png"]
+
+
+def test_strip_boilerplate_offsets_are_strictly_increasing():
+    res = strip_boilerplate(synth_page("d1", BODY))
+    offs = [s["offset"] for s in res["spans"]]
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_synth_page_round_trip_exact():
+    page = synth_page("doc42", BODY)
+    res = strip_boilerplate(page)
+    assert recovered_body(res["main_text"], "doc42") == " ".join(BODY.split())
+    # the article figure survives; the ad banner in <aside> does not
+    media = [s["media_ref"] for s in res["spans"] if s["kind"] == "media"]
+    assert media == ["figure_doc42.png"]
+
+
+# ---------------------------------------------------------------------------
+# Ray stage: BoilerplateStripper
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_stripper_stage(ray_session):
+    rows = [{"doc_id": f"d{i}", "html": synth_page(f"d{i}", BODY)} for i in range(20)]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(
+        BoilerplateStripper, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas()
+    assert len(out) == 20
+    assert (out["n_content_blocks"] > 0).all()
+    for _, row in out.iterrows():
+        main = "\n".join(
+            s["text"] for s in row["spans"] if s["kind"] == "text"
+        )
+        assert recovered_body(main, row["doc_id"]) == " ".join(BODY.split())
+        assert row["n_media"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Media stages
+# ---------------------------------------------------------------------------
+
+
+def test_fake_payload_roundtrip_deterministic():
+    p1, p2 = fake_image("m1", 16, 8), fake_image("m1", 16, 8)
+    assert p1 == p2
+    img = _decode_fake(p1)
+    assert img.shape == (8, 16, 3)
+
+
+def test_real_decode_raises_not_implemented():
+    with pytest.raises((NotImplementedError, ValueError)):
+        _decode_fake(b"\x89PNG\r\n\x1a\nrealbytes")
+
+
+def test_image_features_stage(ray_session):
+    tbl = synth_media_table(30)
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .to_pandas()
+    )
+    assert len(out) == 10  # every 3rd row is an image
+    assert (out["width"] > 0).all() and out["phash64"].nunique() > 1
+    # determinism: rerun gives identical features
+    out2 = (
+        ray.data.from_arrow(tbl)
+        .map_batches(ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .to_pandas()
+    )
+    assert out.sort_values("media_id").reset_index(drop=True).equals(
+        out2.sort_values("media_id").reset_index(drop=True)
+    )
+
+
+def test_image_resizer_stage(ray_session):
+    tbl = synth_media_table(12)
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(ImageResizer, batch_format="pyarrow", batch_size=8, concurrency=2)
+        .to_pandas()
+    )
+    assert len(out) == 4
+    for payload in out["payload"]:
+        img = _decode_fake(payload)
+        assert img.shape == (32, 32, 3)
+
+
+def test_audio_features_stage(ray_session):
+    out = (
+        ray.data.from_arrow(synth_media_table(30))
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .to_pandas()
+    )
+    assert len(out) == 10
+    assert (out["duration_sec"] > 0).all() and (out["mean_rms"] > 0).all()
+
+
+def test_video_frame_sampler_fan_out(ray_session):
+    tbl = synth_media_table(30)
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(VideoFrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .to_pandas()
+    )
+    # videos have 10/20/30/40 frames, stride 10 → 1/2/3/4 sampled frames
+    assert len(out) > 10
+    assert (out["frame_idx"] % 10 == 0).all()
+    for payload in out["payload"].head(3):
+        assert _decode_fake(payload).ndim == 3

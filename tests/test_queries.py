@@ -55,7 +55,12 @@ def test_query_matches_oracle(ray_session, ddb, name):
 
 # pair-producing dedup queries legitimately return empty on corpora with no
 # duplicates (the driver testdata is random text / random embeddings)
-_MAY_BE_EMPTY = {"dedup_minhash", "dedup_simhash", "dedup_embeddings"}
+_MAY_BE_EMPTY = {
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embeddings",
+    "dedup_ngram_verify",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))

@@ -1,0 +1,85 @@
+"""Sink tests: normalized CSV + partitioned parquet (SURVEY.md §2.2)."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import ray.data
+
+from b_pdf_parser_ray.fixtures import corpus_table
+from b_pdf_parser_ray.pipelines.flagship import extract_documents
+from b_pdf_parser_ray.sources.sinks import (
+    normalize_metadata_batch,
+    normalize_transactions_batch,
+    write_metadata_csv,
+    write_partitioned_parquet,
+    write_transactions_csv,
+)
+
+
+def _extracted(n=40):
+    return extract_documents(
+        ray.data.from_arrow(corpus_table(n)), concurrency=(1, 2), batch_size=20
+    )
+
+
+def test_normalize_transactions_batch_pure(ray_session):
+    ext = _extracted(20).to_pandas()
+    batch = pa.Table.from_pandas(ext[["doc_id", "transactions"]], preserve_index=False)
+    flat = normalize_transactions_batch(batch)
+    assert flat.column_names == [
+        "doc_id", "date", "description", "user", "debit", "credit", "balance"
+    ]
+    assert flat.num_rows > 20  # many txns per doc
+    # normalization: "1,234.56" → "1234.56"; "0.00" → "0"
+    debs = set(flat.column("debit").to_pylist())
+    assert not any("," in d for d in debs)
+    assert "0" in debs
+
+
+def test_write_transactions_csv_roundtrip(ray_session, tmp_path):
+    out = str(tmp_path / "txns")
+    write_transactions_csv(_extracted(30), out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert files
+    tbl = pa.concat_tables(
+        pacsv.read_csv(
+            f, parse_options=pacsv.ParseOptions(delimiter=";"),
+            convert_options=pacsv.ConvertOptions(column_types={"date": pa.string()}),
+        )
+        for f in files
+    )
+    assert tbl.num_rows > 30
+
+
+def test_write_metadata_csv(ray_session, tmp_path):
+    out = str(tmp_path / "meta")
+    write_metadata_csv(_extracted(30), out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert files
+    tbl = pacsv.read_csv(files[0], parse_options=pacsv.ParseOptions(delimiter=";"))
+    assert "account_no" in tbl.column_names and "total_debit" in tbl.column_names
+
+
+def test_write_partitioned_parquet(ray_session, tmp_path):
+    out = str(tmp_path / "part")
+    ds = ray.data.from_arrow(corpus_table(30))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column(
+            "bucket",
+            pc.cast(pc.multiply(pc.list_value_length(b.column("spans")), 0), pa.string()),
+        )
+
+    write_partitioned_parquet(
+        ds.map_batches(add_bucket, batch_format="pyarrow").select_columns(
+            ["doc_id", "strategy", "bucket"]
+        ),
+        out,
+        partition_cols=["strategy"],
+    )
+    dirs = glob.glob(os.path.join(out, "strategy=*"))
+    assert len(dirs) >= 2  # column + inline/indonesian strategies present
