@@ -146,25 +146,31 @@ class MinHasher:
 
 
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
-    doc_ids, band_ids, band_hashes, sig_blobs = [], [], [], []
-    for doc_id, sig in zip(
-        batch.column("doc_id").to_pylist(), batch.column("minhash").to_pylist()
-    ):
-        arr = np.asarray(sig, dtype=np.uint64)
-        blob = arr.tobytes()
-        for b in range(bands):
-            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            doc_ids.append(doc_id)
-            band_ids.append(b)
-            band_hashes.append(h)
-            sig_blobs.append(blob)
+    """Explode signatures to (doc_id, band_id, band_hash, sig) rows.
+
+    Vectorized: band hashes are a position-weighted xor combine over the
+    (n, bands, rows_per_band) signature tensor — no per-band Python/hashing.
+    ``band_hash`` is int64 (cheap groupby key vs the former hex string)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], type=pa.string()), pa.array([], type=pa.int32()),
+             pa.array([], type=pa.int64()), pa.array([], type=pa.binary())],
+            names=["doc_id", "band_id", "band_hash", "sig"],
+        )
+    sigs = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
+    chunks = sigs.reshape(n, bands, rows_per_band)
+    consts = _pos_consts(rows_per_band)
+    with np.errstate(over="ignore"):
+        bh = np.bitwise_xor.reduce(chunks * consts, axis=2)  # (n, bands)
+    blobs = [s.tobytes() for s in sigs]
+    doc_rep = np.repeat(np.arange(n), bands)
     return pa.Table.from_arrays(
         [
-            pa.array(doc_ids),
-            pa.array(band_ids, type=pa.int32()),
-            pa.array(band_hashes, type=pa.string()),
-            pa.array(sig_blobs, type=pa.binary()),
+            batch.column("doc_id").take(pa.array(doc_rep)),
+            pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            pa.array(bh.reshape(-1).view(np.int64)),
+            pa.array([blobs[i] for i in doc_rep], type=pa.binary()),
         ],
         names=["doc_id", "band_id", "band_hash", "sig"],
     )
@@ -199,37 +205,88 @@ def _bucket_pairs(group: pd.DataFrame, threshold: float, max_bucket: int = 200) 
     )
 
 
+_MH_CACHE: Dict[tuple, "MinHasher"] = {}
+
+
+def _minhash_batch(
+    batch: pa.Table, num_hashes: int = 64, shingle_width: int = 3, seed: int = 7
+) -> pa.Table:
+    """Task-mode signature stage: the MinHasher (hash params + token-hash
+    vocabulary cache) lives in a module-level per-worker-process cache, so
+    reused Ray task workers keep it warm — and the stage fuses with the
+    upstream read (no object-store hop)."""
+    key = (num_hashes, shingle_width, seed)
+    mh = _MH_CACHE.get(key)
+    if mh is None:
+        mh = _MH_CACHE[key] = MinHasher(num_hashes, shingle_width, seed)
+    return mh(batch)
+
+
+def _partition_pairs(
+    group: pd.DataFrame, threshold: float, max_bucket: int = 200
+) -> pd.DataFrame:
+    """Candidate pairs for ALL buckets inside one coarse partition.
+
+    Singleton buckets (the overwhelming majority) are pruned with one
+    vectorized ``duplicated`` pass before any per-bucket Python runs."""
+    empty = pd.DataFrame({"a": [], "b": [], "est_jaccard": [], "truncated": []})
+    dup = group[group.duplicated(["band_id", "band_hash"], keep=False)]
+    if dup.empty:
+        return empty
+    outs = [
+        _bucket_pairs(g, threshold, max_bucket)
+        for _, g in dup.groupby(["band_id", "band_hash"], sort=False)
+    ]
+    outs = [o for o in outs if len(o)]
+    return pd.concat(outs, ignore_index=True) if outs else empty
+
+
 def minhash_lsh_pairs(
     ds,
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
     concurrency=None,
+    num_partitions: int = 64,
 ):
     """Near-duplicate candidate pairs by MinHash-LSH.
 
-    Pipeline: signatures (actor pool, params warm per actor) → band explode →
-    groupby(band_id, band_hash) bucket → in-bucket pair generation → global
-    pair dedup (a pair can fire in several bands).
-    """
+    Pipeline: signatures (task pool, warm per-process params/vocab cache) →
+    vectorized band explode → **salted shuffle**: buckets are grouped by
+    ``band_hash % num_partitions`` (one Ray group per coarse partition, a
+    pandas groupby over exact buckets inside) instead of one Ray group per
+    bucket — per-group machinery over ~|docs|×bands tiny groups was the
+    bottleneck (measured 2.7 s → this path at sf0.1).  Pair dedup (a pair
+    can fire in several bands) is the final tiny groupby.
+
+    ``num_partitions`` should scale ~with cluster cores; candidate buckets
+    are tiny so partition skew is bounded by the salt."""
     from ray.data.aggregate import Max
 
     rows_per_band = num_hashes // bands
-    if concurrency is None:
-        concurrency = (1, 8)
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_hashes": num_hashes},
+        _minhash_batch,
+        fn_kwargs={"num_hashes": num_hashes},
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
     banded = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows_per_band), batch_format="pyarrow"
     )
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(b.column("band_hash"), num_partitions - 1), pa.int32()
+        )
+        return b.append_column("part", part)
+
+    pairs = (
+        banded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _partition_pairs(g.drop(columns=["part"]), threshold),
+            batch_format="pandas",
+        )
     )
-    # same pair may surface from multiple bands → dedup on (a, b)
     return (
         pairs.groupby(["a", "b"])
         .aggregate(
@@ -285,18 +342,29 @@ class SimHasher:
         )
 
 
-def simhash_pairs(ds, max_hamming: int = 3, concurrency=None):
+_SH_CACHE: Dict[str, "SimHasher"] = {}
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    sh = _SH_CACHE.get("sh")
+    if sh is None:
+        sh = _SH_CACHE["sh"] = SimHasher()
+    return sh(batch)
+
+
+def simhash_pairs(ds, max_hamming: int = 3, concurrency=None, num_partitions: int = 64):
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     LSH by 4 × 16-bit bands (any pair within Hamming ≤ 3 shares at least one
     exact band — pigeonhole), then exact Hamming check within buckets.
+    Bucket pairing runs inside ``num_partitions`` salted coarse partitions
+    (see ``minhash_lsh_pairs``) — one Ray group per partition, vectorized
+    singleton pruning + pandas groupby inside.
     """
     from ray.data.aggregate import Min
 
-    if concurrency is None:
-        concurrency = (1, 8)
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=concurrency
+        _simhash_batch, batch_format="pyarrow"
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -337,10 +405,34 @@ def simhash_pairs(ds, max_hamming: int = 3, concurrency=None):
                 d_out.append(int(dist[k]))
         return pd.DataFrame({"a": a_out, "b": b_out, "hamming": d_out})
 
+    def partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "hamming": []})
+        dup = group[group.duplicated(["band_id", "band_val"], keep=False)]
+        if dup.empty:
+            return empty
+        outs = [
+            bucket_pairs(g) for _, g in dup.groupby(["band_id", "band_val"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    def add_part(b: pa.Table) -> pa.Table:
+        mixed = pc.add(
+            pc.multiply(pc.cast(b.column("band_val"), pa.int64()), 4),
+            pc.cast(b.column("band_id"), pa.int64()),
+        )
+        return b.append_column(
+            "part", pc.cast(pc.bit_wise_and(mixed, num_partitions - 1), pa.int32())
+        )
+
     pairs = (
         sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: partition_pairs(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
@@ -408,10 +500,36 @@ def embedding_near_dups(
 
     from ray.data.aggregate import Max
 
+    num_partitions = 64
+
+    def partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
+        dup = group[group.duplicated(["table_id", "bucket"], keep=False)]
+        if dup.empty:
+            return empty
+        outs = [
+            bucket_pairs(g) for _, g in dup.groupby(["table_id", "bucket"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    def add_part(b: pa.Table) -> pa.Table:
+        mixed = pc.add(
+            pc.multiply(b.column("bucket"), n_tables),
+            pc.cast(b.column("table_id"), pa.int64()),
+        )
+        return b.append_column(
+            "part", pc.cast(pc.bit_wise_and(mixed, num_partitions - 1), pa.int32())
+        )
+
     pairs = (
         ds.select_columns(["vec_id", "embedding"])
         .map_batches(bucketize, batch_format="pyarrow")
-        .groupby(["table_id", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: partition_pairs(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
     )
     return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
