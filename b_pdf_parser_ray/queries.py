@@ -423,6 +423,65 @@ GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 
+def events_daily_top_user(sf_dir: str):
+    """Windowed top-1: highest-volume user per day.  Partial (day,user)
+    aggregation inside map_batches, then a groupby(day) argmax — the
+    shuffle carries one partial row per (day,user,block), never raw events."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def add_day(b: pd.DataFrame) -> pd.DataFrame:
+        b["day"] = b["ts"].dt.strftime("%Y-%m-%d")
+        return b.drop(columns=["ts"])
+
+    agg = grouped_agg(
+        ds.map_batches(add_day, batch_format="pandas"),
+        ["day", "user_id"],
+        [("value", "sum", "total_value")],
+    )
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["total_value", "user_id"], ascending=[False, True]).head(1)
+        g["total_value"] = sql_round(g["total_value"], 2)
+        return g
+
+    return agg.groupby("day").map_groups(top, batch_format="pandas")
+
+
+EVENTS_DAILY_TOP_SQL = """
+SELECT day, user_id, total_value FROM (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+         round(sum(value), 2) AS total_value,
+         row_number() OVER (PARTITION BY date_trunc('day', ts)
+                            ORDER BY sum(value) DESC, user_id) AS rn
+  FROM events GROUP BY date_trunc('day', ts), user_id
+) t WHERE rn = 1
+"""
+
+
+def doc_sample_hash(sf_dir: str):
+    """Deterministic 25% sample by content-independent key hash — the
+    stable-sampling pattern (same rows every run, any cluster size, no
+    coordination).  md5(doc_id) first hex char ∈ 0-3."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[0] in "0123" for i in ids
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+DOC_SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+"""
+
+
 def doc_token_stats(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         token_stats_batch, batch_format="pyarrow"
@@ -748,6 +807,8 @@ QUERIES: Dict[str, Callable] = {
     "events_hourly": events_hourly,
     "events_type_stats": events_type_stats,
     "events_sessionize": events_sessionize,
+    "events_daily_top_user": events_daily_top_user,
+    "doc_sample_hash": doc_sample_hash,
     "doc_token_stats": doc_token_stats,
     "doc_term_freq": doc_term_freq,
     "lang_counts": lang_counts,
@@ -781,6 +842,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_type_stats": EVENTS_TYPE_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_daily_top_user": EVENTS_DAILY_TOP_SQL,
+    "doc_sample_hash": DOC_SAMPLE_SQL,
     "doc_token_stats": DOC_TOKEN_SQL,
     "doc_term_freq": DOC_TERM_SQL,
     "lang_counts": LANG_COUNTS_SQL,
