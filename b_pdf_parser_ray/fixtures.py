@@ -331,6 +331,53 @@ def make_document(index: int, seed: int = 42) -> Dict[str, object]:
     return {"doc_id": doc_id, "spans": spans, "strategy": strategy, "family": family}
 
 
+def make_table_document(index: int, seed: int = 42) -> Dict[str, object]:
+    """One deterministic table-strategy document (kernel M4 path): rows are
+    TAB-separated cell lines under a header row, summary block after a blank
+    line.  Amounts use the same one-comma-group trick as column docs so the
+    turnover check passes (module docstring).  Kept out of the seeded
+    ``family_of`` mix so existing corpus-derived fixtures stay stable."""
+    rng = random.Random(f"tbl:{seed}:{index}")
+    account = _account_no(rng)
+    n_txns = rng.randint(5, 40)
+    lines = _header_lines(rng, account, omit_account=False)
+    lines.append("Tanggal Transaksi\tUraian Transaksi\tTeller\tDebet\tKredit\tSaldo")
+    cap = max(100_001, min(999_999, (99_899_999 // max(n_txns, 1))))
+    total_debit = 0
+    total_credit = 0
+    for t in range(n_txns):
+        amt = rng.randint(100_000, cap)
+        is_debit = rng.random() < 0.5 if t > 1 else (t == 0)
+        debit = amt if is_debit else 0
+        credit = 0 if is_debit else amt
+        total_debit += debit
+        total_credit += credit
+        lines.append(
+            "\t".join(
+                [
+                    _txn_date(rng),
+                    rng.choice(DESCRIPTIONS),
+                    str(rng.randint(100_000, 9_999_999)),
+                    _fmt(debit) if debit else "0.00",
+                    _fmt(credit) if credit else "0.00",
+                    _fmt(rng.randint(100_000, 99_999_999)),
+                ]
+            )
+        )
+    lines.append("")  # blank line ends the table before the summary block
+    lines += _summary_lines(total_debit, total_credit, rng)
+    spans = [
+        {"kind": "text", "text": line, "media_ref": "", "offset": i}
+        for i, line in enumerate(lines)
+    ]
+    return {
+        "doc_id": f"tbl_{index:07d}",
+        "spans": spans,
+        "strategy": "table",
+        "family": "table",
+    }
+
+
 CORPUS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),

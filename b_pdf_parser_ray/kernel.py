@@ -385,6 +385,52 @@ def extract_transactions_inline(
     return rows
 
 
+def extract_transactions_table(
+    text: str = "", lines: Optional[List[str]] = None
+) -> List[Dict[str, str]]:
+    """Cell-row transaction converter (pdfplumber_parser.py:145-178, M4).
+
+    Input representation: one line per table row, cells TAB-separated; a
+    blank line ends the current table; the first row of each table is its
+    header and is skipped.  Reference semantics preserved: a data row needs
+    ≥6 cells and a date-anchor match on cell 0; cells are None→''-cleaned
+    and stripped.
+    """
+    rows: List[Dict[str, str]] = []
+    slines = _stripped_lines(text) if lines is None else lines
+    in_table = False  # has the current table's header row been consumed?
+    for line in slines:
+        if not line:
+            in_table = False
+            continue
+        if not in_table:
+            in_table = True  # header row of a new table — skip
+            continue
+        cells = line.split("\t")
+        if len(cells) >= 6 and RX_TXN_DATE_ANCHOR.match(cells[0].strip()):
+            rows.append(
+                {
+                    "date": cells[0].strip(),
+                    "description": cells[1].strip(),
+                    "user": cells[2].strip(),
+                    "debit": cells[3].strip(),
+                    "credit": cells[4].strip(),
+                    "balance": cells[5].strip(),
+                }
+            )
+    return rows
+
+
+# Strategy registry — the engine analogue of the reference's PARSERS
+# name→fn dispatch table (batch.py:47-52, §2.12).
+TRANSACTION_STRATEGIES: Dict[str, object] = {
+    "column": extract_transactions,
+    "inline": extract_transactions_inline,
+    "indonesian": extract_transactions,  # differs in metadata only
+    "table": extract_transactions_table,
+}
+
+
 # ---------------------------------------------------------------------------
 # Summary totals
 # ---------------------------------------------------------------------------
@@ -643,10 +689,8 @@ def parse_document(
             metadata["account_no"] = fallback
 
     slines = _stripped_lines(text) if lines is None else lines
-    if strategy == "inline":
-        transactions = extract_transactions_inline(lines=slines)
-    else:
-        transactions = extract_transactions(lines=slines)
+    txn_fn = TRANSACTION_STRATEGIES.get(strategy, extract_transactions)
+    transactions = txn_fn(lines=slines)
 
     summary = extract_summary_totals(text, lines=slines)
     for key in SUMMARY_KEYS:

@@ -737,6 +737,55 @@ def media_video_frames(sf_dir: str):
     return ds.select_columns(["media_id", "frame_idx"])
 
 
+def extract_rollup_by_strategy(sf_dir: str):
+    """Per-strategy extraction rollup — the reference benchmark's
+    aggregate_by_parser/calculate_metrics (benchmark.py:125-169, 227-251,
+    A4/A5) over the deterministic fixture corpus (all 4 strategies):
+    counts, valid rate, total transactions."""
+    import ray.data
+
+    from .fixtures import corpus_table, make_table_document
+    from .pipelines.flagship import extract_documents
+
+    tbl = corpus_table(300)
+    table_docs = pa.Table.from_pylist(
+        [make_table_document(i) for i in range(40)], schema=tbl.schema
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([tbl, table_docs]))
+    # keep the strategy column alongside extraction output for the rollup
+    strategies = dict(
+        zip(
+            (r["doc_id"] for r in tbl.to_pylist() + table_docs.to_pylist()),
+            (r["strategy"] for r in tbl.to_pylist() + table_docs.to_pylist()),
+        )
+    )
+    ext = extract_documents(ds)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([strategies[i] for i in ids], type=pa.string()),
+                pc.cast(batch.column("is_valid"), pa.int64()),
+                pc.cast(
+                    pc.list_value_length(batch.column("transactions")), pa.int64()
+                ),
+            ],
+            names=["strategy", "valid", "n_txns"],
+        )
+
+    out = grouped_agg(
+        ext.map_batches(project, batch_format="pyarrow"),
+        ["strategy"],
+        [
+            (None, "count", "n_docs"),
+            ("valid", "sum", "n_valid"),
+            ("n_txns", "sum", "total_txns"),
+        ],
+    )
+    return out.sort("strategy")
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -829,6 +878,7 @@ QUERIES: Dict[str, Callable] = {
     "media_image_features": media_image_features,
     "media_audio_features": media_audio_features,
     "media_video_frames": media_video_frames,
+    "extract_rollup_by_strategy": extract_rollup_by_strategy,
 }
 
 ORACLE_SQL: Dict[str, str] = {
