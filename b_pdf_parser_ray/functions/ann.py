@@ -23,9 +23,21 @@ import pyarrow as pa
 from .numeric import sql_round
 
 
+def embedding_matrix(col) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix via flatten+reshape —
+    no per-row Python lists (embeddings are non-null, equal-length)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return flat.reshape(n, -1)
+
+
 def _batch_scores(batch: pa.Table, q: np.ndarray) -> tuple:
-    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = embedding_matrix(batch.column("embedding"))
     norms = np.linalg.norm(mat, axis=1)
     qn = q / np.linalg.norm(q)
     scores = (mat @ qn) / np.maximum(norms, 1e-12)
@@ -106,7 +118,7 @@ class IVFIndex:
 
         def tag(batch: pa.Table) -> pa.Table:
             cents = ray.get(cents_ref)
-            mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            mat = embedding_matrix(batch.column("embedding"))
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             cluster = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
             return batch.append_column("cluster", pa.array(cluster))

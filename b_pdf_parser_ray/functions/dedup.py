@@ -460,8 +460,10 @@ def embedding_near_dups(
     planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        from .ann import embedding_matrix
+
         ids = batch.column("vec_id").to_pylist()
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = embedding_matrix(batch.column("embedding"))
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-12)
         out_ids, out_tables, out_buckets, out_vecs = [], [], [], []

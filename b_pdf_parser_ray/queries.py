@@ -832,7 +832,9 @@ def embedding_norms(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def norms(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        from .functions.ann import embedding_matrix
+
+        mat = embedding_matrix(batch.column("embedding"))
         return pa.Table.from_arrays(
             [batch.column("vec_id"), pa.array(sql_round(np.linalg.norm(mat, axis=1), 4))],
             names=["vec_id", "l2_norm"],
