@@ -564,11 +564,12 @@ def extract_docs(sf_dir: str):
     (Statement-shaped corpora are exercised by pytest fixtures and bench.py;
     this proves the engine is well-behaved on non-statement text.)"""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # task mode: fuses with the read; compiled patterns live at kernel
+    # module level in reused workers (see flagship._extract_batch)
     extracted = ds.map_batches(
-        TextExtractor,
+        lambda b: TextExtractor()(b),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 8),
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -649,7 +650,7 @@ def html_main_content(sf_dir: str):
         )
 
     stripped = ds.map_batches(wrap, batch_format="pyarrow").map_batches(
-        BoilerplateStripper, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+        lambda b: BoilerplateStripper()(b), batch_format="pyarrow", batch_size=64
     )
 
     def project(batch: pa.Table) -> pa.Table:
