@@ -32,3 +32,43 @@ def read_arrow(sf_dir: str, name: str, columns: Optional[List[str]] = None):
     import pyarrow.parquet as pq
 
     return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def read_documents(uri: str, columns: Optional[List[str]] = None):
+    """Document-corpus source for the north rule's Lance input.
+
+    Uses ``ray.data.read_lance`` when the ``lance`` package is installed
+    (the production format — fragment-parallel, column-pruned); this
+    container ships without it, so ``.lance`` URIs raise a clear error and
+    parquet directories (same schema, same fragment-per-block layout, the
+    tested stand-in) read via ``read_parquet``.
+    """
+    import ray.data
+
+    if uri.rstrip("/").endswith(".lance"):
+        if not lance_available():
+            raise ImportError(
+                "lance is not installed in this environment; write the corpus "
+                "as parquet (fixtures.write_corpus) or install pylance"
+            )
+        return ray.data.read_lance(uri, columns=columns)
+    return ray.data.read_parquet(uri, columns=columns)
+
+
+def write_documents(ds, uri: str) -> None:
+    """Counterpart sink: Lance when available and requested, else parquet."""
+    if uri.rstrip("/").endswith(".lance"):
+        if not lance_available():
+            raise ImportError("lance is not installed; use a parquet path")
+        ds.write_lance(uri)
+        return
+    ds.write_parquet(uri, compression="none")

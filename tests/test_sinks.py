@@ -83,3 +83,24 @@ def test_write_partitioned_parquet(ray_session, tmp_path):
     )
     dirs = glob.glob(os.path.join(out, "strategy=*"))
     assert len(dirs) >= 2  # column + inline/indonesian strategies present
+
+
+def test_read_write_documents_parquet_roundtrip(ray_session, tmp_path):
+    from b_pdf_parser_ray.sources.tables import read_documents, write_documents
+
+    out = str(tmp_path / "docs_pq")
+    write_documents(ray.data.from_arrow(corpus_table(25)), out)
+    back = read_documents(out, columns=["doc_id", "strategy"])
+    assert back.count() == 25
+    assert set(back.schema().names) == {"doc_id", "strategy"}
+
+
+def test_read_documents_lance_requires_package():
+    import pytest
+
+    from b_pdf_parser_ray.sources.tables import lance_available, read_documents
+
+    if lance_available():
+        pytest.skip("lance installed; error path not applicable")
+    with pytest.raises(ImportError):
+        read_documents("/tmp/nonexistent.lance")
