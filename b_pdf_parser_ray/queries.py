@@ -771,6 +771,52 @@ def media_video_frames(sf_dir: str):
     return ds.select_columns(["media_id", "frame_idx"])
 
 
+def span_roundtrip_stats(sf_dir: str):
+    """Exploded-span path end-to-end: corpus → explode (row per span) →
+    salted shuffle → offset-ordered reassembly → per-kind span counts,
+    with an in-query invariant check that reassembly preserved every
+    document's span count and offset order."""
+    import ray.data
+
+    from .fixtures import corpus_table
+    from .stages.reassemble import explode, reassemble
+
+    tbl = corpus_table(200)
+    ds = ray.data.from_arrow(tbl)
+    back = reassemble(explode(ds))
+
+    def check(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        n_spans = pc.list_value_length(spans)
+        flat = spans.combine_chunks().flatten()
+        kinds = flat.field("kind")
+        ordered = []
+        for row in spans.to_pylist():
+            offs = [s["offset"] for s in row]
+            ordered.append(offs == sorted(offs))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(n_spans, pa.int64()),
+                pa.array(ordered, type=pa.bool_()),
+                pa.array(
+                    [sum(1 for s in row if s["kind"] == "media") for row in spans.to_pylist()],
+                    type=pa.int64(),
+                ),
+            ],
+            names=["doc_id", "n_spans", "offsets_sorted", "n_media"],
+        )
+
+    out = back.map_batches(check, batch_format="pyarrow").to_pandas()
+    truth = {r["doc_id"]: len(r["spans"]) for r in tbl.to_pylist()}
+    out["count_matches"] = [
+        truth[d] == n for d, n in zip(out["doc_id"], out["n_spans"])
+    ]
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def extract_rollup_by_strategy(sf_dir: str):
     """Per-strategy extraction rollup — the reference benchmark's
     aggregate_by_parser/calculate_metrics (benchmark.py:125-169, 227-251,
@@ -915,6 +961,7 @@ QUERIES: Dict[str, Callable] = {
     "media_audio_features": media_audio_features,
     "media_video_frames": media_video_frames,
     "extract_rollup_by_strategy": extract_rollup_by_strategy,
+    "span_roundtrip_stats": span_roundtrip_stats,
 }
 
 ORACLE_SQL: Dict[str, str] = {
