@@ -43,15 +43,20 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[Spec]):
             partial_specs.append((col, op, alias))
             finals.append((alias, "direct"))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, sort=False, dropna=False)
-        out = {}
-        for col, op, alias in partial_specs:
-            if op == "count":
-                out[alias] = g.size() if col is None else g[col].count()
-            else:
-                out[alias] = getattr(g[col], _PARTIAL_OPS[op])()
-        return pd.DataFrame(out).reset_index()
+    def partial(batch):
+        # Arrow's C group-by — no pandas round-trip in the wide stage
+        specs_pa = [
+            (([], "count_all") if (op == "count" and col is None) else (col, op))
+            for col, op, _ in partial_specs
+        ]
+        out = batch.group_by(keys, use_threads=False).aggregate(specs_pa)
+        # output layout: key columns first, then aggregate columns in spec
+        # order — rename positionally (name-keyed renames collide when one
+        # source column appears in several specs, e.g. sum + mean)
+        new_names = list(out.column_names[: len(keys)]) + [
+            alias for _, _, alias in partial_specs
+        ]
+        return out.rename_columns(new_names)
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -61,7 +66,7 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[Spec]):
         aggs.append(combine[op](alias, alias_name=alias))
 
     merged = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys)
         .aggregate(*aggs)
     )

@@ -331,12 +331,15 @@ def events_hourly(sf_dir: str):
     partials shuffle to a (type × hour)-cardinality groupby."""
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["hour"] = batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
-        return batch.drop(columns=["ts"])
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit="hour"),
+            format="%Y-%m-%d %H:00:00",
+        )
+        return batch.drop_columns(["ts"]).append_column("hour", hour)
 
     out = grouped_agg(
-        ds.map_batches(add_hour, batch_format="pandas"),
+        ds.map_batches(add_hour, batch_format="pyarrow"),
         ["event_type", "hour"],
         [(None, "count", "n_events"), ("value", "sum", "sum_value")],
     )
@@ -452,13 +455,19 @@ def events_daily_top_user(sf_dir: str):
     shuffle carries one partial row per (day,user,block), never raw events."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def day_user_partial(b: pd.DataFrame) -> pd.DataFrame:
-        b["day"] = b["ts"].dt.strftime("%Y-%m-%d")
-        return (
-            b.groupby(["day", "user_id"], sort=False, as_index=False)["value"]
-            .sum()
-            .rename(columns={"value": "total_value"})
+    def day_user_partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        df = pd.DataFrame(
+            {
+                "day": day.to_pandas(),
+                "user_id": b.column("user_id").to_pandas(),
+                "total_value": b.column("value").to_pandas(),
+            }
         )
+        out = df.groupby(["day", "user_id"], sort=False, as_index=False)[
+            "total_value"
+        ].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def day_top(g: pd.DataFrame) -> pd.DataFrame:
         # combine cross-block partials for this day, then argmax (ties → min
@@ -474,7 +483,7 @@ def events_daily_top_user(sf_dir: str):
         )
 
     return (
-        ds.map_batches(day_user_partial, batch_format="pandas")
+        ds.map_batches(day_user_partial, batch_format="pyarrow")
         .groupby("day")
         .map_groups(day_top, batch_format="pandas")
     )
