@@ -118,16 +118,17 @@ def q3_top_revenue_orders(sf_dir: str):
         pc.is_in(orders.column("o_custkey"), value_set=pa.array(building)),
         pc.less(odate, pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))),
     )
-    orderkeys = set(pc.filter(orders.column("o_orderkey"), keep).to_pylist())
-    keys_ref = ray.put(orderkeys)
+    # ship the broadcast side as a ready-to-use Arrow array, once
+    keys_ref = ray.put(pc.filter(orders.column("o_orderkey"), keep).combine_chunks())
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
+    from .functions.broadcast import get_cached
+
     def revenue_partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pc.is_in(batch.column("l_orderkey"), value_set=pa.array(list(keys)))
+        mask = pc.is_in(batch.column("l_orderkey"), value_set=get_cached(keys_ref))
         batch = batch.filter(mask)
         rev = pc.multiply(
             batch.column("l_extendedprice"),
@@ -216,8 +217,10 @@ def q5_nation_revenue(sf_dir: str):
         right_on=("l_orderkey",),
     )
 
+    from .functions.broadcast import get_cached
+
     def to_nation(batch: pa.Table) -> pa.Table:
-        c_map_, n_map_ = ray.get(maps_ref)
+        c_map_, n_map_ = get_cached(maps_ref)
         cust_keys = batch.column("o_custkey").to_pylist()
         names = [n_map_[c_map_[c]] for c in cust_keys]
         return pa.Table.from_arrays(
@@ -269,8 +272,10 @@ def customer_nation_rollup(sf_dir: str):
     n_ref = ray.put(n_map)
     cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
 
+    from .functions.broadcast import get_cached
+
     def add_nation(batch: pa.Table) -> pa.Table:
-        m = ray.get(n_ref)
+        m = get_cached(n_ref)
         names = [m[k] for k in batch.column("c_nationkey").to_pylist()]
         return pa.Table.from_arrays(
             [pa.array(names, type=pa.string()), batch.column("c_acctbal")],
