@@ -7,3 +7,9 @@ batches with actor pools for stateful stages.
 """
 
 from . import fixtures, kernel, model  # noqa: F401
+from .api import (  # noqa: F401
+    DocumentParser,
+    batch_parse,
+    batch_parse_from_directory,
+    parse,
+)

@@ -122,9 +122,14 @@ class MinHasher:
         self.a, self.b = _minhash_params(num_hashes, seed)
         self.num_hashes = num_hashes
         self.width = shingle_width
-        self.token_cache: Dict[str, int] = {}  # vocab ≪ token stream
+        # vocab ≪ token stream, but unbounded growth would leak on a long
+        # worker lifetime — reset past the cap (refill is cheap)
+        self.token_cache: Dict[str, int] = {}
+        self.cache_cap = 1_000_000
 
     def signature(self, text: str) -> np.ndarray:
+        if len(self.token_cache) > self.cache_cap:
+            self.token_cache.clear()
         sh = shingle_hashes(text, self.width, self.token_cache)
         if len(sh) == 0:
             return np.full(self.num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -317,12 +322,15 @@ class SimHasher:
 
     def __init__(self):
         self.cache: Dict[str, int] = {}
+        self.cache_cap = 1_000_000  # see MinHasher.token_cache
         self._shifts = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
         toks = text.split()
         if not toks:
             return 0
+        if len(self.cache) > self.cache_cap:
+            self.cache.clear()
         cache = self.cache
         get, put = cache.get, cache.setdefault
         th = np.fromiter(
