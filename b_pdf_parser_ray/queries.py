@@ -251,6 +251,106 @@ GROUP BY n_name
 """
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure filter + global sum — no shuffle at all; each
+    batch contributes one partial row and the driver-side merge is one row
+    per block."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    )
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), lo),
+                pc.less(batch.column("l_shipdate"), hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch.column("l_discount"), 0.05),
+                    pc.less_equal(batch.column("l_discount"), 0.07),
+                ),
+                pc.less(batch.column("l_quantity"), 24),
+            ),
+        )
+        b = batch.filter(m)
+        rev = pc.sum(pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))).as_py()
+        return pa.Table.from_pydict({"revenue": [rev or 0.0]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = sql_round(pd.Series([parts["revenue"].sum()]), 2)
+    return pa.Table.from_pydict({"revenue": pa.array(total, type=pa.float64())})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join): orders with at least one returned
+    lineitem (the testdata schema has no commit/receipt dates, so the
+    predicate is l_returnflag='R'), counted by priority.  The semi-join
+    side (matching orderkeys) is distinct-collected per block then
+    broadcast into the orders scan — no all-to-all shuffle."""
+    import ray
+
+    from .functions.broadcast import get_cached
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def late_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("l_returnflag"), "R")
+        return pa.Table.from_arrays(
+            [pc.unique(batch.filter(m).column("l_orderkey"))], names=["l_orderkey"]
+        )
+
+    late = pa.Table.from_pandas(
+        li.map_batches(late_keys, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    late_ref = ray.put(pc.unique(late.column("l_orderkey").combine_chunks()))
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lo = pa.scalar(pd.Timestamp("1995-07-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1995-10-01"), type=pa.timestamp("us"))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("o_orderdate"), lo),
+                pc.less(batch.column("o_orderdate"), hi),
+            ),
+            pc.is_in(batch.column("o_orderkey"), value_set=get_cached(late_ref)),
+        )
+        return batch.filter(m).select(["o_orderpriority"])
+
+    return grouped_agg(
+        orders.map_batches(filt, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [(None, "count", "order_count")],
+    ).sort("o_orderpriority")
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def orders_priority_counts(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
     return grouped_agg(ds, ["o_orderpriority"], [(None, "count", "n_orders")])
@@ -945,6 +1045,8 @@ QUERIES: Dict[str, Callable] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
     "orders_priority_counts": orders_priority_counts,
     "customer_nation_rollup": customer_nation_rollup,
     "top_parts_by_retail": top_parts_by_retail,
@@ -982,6 +1084,8 @@ ORACLE_SQL: Dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q4_order_priority": Q4_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "customer_nation_rollup": CUSTOMER_NATION_SQL,
     "top_parts_by_retail": TOP_PARTS_SQL,
