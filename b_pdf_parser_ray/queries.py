@@ -351,6 +351,95 @@ ORDER BY o_orderpriority
 """
 
 
+def customers_without_orders(sf_dir: str):
+    """Anti-join shape: customers with no orders — distinct order custkeys
+    broadcast once, NOT-is_in filter in the customer scan (no shuffle)."""
+    import ray
+
+    from .functions.broadcast import get_cached
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.unique(batch.column("o_custkey"))], names=["o_custkey"]
+        )
+
+    have = pa.Table.from_pandas(
+        orders.map_batches(keys, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    have_ref = ray.put(pc.unique(have.column("o_custkey").combine_chunks()))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        m = pc.invert(
+            pc.is_in(batch.column("c_custkey"), value_set=get_cached(have_ref))
+        )
+        return batch.filter(m)
+
+    df = cust.map_batches(anti, batch_format="pyarrow").sort("c_custkey").to_pandas()
+    if df.empty:
+        # Ray's to_pandas drops schema on an empty Dataset; keep it typed so
+        # the oracle comparison sees the columns (this testdata has no
+        # order-less customers — matching the oracle's empty result exactly
+        # is the assertion)
+        return pa.Table.from_arrays(
+            [pa.array([], type=pa.int64()), pa.array([], type=pa.string())],
+            names=["c_custkey", "c_name"],
+        )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def doc_embedding_join(sf_dir: str):
+    """Equality enrich join across tables: documents ⋈ embeddings on
+    doc_id = vec_id via Dataset.join (hash-partitioned both sides), then a
+    vectorized norm on the embedding — the doc↔sidecar-metadata enrichment
+    shape (SURVEY.md §2.6 J3)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        from .functions.ann import embedding_matrix
+
+        mat = embedding_matrix(batch.column("embedding"))
+        return pa.Table.from_arrays(
+            [
+                batch.column("vec_id"),
+                pa.array(sql_round(np.linalg.norm(mat, axis=1), 4)),
+            ],
+            names=["vec_id", "l2_norm"],
+        )
+
+    # project the vector payload down to its feature BEFORE the join —
+    # the shuffle then moves 8 bytes/row instead of the embedding (and
+    # Arrow's hash join doesn't carry list columns at all)
+    joined = docs.join(
+        emb.map_batches(norm, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+    return joined.select_columns(["doc_id", "n_chars", "l2_norm"]).sort("doc_id")
+
+
+DOC_EMB_JOIN_SQL = """
+SELECT doc_id, n_chars,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
+FROM documents JOIN embeddings ON doc_id = vec_id
+ORDER BY doc_id
+"""
+
+
 def orders_priority_counts(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
     return grouped_agg(ds, ["o_orderpriority"], [(None, "count", "n_orders")])
@@ -1047,6 +1136,8 @@ QUERIES: Dict[str, Callable] = {
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
+    "customers_without_orders": customers_without_orders,
+    "doc_embedding_join": doc_embedding_join,
     "orders_priority_counts": orders_priority_counts,
     "customer_nation_rollup": customer_nation_rollup,
     "top_parts_by_retail": top_parts_by_retail,
@@ -1086,6 +1177,8 @@ ORACLE_SQL: Dict[str, str] = {
     "q5_nation_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q4_order_priority": Q4_SQL,
+    "customers_without_orders": CUSTOMERS_NO_ORDERS_SQL,
+    "doc_embedding_join": DOC_EMB_JOIN_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "customer_nation_rollup": CUSTOMER_NATION_SQL,
     "top_parts_by_retail": TOP_PARTS_SQL,
