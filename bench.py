@@ -166,21 +166,31 @@ def main() -> None:
 
         _ensure_corpus(n_docs)
         ray.shutdown()
+        # Two interleaved sweeps over the levels, best wall per level across
+        # sweeps: VM noise arrives in minute-scale windows, so consecutive
+        # repeats inside one child share the same window — spreading each
+        # level's measurements across the full run decorrelates them
+        # (single-sweep efficiency ranged 0.79-0.97; interleaved is stable).
         results = {}
-        for cpus in (4, 8, 16, 32):
-            env = dict(os.environ)
-            env["GRAFT_BENCH_DOCS"] = str(n_docs)
-            env["GRAFT_BENCH_REPEATS"] = "2"
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--flagship-only", "--num-cpus", str(cpus), "--sf-dir", args.sf_dir],
-                capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if out.returncode != 0:
-                sys.stderr.write(out.stderr[-4000:])
-                raise SystemExit(f"scaling child (num_cpus={cpus}) failed")
-            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        sweeps = int(os.environ.get("GRAFT_SCALING_SWEEPS", "2"))
+        for sweep in range(sweeps):
+            for cpus in (4, 8, 16, 32):
+                env = dict(os.environ)
+                env["GRAFT_BENCH_DOCS"] = str(n_docs)
+                env["GRAFT_BENCH_REPEATS"] = os.environ.get("GRAFT_SCALING_REPEATS", "2")
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--flagship-only", "--num-cpus", str(cpus), "--sf-dir", args.sf_dir],
+                    capture_output=True, text=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                if out.returncode != 0:
+                    sys.stderr.write(out.stderr[-4000:])
+                    raise SystemExit(f"scaling child (num_cpus={cpus}) failed")
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                prev = results.get(cpus)
+                if prev is None or r["flagship"]["sec"] < prev["flagship"]["sec"]:
+                    results[cpus] = r
 
         tput = {c: results[c]["flagship"]["docs_per_sec"] for c in results}
         eff_4_16 = tput[16] / (4.0 * tput[4])
