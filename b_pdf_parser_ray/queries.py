@@ -137,8 +137,8 @@ def q3_top_revenue_orders(sf_dir: str):
         t = pa.Table.from_arrays(
             [batch.column("l_orderkey"), rev], names=["o_orderkey", "revenue"]
         )
-        df = t.to_pandas().groupby("o_orderkey", as_index=False)["revenue"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        out = t.group_by(["o_orderkey"], use_threads=False).aggregate([("revenue", "sum")])
+        return out.rename_columns(["o_orderkey", "revenue"])
 
     from ray.data.aggregate import Sum
 
@@ -202,8 +202,8 @@ def q5_nation_revenue(sf_dir: str):
         t = pa.Table.from_arrays(
             [batch.column("l_orderkey"), rev], names=["l_orderkey", "revenue"]
         )
-        df = t.to_pandas().groupby("l_orderkey", as_index=False)["revenue"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        out = t.group_by(["l_orderkey"], use_threads=False).aggregate([("revenue", "sum")])
+        return out.rename_columns(["l_orderkey", "revenue"])
 
     # The per-batch partials join directly — no intermediate
     # groupby(l_orderkey): orders-side keys are unique, so one joined row
