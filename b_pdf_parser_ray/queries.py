@@ -638,6 +638,117 @@ GROUP BY user_id
 """
 
 
+def events_hourly_moving_avg(sf_dir: str):
+    """Sliding-window aggregate: 3-row moving average of hourly event-value
+    sums per type.  Hourly sums come from the partial-agg path; the window
+    runs per type (5 groups — no salting needed) as a sorted pandas rolling
+    pass, matching SQL ROWS BETWEEN 2 PRECEDING AND CURRENT ROW."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit="hour"),
+            format="%Y-%m-%d %H:00:00",
+        )
+        return batch.drop_columns(["ts"]).append_column("hour", hour)
+
+    hourly = grouped_agg(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [("value", "sum", "sum_value")],
+    )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour")
+        g["moving_avg"] = sql_round(
+            g["sum_value"].rolling(3, min_periods=1).mean(), 2
+        )
+        g["sum_value"] = sql_round(g["sum_value"], 2)
+        return g
+
+    return hourly.groupby("event_type").map_groups(window, batch_format="pandas")
+
+
+EVENTS_MOVING_AVG_SQL = """
+SELECT event_type, hour, round(sum_value, 2) AS sum_value,
+       round(avg(sum_value) OVER (PARTITION BY event_type ORDER BY hour
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+         AS moving_avg
+FROM (
+  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         sum(value) AS sum_value
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+) t
+"""
+
+
+def events_asof_attribution(sf_dir: str, num_partitions: int = 64):
+    """As-of join (backward): for every 'purchase' event, the same user's
+    most recent 'click' at or before it — click→purchase attribution.
+
+    Shape: one salted shuffle on user_id (both event roles carry the same
+    key, so each partition holds every row it needs), then a per-partition
+    ``pd.merge_asof(by=user_id)`` — vectorized, no per-user Python.  The
+    partitioning assumption this operator relies on: the as-of key (user)
+    must be entirely within one partition; the salt guarantees it."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array(["purchase", "click"]),
+        )
+        batch = batch.filter(keep)
+        part = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), num_partitions - 1), pa.int32()
+        )
+        return batch.append_column("part", part)
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g["event_type"] == "purchase"].sort_values("ts")
+        clicks = (
+            g[g["event_type"] == "click"][["user_id", "ts"]]
+            .rename(columns={"ts": "click_ts"})
+            .sort_values("click_ts")
+        )
+        if purchases.empty:
+            return pd.DataFrame({"user_id": [], "purchase_us": [], "click_us": []})
+        m = pd.merge_asof(
+            purchases[["user_id", "ts"]],
+            clicks,
+            left_on="ts",
+            right_on="click_ts",
+            by="user_id",
+            direction="backward",
+        )
+        click = m["click_ts"].astype("datetime64[us]")
+        click_us = pd.array(click.astype("int64"), dtype="Int64")
+        click_us[click.isna().to_numpy()] = pd.NA
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "purchase_us": m["ts"].astype("datetime64[us]").astype("int64"),
+                "click_us": click_us,
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: asof(g.drop(columns=["part"])), batch_format="pandas")
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       (SELECT epoch_us(max(c.ts)) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+         AS click_us
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis + dedup + extraction
 # ---------------------------------------------------------------------------
@@ -1146,6 +1257,8 @@ QUERIES: Dict[str, Callable] = {
     "events_type_stats": events_type_stats,
     "events_sessionize": events_sessionize,
     "events_daily_top_user": events_daily_top_user,
+    "events_hourly_moving_avg": events_hourly_moving_avg,
+    "events_asof_attribution": events_asof_attribution,
     "doc_sample_hash": doc_sample_hash,
     "doc_token_stats": doc_token_stats,
     "doc_term_freq": doc_term_freq,
@@ -1187,6 +1300,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_type_stats": EVENTS_TYPE_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_daily_top_user": EVENTS_DAILY_TOP_SQL,
+    "events_hourly_moving_avg": EVENTS_MOVING_AVG_SQL,
+    "events_asof_attribution": EVENTS_ASOF_SQL,
     "doc_sample_hash": DOC_SAMPLE_SQL,
     "doc_token_stats": DOC_TOKEN_SQL,
     "doc_term_freq": DOC_TERM_SQL,
