@@ -351,6 +351,98 @@ ORDER BY o_orderpriority
 """
 
 
+PRICE_BANDS = [
+    ("budget", 0.0, 500.0),
+    ("mid", 500.0, 1200.0),
+    ("premium", 1200.0, 1800.0),
+    ("luxury", 1800.0, 10**9),
+]
+
+
+def parts_price_band_join(sf_dir: str):
+    """Range join: parts against price-interval bands.
+
+    The band table is tiny → broadcast interval lookup via one vectorized
+    ``np.searchsorted`` over the sorted band edges per batch (the range-join
+    analogue of a broadcast hash join; a big-big range join would instead
+    bucket both sides by range and join per bucket).  Aggregates per band."""
+    edges = np.array([b[1] for b in PRICE_BANDS][1:], dtype=np.float64)
+    names = np.array([b[0] for b in PRICE_BANDS])
+    ds = read_table(sf_dir, "part", columns=["p_retailprice"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        prices = batch.column("p_retailprice").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, prices, side="right")
+        return pa.Table.from_arrays(
+            [pa.array(names[idx]), batch.column("p_retailprice")],
+            names=["band", "p_retailprice"],
+        )
+
+    out = grouped_agg(
+        ds.map_batches(band, batch_format="pyarrow"),
+        ["band"],
+        [(None, "count", "n_parts"), ("p_retailprice", "mean", "avg_price")],
+    )
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["avg_price"] = sql_round(b["avg_price"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas").sort("band")
+
+
+PARTS_BAND_SQL = """
+SELECT b.band, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+FROM part
+JOIN (VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0),
+             ('premium', 1200.0, 1800.0), ('luxury', 1800.0, 1000000000.0))
+     AS b(band, lo, hi)
+  ON p_retailprice >= b.lo AND p_retailprice < b.hi
+GROUP BY b.band
+ORDER BY b.band
+"""
+
+
+def approx_distinct_orders(sf_dir: str, k: int = 1024):
+    """KMV (k-minimum-values) distinct-count sketch over lineitem orderkeys.
+
+    Each batch emits its k smallest 64-bit key hashes (a mergeable sketch);
+    the driver merges partials and estimates D ≈ (k-1) / max_kth_value.
+    Shuffle payload: k hashes per block instead of every key.  The result
+    carries the exact count and relative error alongside the estimate —
+    self-validating (tested at <5% error)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hashed = keys * np.uint64(0x9E3779B97F4A7C15)
+            hashed ^= hashed >> np.uint64(29)
+            hashed *= np.uint64(0xBF58476D1CE4E5B9)
+            hashed ^= hashed >> np.uint64(32)
+        uniq = np.unique(hashed)
+        return pa.Table.from_arrays(
+            [pa.array(uniq[:k].view(np.int64))], names=["kmv"]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = np.unique(parts["kmv"].to_numpy().view(np.uint64))[:k]
+    if len(merged) < k:
+        estimate = float(len(merged))  # saw everything
+    else:
+        kth = float(merged[-1]) / float(2**64)
+        estimate = (k - 1) / kth
+    exact = read_arrow(sf_dir, "lineitem", columns=["l_orderkey"])
+    n_exact = len(pc.unique(exact.column("l_orderkey")))
+    return pa.Table.from_pydict(
+        {
+            "estimated_distinct": [int(round(estimate))],
+            "exact_distinct": [n_exact],
+            "rel_error": [round(abs(estimate - n_exact) / n_exact, 4)],
+        }
+    )
+
+
 def customers_without_orders(sf_dir: str):
     """Anti-join shape: customers with no orders — distinct order custkeys
     broadcast once, NOT-is_in filter in the customer scan (no shuffle)."""
@@ -1249,6 +1341,8 @@ QUERIES: Dict[str, Callable] = {
     "q4_order_priority": q4_order_priority,
     "customers_without_orders": customers_without_orders,
     "doc_embedding_join": doc_embedding_join,
+    "parts_price_band_join": parts_price_band_join,
+    "approx_distinct_orders": approx_distinct_orders,
     "orders_priority_counts": orders_priority_counts,
     "customer_nation_rollup": customer_nation_rollup,
     "top_parts_by_retail": top_parts_by_retail,
@@ -1292,6 +1386,9 @@ ORACLE_SQL: Dict[str, str] = {
     "q4_order_priority": Q4_SQL,
     "customers_without_orders": CUSTOMERS_NO_ORDERS_SQL,
     "doc_embedding_join": DOC_EMB_JOIN_SQL,
+    "parts_price_band_join": PARTS_BAND_SQL,
+    # approx_distinct_orders: sketch estimate → rows-only (self-validating
+    # exact/rel_error columns; tolerance asserted in tests)
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "customer_nation_rollup": CUSTOMER_NATION_SQL,
     "top_parts_by_retail": TOP_PARTS_SQL,

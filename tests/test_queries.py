@@ -69,3 +69,11 @@ def test_rows_only_queries_run(ray_session, name):
     assert df is not None
     if name not in _MAY_BE_EMPTY:
         assert len(df.columns) > 0 and len(df) > 0
+
+
+def test_approx_distinct_within_tolerance(ray_session):
+    from b_pdf_parser_ray.queries import approx_distinct_orders
+
+    df = _to_pandas(approx_distinct_orders(SF_DIR))
+    assert df["rel_error"].iloc[0] < 0.10  # KMV k=1024 → σ≈3%
+    assert df["exact_distinct"].iloc[0] > 0
