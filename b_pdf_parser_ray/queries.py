@@ -814,8 +814,11 @@ def events_asof_attribution(sf_dir: str, num_partitions: int = 64):
             direction="backward",
         )
         click = m["click_ts"].astype("datetime64[us]")
-        click_us = pd.array(click.astype("int64"), dtype="Int64")
-        click_us[click.isna().to_numpy()] = pd.NA
+        # float64 with NaN for "no prior click": a nullable BIGINT lands as
+        # float64 on the oracle side too, so the value-hash comparison sees
+        # identical dtypes (epoch µs < 2^53 → float64 is exact)
+        click_us = click.astype("int64").astype("float64").to_numpy()
+        click_us[click.isna().to_numpy()] = np.nan
         return pd.DataFrame(
             {
                 "user_id": m["user_id"],
