@@ -32,6 +32,25 @@ _LANG_STOPWORDS: Dict[str, frozenset] = {
 }
 
 
+def bpe_token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bpe_tokens, n_unique_bpe — BPE-ish regex tokens (words /
+    numbers / single symbols, ``TOKEN_RX``), the subword-style counter a
+    training-data pipeline budgets with.  ``findall`` is one C-level scan
+    per document."""
+    ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    n_tok = np.empty(len(texts), dtype=np.int64)
+    n_uniq = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = TOKEN_RX.findall(t or "")
+        n_tok[i] = len(toks)
+        n_uniq[i] = len(set(toks))
+    return pa.Table.from_arrays(
+        [ids, pa.array(n_tok), pa.array(n_uniq)],
+        names=["doc_id", "n_bpe_tokens", "n_unique_bpe"],
+    )
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """doc_id, n_tokens, n_unique_tokens, uniq_ratio — whitespace tokens.
 

@@ -940,6 +940,16 @@ FROM documents
 """
 
 
+def doc_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (TOKEN_RX: words/numbers/symbols) — regex
+    tokenizers differ across engines, so this is rows-only by design."""
+    from .functions.textstats import bpe_token_stats_batch
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        bpe_token_stats_batch, batch_format="pyarrow"
+    )
+
+
 def doc_term_freq(sf_dir: str, term: str = "data"):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lambda b: term_freq_batch(b, term), batch_format="pyarrow"
@@ -1358,6 +1368,7 @@ QUERIES: Dict[str, Callable] = {
     "events_asof_attribution": events_asof_attribution,
     "doc_sample_hash": doc_sample_hash,
     "doc_token_stats": doc_token_stats,
+    "doc_bpe_tokens": doc_bpe_tokens,
     "doc_term_freq": doc_term_freq,
     "lang_counts": lang_counts,
     "top_sources_by_chars": top_sources_by_chars,
