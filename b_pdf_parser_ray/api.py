@@ -130,9 +130,12 @@ def batch_parse(
         batch_size=batch_size or DEFAULT_BATCH_SIZE,
     )
     if output_dir is not None:
-        extracted = extracted.materialize()
+        # stream to the sink, then summarize from the written output —
+        # never materialize the full corpus (unbounded input)
         extracted.write_parquet(output_dir, compression="none")
-    metrics = summarize(extracted)
+        metrics = summarize(ray.data.read_parquet(output_dir))
+    else:
+        metrics = summarize(extracted)
     duration = time.time() - t0
     total = metrics["total"]
     return {

@@ -410,7 +410,9 @@ def approx_distinct_orders(sf_dir: str, k: int = 1024):
     the driver merges partials and estimates D ≈ (k-1) / max_kth_value.
     Shuffle payload: k hashes per block instead of every key.  The result
     carries the exact count and relative error alongside the estimate —
-    self-validating (tested at <5% error)."""
+    self-validation for the test gate (the exact side is a driver-side
+    distinct over the key column; at corpus scale you would drop it and
+    ship only the sketch)."""
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
 
     def partial(batch: pa.Table) -> pa.Table:

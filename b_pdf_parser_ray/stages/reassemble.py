@@ -25,6 +25,10 @@ import pyarrow.compute as pc
 from ..model import SPAN_TYPE
 
 EXPLODED_NAMES = ["doc_id", "kind", "text", "media_ref", "offset", "part"]
+# Size num_partitions so one partition's spans fit a worker's heap (each
+# Ray group is rebuilt in one task) and so int32 list offsets hold
+# (< 2^31 spans per partition) — scale it with the corpus, the default
+# suits bench/test sizes.
 DEFAULT_NUM_PARTITIONS = 64
 
 
