@@ -106,20 +106,35 @@ def q3_top_revenue_orders(sf_dir: str):
     import ray
 
     cust = read_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    building = set(
-        pc.filter(
-            cust.column("c_custkey"),
-            pc.equal(cust.column("c_mktsegment"), "BUILDING"),
-        ).to_pylist()
-    )
-    orders = read_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    odate = orders.column("o_orderdate")
-    keep = pc.and_(
-        pc.is_in(orders.column("o_custkey"), value_set=pa.array(building)),
-        pc.less(odate, pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))),
+    building = pc.filter(
+        cust.column("c_custkey"),
+        pc.equal(cust.column("c_mktsegment"), "BUILDING"),
+    ).combine_chunks()
+    building_ref = ray.put(building)
+
+    from .functions.broadcast import get_cached
+
+    # distributed orders filter — only the PASSING orderkeys reach the
+    # driver (the collected key set must fit driver memory; past that,
+    # switch to the q5 hash-join path)
+    cutoff = pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(batch.column("o_custkey"), value_set=get_cached(building_ref)),
+            pc.less(batch.column("o_orderdate"), cutoff),
+        )
+        return pa.Table.from_arrays(
+            [batch.filter(keep).column("o_orderkey")], names=["o_orderkey"]
+        )
+
+    keys_df = (
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(order_keys, batch_format="pyarrow")
+        .to_pandas()
     )
     # ship the broadcast side as a ready-to-use Arrow array, once
-    keys_ref = ray.put(pc.filter(orders.column("o_orderkey"), keep).combine_chunks())
+    keys_ref = ray.put(pa.array(keys_df["o_orderkey"].to_numpy()))
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
