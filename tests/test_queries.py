@@ -77,3 +77,15 @@ def test_approx_distinct_within_tolerance(ray_session):
     df = _to_pandas(approx_distinct_orders(SF_DIR))
     assert df["rel_error"].iloc[0] < 0.10  # KMV k=1024 → σ≈3%
     assert df["exact_distinct"].iloc[0] > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["doc_lang_id", "doc_quality", "doc_fingerprints", "dedup_minhash",
+     "media_image_features", "doc_bpe_tokens"],
+)
+def test_rows_only_queries_deterministic(ray_session, name):
+    """Rows-only ops have no oracle — assert run-to-run determinism instead."""
+    a = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
+    b = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
