@@ -165,3 +165,50 @@ def test_poison_document_becomes_error_row(ray_session, monkeypatch):
     assert len(out) == 1
     assert out[0]["error"] is not None
     assert out[0]["is_valid"] is False
+
+
+def test_summarize_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from b_pdf_parser_ray.fixtures import CORPUS_SCHEMA
+    from b_pdf_parser_ray.pipelines.flagship import extract_documents, summarize
+
+    empty = pa.Table.from_pylist([], schema=CORPUS_SCHEMA)
+    m = summarize(extract_documents(ray.data.from_arrow(empty)))
+    assert m["total"] == 0 and m["valid"] == 0 and m["success_rate"] == 0.0
+
+
+def test_batch_parse_empty_table(ray_session):
+    import pyarrow as pa
+
+    from b_pdf_parser_ray import batch_parse
+    from b_pdf_parser_ray.fixtures import CORPUS_SCHEMA
+
+    res = batch_parse(pa.Table.from_pylist([], schema=CORPUS_SCHEMA))
+    assert res["total"] == 0 and res["failed"] == 0
+
+
+def test_extractor_handles_doc_with_no_text_spans(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from b_pdf_parser_ray.fixtures import CORPUS_SCHEMA
+    from b_pdf_parser_ray.pipelines.flagship import extract_documents
+
+    doc = {
+        "doc_id": "media_only",
+        "spans": [
+            {"kind": "media", "text": "", "media_ref": "Im0", "offset": 0},
+            {"kind": "media", "text": "", "media_ref": "Im1", "offset": 1},
+        ],
+        "strategy": "column",
+        "family": "synthetic",
+    }
+    out = extract_documents(
+        ray.data.from_arrow(pa.Table.from_pylist([doc], schema=CORPUS_SCHEMA))
+    ).take_all()
+    assert len(out) == 1
+    row = out[0]
+    assert row["is_valid"] is False and row["error"] is None
+    assert [s["media_ref"] for s in row["out_spans"]] == ["Im0", "Im1"]
