@@ -212,3 +212,39 @@ def test_extractor_handles_doc_with_no_text_spans(ray_session):
     row = out[0]
     assert row["is_valid"] is False and row["error"] is None
     assert [s["media_ref"] for s in row["out_spans"]] == ["Im0", "Im1"]
+
+
+def test_extractor_handles_shuffled_span_order(ray_session):
+    """Offset is the only order carrier: shuffling a document's span list
+    must not change the parse, and out_spans must come back offset-sorted."""
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from b_pdf_parser_ray.fixtures import CORPUS_SCHEMA, make_document
+    from b_pdf_parser_ray.pipelines.flagship import extract_documents
+
+    docs = [make_document(i) for i in range(12)]
+    shuffled = []
+    rng = random.Random(99)
+    for d in docs:
+        s = dict(d)
+        s["spans"] = rng.sample(d["spans"], len(d["spans"]))
+        shuffled.append(s)
+
+    def run(rows):
+        out = extract_documents(
+            ray.data.from_arrow(pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA))
+        ).take_all()
+        return sorted(out, key=lambda r: r["doc_id"])
+
+    a, b = run(docs), run(shuffled)
+    for ra, rb in zip(a, b):
+        assert ra["doc_id"] == rb["doc_id"]
+        assert ra["metadata"] == rb["metadata"]
+        assert ra["transactions"] == rb["transactions"]
+        assert ra["is_valid"] == rb["is_valid"]
+        offs = [s["offset"] for s in rb["out_spans"]]
+        assert offs == sorted(offs)
+        assert rb["out_spans"] == ra["out_spans"]
