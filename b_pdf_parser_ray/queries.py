@@ -97,70 +97,68 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q3_top_revenue_orders(sf_dir: str):
+def q3_top_revenue_orders(sf_dir: str, num_partitions: int = 8):
     """Revenue of BUILDING-segment orders (TPC-H Q3 shape).
 
-    Join strategy: the two small sides (segment custkeys, then filtered
-    orderkeys) are broadcast via ``ray.put`` into lineitem's map stage —
-    a broadcast semi-join; no all-to-all shuffle touches lineitem."""
-    import ray
-
-    cust = read_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    building = pc.filter(
-        cust.column("c_custkey"),
-        pc.equal(cust.column("c_mktsegment"), "BUILDING"),
-    ).combine_chunks()
-    building_ref = ray.put(building)
-
-    from .functions.broadcast import get_cached
-
-    # distributed orders filter — only the PASSING orderkeys reach the
-    # driver (the collected key set must fit driver memory; past that,
-    # switch to the q5 hash-join path)
+    Join strategy — fully hash-partitioned, nothing fact-table-derived on
+    the driver: orders(filtered) LEFT SEMI customer(BUILDING) on custkey,
+    then per-batch lineitem revenue partials LEFT SEMI the surviving
+    orderkeys.  Both semi-joins are ``Dataset.join`` exchanges carrying
+    keys only; works unchanged when the qualifying key set is billions of
+    rows (the round-1 broadcast variant collected it on the driver)."""
     cutoff = pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))
 
-    def order_keys(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.is_in(batch.column("o_custkey"), value_set=get_cached(building_ref)),
-            pc.less(batch.column("o_orderdate"), cutoff),
-        )
-        return pa.Table.from_arrays(
-            [batch.filter(keep).column("o_orderkey")], names=["o_orderkey"]
-        )
-
-    keys_df = (
-        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(order_keys, batch_format="pyarrow")
-        .to_pandas()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
     )
-    # ship the broadcast side as a ready-to-use Arrow array, once
-    keys_ref = ray.put(pa.array(keys_df["o_orderkey"].to_numpy()))
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)).select(
+            ["o_orderkey", "o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    order_keys = orders.join(
+        cust,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey"])
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    from .functions.broadcast import get_cached
-
     def revenue_partial(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("l_orderkey"), value_set=get_cached(keys_ref))
-        batch = batch.filter(mask)
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
         t = pa.Table.from_arrays(
-            [batch.column("l_orderkey"), rev], names=["o_orderkey", "revenue"]
+            [batch.column("l_orderkey"), rev], names=["l_orderkey", "revenue"]
         )
-        out = t.group_by(["o_orderkey"], use_threads=False).aggregate([("revenue", "sum")])
-        return out.rename_columns(["o_orderkey", "revenue"])
+        out = t.group_by(["l_orderkey"], use_threads=False).aggregate([("revenue", "sum")])
+        return out.rename_columns(["l_orderkey", "revenue"])
 
     from ray.data.aggregate import Sum
 
     agg = (
         li.map_batches(revenue_partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
+        .join(
+            order_keys,
+            join_type="left_semi",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
+        .rename_columns({"l_orderkey": "o_orderkey"})
     )
 
     def round_rev(b: pd.DataFrame) -> pd.DataFrame:
@@ -187,24 +185,19 @@ LIMIT 10
 """
 
 
-def q5_nation_revenue(sf_dir: str):
-    """Revenue by customer nation: one big-big hash join (orders ⋈ lineitem
-    via Dataset.join, partitioned on the order key) + broadcast dimension
-    maps (customer→nation is broadcastable here; on a 100 TB run customer
-    would join the same hash-partitioned way)."""
+def q5_nation_revenue(sf_dir: str, num_partitions: int = 8):
+    """Revenue by customer nation: two hash-partitioned ``Dataset.join``
+    exchanges (lineitem partials ⋈ orders on orderkey, then custkey
+    partials ⋈ customer) — customer is a fact-sized table and is never
+    built into a driver map.  Only nation (25 rows, a true dimension) is
+    broadcast, applied with a vectorized ``pc.index_in`` + ``take`` lookup."""
     import ray
 
     nation = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    n_map = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
-    )
-    cust = read_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    c_map = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
-    )
-    maps_ref = ray.put((c_map, n_map))
+    nation_ref = ray.put(nation.combine_chunks())
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -227,24 +220,40 @@ def q5_nation_revenue(sf_dir: str):
     joined = orders.join(
         li.map_batches(li_partial, batch_format="pyarrow"),
         join_type="inner",
-        num_partitions=8,
+        num_partitions=num_partitions,
         on=("o_orderkey",),
         right_on=("l_orderkey",),
+    )
+
+    # pre-aggregate by custkey per batch before the customer exchange — the
+    # second join then moves one partial row per (custkey, batch)
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["o_custkey", "revenue"])
+        out = t.group_by(["o_custkey"], use_threads=False).aggregate([("revenue", "sum")])
+        return out.rename_columns(["o_custkey", "revenue"])
+
+    with_nation = joined.map_batches(cust_partial, batch_format="pyarrow").join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
 
     from .functions.broadcast import get_cached
 
     def to_nation(batch: pa.Table) -> pa.Table:
-        c_map_, n_map_ = get_cached(maps_ref)
-        cust_keys = batch.column("o_custkey").to_pylist()
-        names = [n_map_[c_map_[c]] for c in cust_keys]
+        nat = get_cached(nation_ref)
+        idx = pc.index_in(
+            batch.column("c_nationkey"), value_set=nat.column("n_nationkey")
+        )
+        names = pc.take(nat.column("n_name"), idx)
         return pa.Table.from_arrays(
-            [pa.array(names, type=pa.string()), batch.column("revenue")],
-            names=["n_name", "revenue"],
+            [names, batch.column("revenue")], names=["n_name", "revenue"]
         )
 
     out = grouped_agg(
-        joined.map_batches(to_nation, batch_format="pyarrow"),
+        with_nation.map_batches(to_nation, batch_format="pyarrow"),
         ["n_name"],
         [("revenue", "sum", "revenue")],
     )
@@ -307,16 +316,16 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
-def q4_order_priority(sf_dir: str):
+def q4_order_priority(sf_dir: str, num_partitions: int = 8):
     """TPC-H Q4 shape (EXISTS semi-join): orders with at least one returned
     lineitem (the testdata schema has no commit/receipt dates, so the
-    predicate is l_returnflag='R'), counted by priority.  The semi-join
-    side (matching orderkeys) is distinct-collected per block then
-    broadcast into the orders scan — no all-to-all shuffle."""
-    import ray
+    predicate is l_returnflag='R'), counted by priority.
 
-    from .functions.broadcast import get_cached
-
+    The EXISTS is a hash-partitioned LEFT SEMI ``Dataset.join``: lineitem
+    ships per-batch-distinct qualifying orderkeys into the exchange (map-
+    side dedup shrinks the shuffle; semi-join semantics make a global
+    dedup unnecessary), orders ships (key, priority).  No driver-side key
+    collection at any scale."""
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
 
     def late_keys(batch: pa.Table) -> pa.Table:
@@ -325,11 +334,7 @@ def q4_order_priority(sf_dir: str):
             [pc.unique(batch.filter(m).column("l_orderkey"))], names=["l_orderkey"]
         )
 
-    late = pa.Table.from_pandas(
-        li.map_batches(late_keys, batch_format="pyarrow").to_pandas(),
-        preserve_index=False,
-    )
-    late_ref = ray.put(pc.unique(late.column("l_orderkey").combine_chunks()))
+    late = li.map_batches(late_keys, batch_format="pyarrow")
 
     orders = read_table(
         sf_dir, "orders",
@@ -340,16 +345,20 @@ def q4_order_priority(sf_dir: str):
 
     def filt(batch: pa.Table) -> pa.Table:
         m = pc.and_(
-            pc.and_(
-                pc.greater_equal(batch.column("o_orderdate"), lo),
-                pc.less(batch.column("o_orderdate"), hi),
-            ),
-            pc.is_in(batch.column("o_orderkey"), value_set=get_cached(late_ref)),
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi),
         )
-        return batch.filter(m).select(["o_orderpriority"])
+        return batch.filter(m).select(["o_orderkey", "o_orderpriority"])
 
+    kept = orders.map_batches(filt, batch_format="pyarrow").join(
+        late,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
     return grouped_agg(
-        orders.map_batches(filt, batch_format="pyarrow"),
+        kept.select_columns(["o_orderpriority"]),
         ["o_orderpriority"],
         [(None, "count", "order_count")],
     ).sort("o_orderpriority")
@@ -460,13 +469,12 @@ def approx_distinct_orders(sf_dir: str, k: int = 1024):
     )
 
 
-def customers_without_orders(sf_dir: str):
-    """Anti-join shape: customers with no orders — distinct order custkeys
-    broadcast once, NOT-is_in filter in the customer scan (no shuffle)."""
-    import ray
-
-    from .functions.broadcast import get_cached
-
+def customers_without_orders(sf_dir: str, num_partitions: int = 8):
+    """Anti-join shape: customers with no orders — a hash-partitioned LEFT
+    ANTI ``Dataset.join`` (customer ⟕̸ orders on custkey).  The orders side
+    ships per-batch-distinct custkeys into the exchange; no key set is ever
+    collected on the driver (customer-cardinality sets aren't broadcastable
+    at 100 TB)."""
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
 
     def keys(batch: pa.Table) -> pa.Table:
@@ -474,21 +482,19 @@ def customers_without_orders(sf_dir: str):
             [pc.unique(batch.column("o_custkey"))], names=["o_custkey"]
         )
 
-    have = pa.Table.from_pandas(
-        orders.map_batches(keys, batch_format="pyarrow").to_pandas(),
-        preserve_index=False,
-    )
-    have_ref = ray.put(pc.unique(have.column("o_custkey").combine_chunks()))
-
+    have = orders.map_batches(keys, batch_format="pyarrow")
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-
-    def anti(batch: pa.Table) -> pa.Table:
-        m = pc.invert(
-            pc.is_in(batch.column("c_custkey"), value_set=get_cached(have_ref))
+    df = (
+        cust.join(
+            have,
+            join_type="left_anti",
+            num_partitions=num_partitions,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
         )
-        return batch.filter(m)
-
-    df = cust.map_batches(anti, batch_format="pyarrow").sort("c_custkey").to_pandas()
+        .sort("c_custkey")
+        .to_pandas()
+    )
     if df.empty:
         # Ray's to_pandas drops schema on an empty Dataset; keep it typed so
         # the oracle comparison sees the columns (this testdata has no
@@ -560,23 +566,23 @@ SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriorit
 
 
 def customer_nation_rollup(sf_dir: str):
-    """Broadcast dimension join: nation (tiny) mapped into customer batches."""
+    """Broadcast dimension join: nation (tiny) mapped into customer batches
+    with a vectorized ``pc.index_in`` + ``take`` lookup — no per-row Python."""
     import ray
 
     nation = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    n_map = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
-    )
-    n_ref = ray.put(n_map)
+    n_ref = ray.put(nation.combine_chunks())
     cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
 
     from .functions.broadcast import get_cached
 
     def add_nation(batch: pa.Table) -> pa.Table:
-        m = get_cached(n_ref)
-        names = [m[k] for k in batch.column("c_nationkey").to_pylist()]
+        nat = get_cached(n_ref)
+        idx = pc.index_in(
+            batch.column("c_nationkey"), value_set=nat.column("n_nationkey")
+        )
         return pa.Table.from_arrays(
-            [pa.array(names, type=pa.string()), batch.column("c_acctbal")],
+            [pc.take(nat.column("n_name"), idx), batch.column("c_acctbal")],
             names=["n_name", "c_acctbal"],
         )
 
