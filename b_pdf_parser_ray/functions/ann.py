@@ -94,10 +94,17 @@ class IVFIndex:
         sample_fraction: float = 0.25,
         iters: int = 10,
         seed: int = 3,
+        max_sample: int = 100_000,
     ) -> "IVFIndex":
-        sample = ds.select_columns(["embedding"]).random_sample(
-            sample_fraction, seed=seed
-        ).take_all()
+        # absolute cap on top of the fraction: a fraction-based sample is
+        # unbounded at corpus scale (0.25 of 10^12 rows is not a driver-side
+        # sample); limit() keeps the k-means input ≤ max_sample rows
+        sample = (
+            ds.select_columns(["embedding"])
+            .random_sample(sample_fraction, seed=seed)
+            .limit(max_sample)
+            .take_all()
+        )
         mat = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         rng = np.random.RandomState(seed)

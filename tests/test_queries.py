@@ -71,12 +71,17 @@ def test_rows_only_queries_run(ray_session, name):
         assert len(df.columns) > 0 and len(df) > 0
 
 
-def test_approx_distinct_within_tolerance(ray_session):
+def test_approx_distinct_within_tolerance(ray_session, ddb):
+    """The query ships the sketch only; exactness is asserted here against
+    DuckDB's count(distinct) — rel error ≤ 2/√k for KMV with k=1024."""
     from b_pdf_parser_ray.queries import approx_distinct_orders
 
     df = _to_pandas(approx_distinct_orders(SF_DIR))
-    assert df["rel_error"].iloc[0] < 0.10  # KMV k=1024 → σ≈3%
-    assert df["exact_distinct"].iloc[0] > 0
+    exact = ddb.sql("SELECT count(DISTINCT l_orderkey) AS n FROM lineitem").df()["n"].iloc[0]
+    k = int(df["sketch_k"].iloc[0])
+    est = df["estimated_distinct"].iloc[0]
+    assert exact > 0
+    assert abs(est - exact) / exact <= 2 / k**0.5
 
 
 @pytest.mark.parametrize(
