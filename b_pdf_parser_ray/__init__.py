@@ -11,5 +11,7 @@ from .api import (  # noqa: F401
     DocumentParser,
     batch_parse,
     batch_parse_from_directory,
+    load_config,
     parse,
+    validate_batch_params,
 )

@@ -28,6 +28,56 @@ from . import kernel
 from .model import render_text
 
 VALID_STRATEGIES = tuple(kernel.TRANSACTION_STRATEGIES)
+VALID_INIT_STRATEGIES = ("per-file", "per-worker")
+
+
+def load_config(env_file: str = ".env") -> Dict[str, str]:
+    """S6: ``.env``-backed configuration — the reference's ``load_config``
+    (``utils.py:114-136``), stdlib-only (no python-dotenv in this stack).
+
+    Lines of ``KEY=VALUE`` in ``env_file`` (if present) are loaded into the
+    environment without overriding variables already set (dotenv default),
+    then the reference's four keys are returned with its defaults.
+    """
+    if os.path.exists(env_file):
+        with open(env_file, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                key, _, value = line.partition("=")
+                key, value = key.strip(), value.strip().strip("'\"")
+                if key and key not in os.environ:
+                    os.environ[key] = value
+    return {
+        "source_pdf_dir": os.getenv("SOURCE_PDF_DIR", "source-pdf"),
+        "output_dir": os.getenv("OUTPUT_DIR", "output"),
+        "test_pdfs_dir": os.getenv("TEST_PDFS_DIR", "test-pdfs"),
+        "verify_turnover": os.getenv("VERIFY_TURNOVER", "false"),
+    }
+
+
+def validate_batch_params(
+    strategy: str,
+    max_workers: Optional[int] = None,
+    chunk_size: int = 10,
+    init_strategy: str = "per-worker",
+) -> None:
+    """F8: the reference's ``validate_batch_params`` contract
+    (``batch.py:222-251``) — same ranges, same error shapes."""
+    if strategy not in VALID_STRATEGIES:
+        raise ValueError(
+            f"Invalid strategy: {strategy}. Choose from: {', '.join(VALID_STRATEGIES)}"
+        )
+    if max_workers is not None:
+        if not isinstance(max_workers, int) or max_workers < 1 or max_workers > 32:
+            raise ValueError(f"max_workers must be between 1 and 32, got: {max_workers}")
+    if chunk_size < 1 or chunk_size > 500:
+        raise ValueError(f"chunk_size must be between 1 and 500, got: {chunk_size}")
+    if init_strategy not in VALID_INIT_STRATEGIES:
+        raise ValueError(
+            f"init_strategy must be 'per-file' or 'per-worker', got: {init_strategy}"
+        )
 
 
 def parse(
@@ -52,6 +102,13 @@ def parse(
         doc_id = str(document.get("doc_id", doc_id))
         text = render_text(document["spans"])
         strategy = str(document.get("strategy") or strategy)
+        # a document-embedded strategy must pass the same gate as the
+        # argument (the reference raises on unknown parser names)
+        if strategy not in VALID_STRATEGIES:
+            raise ValueError(
+                f"Invalid strategy: {strategy}. "
+                f"Choose from: {', '.join(VALID_STRATEGIES)}"
+            )
     else:
         text = document
     res = kernel.parse_document(doc_id, text, strategy=strategy, verify=verify_turnover)
@@ -100,13 +157,22 @@ def batch_parse(
     """Corpus-scale parse — the reference's ``batch_parse`` (``batch.py:254-414``).
 
     ``source``: a ``ray.data.Dataset`` of documents, a ``pyarrow.Table``,
-    or a parquet path/dir.  Optionally writes extracted records to
-    ``output_dir`` (from the tasks — the reference serialized CSV on the
-    driver, its own documented bottleneck).  Returns the reference's
-    counter dict shape (``batch.py:404-414``); ``memory_peak_mb`` and
-    ``worker_overhead_percent`` — vestigial/always-0 fields in the
-    reference (SURVEY.md §4) — are reported from Ray where meaningful.
+    a parquet path/dir, or a LIST of parquet paths — missing/non-file list
+    entries are warned about and skipped, and an all-invalid list returns
+    the reference's zero-counter dict (``batch.py:321-343``).  Optionally
+    writes extracted records to ``output_dir`` (from the tasks — the
+    reference serialized CSV on the driver, its own documented bottleneck).
+
+    Returns the reference's counter dict shape (``batch.py:404-414``):
+    ``successful`` counts documents that parsed WITHOUT ERROR (the
+    reference's ``result["success"]``), whether or not they passed
+    validation; the engine's validity count is the extra ``valid`` key.
+    ``memory_peak_mb`` is the driver's peak RSS; ``worker_overhead_percent``
+    is 0.0 (Ray has no pool warm-up phase to measure — the field is kept
+    for dict-shape parity).
     """
+    import warnings
+
     import pyarrow as pa
     import ray.data
 
@@ -115,7 +181,30 @@ def batch_parse(
     if strategy not in VALID_STRATEGIES:
         raise ValueError(f"Invalid strategy: {strategy}")
 
-    if isinstance(source, str):
+    def _zero(failed: int) -> Dict[str, object]:
+        return {
+            "total": 0, "successful": 0, "failed": failed, "valid": 0,
+            "errors": 0, "success_rate": 0.0, "duration": 0.0,
+            "throughput": 0.0, "memory_peak_mb": 0.0,
+            "worker_overhead_percent": 0.0, "transactions": 0,
+            "output_dir": output_dir,
+        }
+
+    if isinstance(source, (list, tuple)):
+        # F6: warn-and-skip path validation (reference batch.py:321-343)
+        valid_paths = []
+        for p in source:
+            if not os.path.exists(p):
+                warnings.warn(f"File not found, skipping: {p}")
+                continue
+            if not os.path.isfile(p):
+                warnings.warn(f"Not a file, skipping: {p}")
+                continue
+            valid_paths.append(p)
+        if not valid_paths:
+            return _zero(failed=len(source))
+        ds = ray.data.read_parquet(valid_paths)
+    elif isinstance(source, str):
         ds = ray.data.read_parquet(source)
     elif isinstance(source, pa.Table):
         ds = ray.data.from_arrow(source)
@@ -138,14 +227,23 @@ def batch_parse(
         metrics = summarize(extracted)
     duration = time.time() - t0
     total = metrics["total"]
+    errors = metrics["errors"]
+    successful = total - errors
+
+    import resource
+
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
     return {
         "total": total,
-        "successful": metrics["valid"],
-        "failed": metrics["failed"],
-        "errors": metrics["errors"],
-        "success_rate": metrics["success_rate"],
+        "successful": successful,
+        "failed": errors,
+        "valid": metrics["valid"],
+        "errors": errors,
+        "success_rate": (successful / total * 100.0) if total else 0.0,
         "duration": duration,
         "throughput": (total / duration) if duration > 0 else 0.0,
+        "memory_peak_mb": peak_mb,
+        "worker_overhead_percent": 0.0,
         "transactions": metrics["transactions"],
         "output_dir": output_dir,
     }

@@ -52,10 +52,14 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[Spec]):
         out = batch.group_by(keys, use_threads=False).aggregate(specs_pa)
         # output layout: key columns first, then aggregate columns in spec
         # order — rename positionally (name-keyed renames collide when one
-        # source column appears in several specs, e.g. sum + mean)
-        new_names = list(out.column_names[: len(keys)]) + [
-            alias for _, _, alias in partial_specs
-        ]
+        # source column appears in several specs, e.g. sum + mean).  Guard
+        # the layout assumption: older pyarrow emitted aggregates first, and
+        # a silent change here would misname columns without any error.
+        assert out.column_names[: len(keys)] == keys, (
+            f"pyarrow group_by layout changed: {out.column_names!r} "
+            f"does not start with keys {keys!r}"
+        )
+        new_names = keys + [alias for _, _, alias in partial_specs]
         return out.rename_columns(new_names)
 
     from ray.data.aggregate import Max, Min, Sum

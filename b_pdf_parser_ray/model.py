@@ -66,10 +66,16 @@ TRANSACTION_TYPE = pa.struct(
     ]
 )
 
+# full field set of the reference verification dict (utils.py:763-775) —
+# debit_match/credit_match/message included so the columnar output loses
+# nothing vs the reference's per-file result
 VERIFICATION_TYPE = pa.struct(
     [
         ("passed", pa.bool_()),
         ("status", pa.string()),
+        ("message", pa.string()),
+        ("debit_match", pa.bool_()),
+        ("credit_match", pa.bool_()),
         ("total_debit_extracted", pa.string()),
         ("total_debit_calculated", pa.float64()),
         ("debit_discrepancy", pa.float64()),

@@ -865,9 +865,12 @@ def events_asof_attribution(sf_dir: str, num_partitions: int = 64):
 EVENTS_ASOF_SQL = """
 SELECT p.user_id,
        epoch_us(p.ts) AS purchase_us,
-       (SELECT epoch_us(max(c.ts)) FROM events c
-        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
-         AS click_us
+       -- CAST keeps the oracle float64 even on a corpus where every purchase
+       -- has a prior click (no NULL → DuckDB would emit int64; the Ray side
+       -- is always float64 for the NaN case)
+       CAST((SELECT epoch_us(max(c.ts)) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+            AS DOUBLE) AS click_us
 FROM events p WHERE p.event_type = 'purchase'
 """
 

@@ -96,6 +96,77 @@ def write_metadata_csv(extracted_ds, out_dir: str, delimiter: str = ";") -> None
     )
 
 
+def write_per_document_csvs(extracted_ds, output_dir: str, delimiter: str = ";") -> int:
+    """K3, reference file layout: one ``{doc_id}_metadata.csv`` under
+    ``output_dir/metadata/`` and one ``{doc_id}_transactions.csv`` under
+    ``output_dir/transactions/`` per document — the exact per-file fan-out
+    users of the reference glob against (`batch.py:193-219`,
+    `utils.py:428-481`), but written from the Ray tasks that hold the data
+    (one task writes the files for its batch; no driver serialization).
+
+    Mirrors the reference's write conditions: the metadata CSV is written
+    whenever the parse produced a metadata dict, the transactions CSV only
+    when at least one transaction exists.  Returns the number of documents
+    that wrote at least one file.
+
+    Scale note: a file per document is the reference's contract, kept for
+    script compatibility; on a multi-node cluster ``output_dir`` must be
+    shared storage.  For 100 TB output prefer ``write_partitioned_parquet``.
+    """
+    import csv
+    import os
+
+    import pyarrow.compute as pc
+
+    meta_dir = os.path.join(output_dir, "metadata")
+    txn_dir = os.path.join(output_dir, "transactions")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(txn_dir, exist_ok=True)
+    fmt = kernel.format_number_for_csv
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        wrote = 0
+        for doc_id, meta, txns in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("metadata").to_pylist(),
+            batch.column("transactions").to_pylist(),
+        ):
+            base = str(doc_id)
+            did = False
+            if meta:  # reference: `if result["metadata"]` (batch.py:211)
+                path = os.path.join(meta_dir, f"{base}_metadata.csv")
+                with open(path, "w", newline="", encoding="utf-8") as f:
+                    w = csv.writer(f, delimiter=delimiter)
+                    w.writerow(["Field", "Value"])
+                    for field, value in meta.items():
+                        w.writerow([field, fmt(value) if value else ""])
+                did = True
+            if txns:  # reference: `if result["transactions"]` (batch.py:216)
+                path = os.path.join(txn_dir, f"{base}_transactions.csv")
+                with open(path, "w", newline="", encoding="utf-8") as f:
+                    w = csv.writer(f, delimiter=delimiter)
+                    w.writerow(
+                        ["Date", "Description", "User", "Debit", "Credit", "Balance"]
+                    )
+                    for t in txns:
+                        w.writerow(
+                            [
+                                t.get("date", ""),
+                                t.get("description", ""),
+                                t.get("user", ""),
+                                fmt(t.get("debit", "")),
+                                fmt(t.get("credit", "")),
+                                fmt(t.get("balance", "")),
+                            ]
+                        )
+                did = True
+            wrote += did
+        return pa.Table.from_pydict({"n_docs_written": [wrote]})
+
+    parts = extracted_ds.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+    return int(parts["n_docs_written"].sum()) if len(parts) else 0
+
+
 def write_partitioned_parquet(
     ds, out_dir: str, partition_cols: Optional[List[str]] = None
 ) -> None:

@@ -46,6 +46,9 @@ def _verification_struct(v: Optional[Dict[str, object]]) -> Optional[Dict[str, o
     return {
         "passed": v["passed"],
         "status": v["status"],
+        "message": v["message"],
+        "debit_match": v["debit_match"],
+        "credit_match": v["credit_match"],
         "total_debit_extracted": v["total_debit_extracted"],
         "total_debit_calculated": v["total_debit_calculated"],
         "debit_discrepancy": v["debit_discrepancy"],

@@ -58,6 +58,28 @@ def test_extraction_matches_kernel_per_document(corpus, extracted_rows):
         assert got["error"] is None
 
 
+def test_verification_struct_full_reference_parity(corpus, extracted_rows, reference):
+    """The columnar verification struct must carry the reference's FULL
+    verification dict (utils.py:763-775) — including debit_match,
+    credit_match and message — field for field."""
+    checked = 0
+    for row in corpus.to_pylist():
+        got = extracted_rows[row["doc_id"]]["verification"]
+        text = model.render_text(row["spans"])
+        want_txns = kernel.parse_document(
+            row["doc_id"], text, strategy=row["strategy"]
+        )["transactions"]
+        want = reference.utils.verify_turnover(want_txns, summary_text=text)
+        assert set(want) == set(got), row["doc_id"]
+        for key, v in want.items():
+            if isinstance(v, float):
+                assert got[key] == pytest.approx(v), (row["doc_id"], key)
+            else:
+                assert got[key] == v, (row["doc_id"], key)
+        checked += 1
+    assert checked == N_DOCS
+
+
 def test_span_sequence_equality_whole_corpus(corpus, extracted_rows):
     """North-rule invariant: output spans == input spans in offset order,
     (kind, text, media_ref, offset) all preserved — media spans included."""

@@ -85,6 +85,49 @@ def test_write_partitioned_parquet(ray_session, tmp_path):
     assert len(dirs) >= 2  # column + inline/indonesian strategies present
 
 
+def test_write_per_document_csvs_layout(ray_session, tmp_path):
+    """K3 naming parity: one {doc_id}_metadata.csv + {doc_id}_transactions.csv
+    per document, the layout reference users glob (batch.py:193-219)."""
+    from b_pdf_parser_ray.sources.sinks import write_per_document_csvs
+
+    out = str(tmp_path / "perdoc")
+    n = write_per_document_csvs(_extracted(20), out)
+    assert n == 20
+    meta_files = sorted(glob.glob(os.path.join(out, "metadata", "*_metadata.csv")))
+    txn_files = sorted(glob.glob(os.path.join(out, "transactions", "*_transactions.csv")))
+    assert len(meta_files) == 20  # metadata dict always present for parsed docs
+    assert 0 < len(txn_files) <= 20
+    with open(meta_files[0], encoding="utf-8") as f:
+        header = f.readline().strip()
+    assert header == "Field;Value"
+    with open(txn_files[0], encoding="utf-8") as f:
+        header = f.readline().strip()
+    assert header == "Date;Description;User;Debit;Credit;Balance"
+
+
+def test_write_per_document_csvs_reference_bytes(ray_session, tmp_path, reference):
+    """Differential: our per-doc CSV bytes == the reference's
+    save_metadata_csv / save_transactions_csv output for the same parse."""
+    from b_pdf_parser_ray.sources.sinks import write_per_document_csvs
+
+    out = str(tmp_path / "ours")
+    rows = _extracted(8).take_all()
+    write_per_document_csvs(_extracted(8), out)
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    for r in rows:
+        if r["metadata"]:
+            ref_path = str(ref_dir / "m.csv")
+            reference.utils.save_metadata_csv(r["metadata"], ref_path)
+            ours = os.path.join(out, "metadata", f"{r['doc_id']}_metadata.csv")
+            assert open(ours, encoding="utf-8").read() == open(ref_path, encoding="utf-8").read()
+        if r["transactions"]:
+            ref_path = str(ref_dir / "t.csv")
+            reference.utils.save_transactions_csv(r["transactions"], ref_path)
+            ours = os.path.join(out, "transactions", f"{r['doc_id']}_transactions.csv")
+            assert open(ours, encoding="utf-8").read() == open(ref_path, encoding="utf-8").read()
+
+
 def test_read_write_documents_parquet_roundtrip(ray_session, tmp_path):
     from b_pdf_parser_ray.sources.tables import read_documents, write_documents
 
