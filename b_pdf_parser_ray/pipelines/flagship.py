@@ -140,26 +140,36 @@ def run_resumable(
     verify: bool = True,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=None,
+    max_inflight_shards: int = 2,
 ) -> List[Dict[str, object]]:
     """Process a sharded corpus with per-shard manifests; finished shards are
     skipped on restart.  Shard = input file (the unit the driver of a 100 TB
     run would also use: Lance fragments / parquet files).
 
-    Returns the manifest records for this run (including skipped ones).
+    Shards are PIPELINED: up to ``max_inflight_shards`` run concurrently from
+    driver threads, so shard N+1's read/extract overlaps shard N's sink
+    (strictly sequential shards left the cluster idle during every sink
+    flush).  Each shard's manifest is still written atomically on its own
+    completion — a driver failure mid-run loses at most the in-flight
+    shards, and the restart skips every ``done`` one.
+
+    Returns the manifest records for this run (including skipped ones), in
+    input order.
     """
     import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     import ray.data
 
     store = ManifestStore(output_dir)
-    records = []
-    for path in input_files:
+
+    def process_once(path: str) -> Dict[str, object]:
         shard = os.path.splitext(os.path.basename(path))[0]
         if store.is_done(shard):
             rec = store.load(shard)
             rec["skipped"] = True
-            records.append(rec)
-            continue
+            return rec
         t0 = time.perf_counter()
         ds = ray.data.read_parquet(path)
         extracted = extract_documents(
@@ -170,6 +180,11 @@ def run_resumable(
         # metrics pass without re-running extraction.
         extracted = extracted.materialize()
         out_path = os.path.join(output_dir, f"shard={shard}")
+        # a not-done shard dir holds partial files from an interrupted
+        # attempt (task-level write files are uniquely named, so rewriting
+        # on top would duplicate rows) — reset it first
+        if os.path.exists(out_path):
+            shutil.rmtree(out_path)
         extracted.write_parquet(out_path)
         metrics = summarize(extracted)
         metrics["duration_sec"] = time.perf_counter() - t0
@@ -177,5 +192,24 @@ def run_resumable(
         store.record(shard, metrics)
         rec = store.load(shard)
         rec["skipped"] = False
-        records.append(rec)
-    return records
+        return rec
+
+    def process(path: str) -> Dict[str, object]:
+        # Ray's path resolution lazily imports fsspec.implementations.http
+        # inside each thread; with no aiohttp installed, two concurrent
+        # first-imports can race into "cannot import name 'HTTPFileSystem'"
+        # (a partially-initialized module) instead of the caught
+        # ModuleNotFoundError.  The failed import is not cached, so a
+        # staggered retry — against the cleaned shard dir — succeeds.
+        for attempt in range(3):
+            try:
+                return process_once(path)
+            except ImportError as exc:
+                if "HTTPFileSystem" not in str(exc) or attempt == 2:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
+    if max_inflight_shards <= 1 or len(input_files) <= 1:
+        return [process_once(p) for p in input_files]
+    with ThreadPoolExecutor(max_workers=max_inflight_shards) as pool:
+        return list(pool.map(process, input_files))

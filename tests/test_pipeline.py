@@ -165,6 +165,31 @@ def test_resumable_run_skips_done_shards(ray_session, tmp_path):
     assert total == 90
 
 
+def test_resumable_pipelined_matches_sequential(ray_session, tmp_path):
+    """Shard pipelining (max_inflight_shards>1) must not change output:
+    same manifests, same row counts as the strictly sequential path."""
+    import ray.data
+
+    shard_dir = tmp_path / "in"
+    shard_dir.mkdir()
+    files = []
+    for k in range(4):
+        p = shard_dir / f"s{k}.parquet"
+        pq.write_table(fixtures.corpus_table(25, start=k * 25), p)
+        files.append(str(p))
+
+    seq = run_resumable(files, str(tmp_path / "seq"), concurrency=2,
+                        max_inflight_shards=1)
+    par = run_resumable(files, str(tmp_path / "par"), concurrency=2,
+                        max_inflight_shards=2)
+    assert [(r["partition_id"], r["total"], r["valid"]) for r in seq] == [
+        (r["partition_id"], r["total"], r["valid"]) for r in par
+    ]
+    a = ray.data.read_parquet(str(tmp_path / "seq")).count()
+    b = ray.data.read_parquet(str(tmp_path / "par")).count()
+    assert a == b == 100
+
+
 def test_poison_document_becomes_error_row(ray_session, monkeypatch):
     """A document that makes the kernel raise must yield an error row, not a
     failed job (reference batch.py:183-189 behavior)."""
