@@ -1,0 +1,166 @@
+"""Size-gated semi/anti-join planner.
+
+A semi/anti-join has two physical plans with a ~10⁶× crossover:
+
+* **broadcast**: collect the (distinct) key side once, ``ray.put`` it, and
+  filter the big side with a vectorized ``pc.is_in`` inside ``map_batches``
+  — zero shuffle, but the key side must fit on the driver;
+* **hash**: ``Dataset.join(join_type='left_semi'/'left_anti')`` — a
+  hash-partitioned exchange on both sides; unbounded scale, but pays fixed
+  shuffle/aggregator costs that dwarf small inputs.
+
+The gate is the *source-table row count from parquet footer metadata*
+(``sources.tables.table_rows``) — a provable upper bound on the collected
+key set that costs no compute and never under-estimates (a filter can only
+shrink the side).  Below ``BROADCAST_MAX_SOURCE_ROWS`` the broadcast plan
+is safe by construction; above it the planner switches to the hash plan,
+so the same query text runs at sf0.001 and at 100 TB.  Tests pin both
+plans by forcing the gate (``max_broadcast_rows=0``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# 5M keys × 8 B ≈ 40 MB broadcast side — comfortably driver/worker-safe;
+# a 100 TB fact table is orders of magnitude above this and takes the
+# hash-partitioned plan.
+BROADCAST_MAX_SOURCE_ROWS = 5_000_000
+
+
+def _collect_keys(keys_ds, key: str) -> pa.Array:
+    """Distinct keys of a (bounded) Dataset as one Arrow array: per-batch
+    unique partials, driver-side final unique."""
+    tbl = pa.Table.from_pandas(
+        keys_ds.map_batches(
+            lambda b: pa.Table.from_arrays([pc.unique(b.column(key))], names=[key]),
+            batch_format="pyarrow",
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    return pc.unique(tbl.column(key).combine_chunks())
+
+
+def semi_join(
+    left_ds,
+    keys_ds,
+    left_key: str,
+    right_key: str,
+    *,
+    right_source_rows: int,
+    max_broadcast_rows: int = None,
+    num_partitions: int = 8,
+):
+    """Rows of ``left_ds`` whose ``left_key`` appears in ``keys_ds[right_key]``."""
+    if max_broadcast_rows is None:
+        max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
+    if right_source_rows <= max_broadcast_rows:
+        import ray
+
+        from .broadcast import get_cached
+
+        keys_ref = ray.put(_collect_keys(keys_ds, right_key))
+
+        def filt(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column(left_key), value_set=get_cached(keys_ref))
+            )
+
+        return left_ds.map_batches(filt, batch_format="pyarrow")
+    return left_ds.join(
+        keys_ds,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=(left_key,),
+        right_on=(right_key,),
+    )
+
+
+def anti_join(
+    left_ds,
+    keys_ds,
+    left_key: str,
+    right_key: str,
+    *,
+    right_source_rows: int,
+    max_broadcast_rows: int = None,
+    num_partitions: int = 8,
+):
+    """Rows of ``left_ds`` whose ``left_key`` does NOT appear in
+    ``keys_ds[right_key]``."""
+    if max_broadcast_rows is None:
+        max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
+    if right_source_rows <= max_broadcast_rows:
+        import ray
+
+        from .broadcast import get_cached
+
+        keys_ref = ray.put(_collect_keys(keys_ds, right_key))
+
+        def filt(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(
+                    pc.is_in(batch.column(left_key), value_set=get_cached(keys_ref))
+                )
+            )
+
+        return left_ds.map_batches(filt, batch_format="pyarrow")
+    return left_ds.join(
+        keys_ds,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(left_key,),
+        right_on=(right_key,),
+    )
+
+
+def lookup_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    value_cols,
+    *,
+    right_source_rows: int,
+    max_broadcast_rows: int = None,
+    num_partitions: int = 8,
+):
+    """Inner equi-join that APPENDS ``value_cols`` from ``right_ds`` (whose
+    ``right_key`` is unique — a dimension/entity table) to ``left_ds``.
+
+    Small right side → broadcast the (key, values) arrays once and apply a
+    vectorized ``pc.index_in`` + ``take`` per batch (rows with no match are
+    dropped, matching inner-join semantics).  Large right side → a
+    hash-partitioned ``Dataset.join``.
+    """
+    if max_broadcast_rows is None:
+        max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
+    if right_source_rows <= max_broadcast_rows:
+        import ray
+
+        from .broadcast import get_cached
+
+        tbl = pa.Table.from_pandas(
+            right_ds.to_pandas(), preserve_index=False
+        ).combine_chunks()
+        side_ref = ray.put(tbl)
+
+        def join_batch(batch: pa.Table) -> pa.Table:
+            side = get_cached(side_ref)
+            idx = pc.index_in(batch.column(left_key), value_set=side.column(right_key))
+            valid = pc.is_valid(idx)
+            batch = batch.filter(valid)
+            idx = pc.filter(idx, valid)
+            for col in value_cols:
+                batch = batch.append_column(col, pc.take(side.column(col), idx))
+            return batch
+
+        return left_ds.map_batches(join_batch, batch_format="pyarrow")
+    return left_ds.join(
+        right_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(left_key,),
+        right_on=(right_key,),
+    )

@@ -100,12 +100,16 @@ GROUP BY l_returnflag, l_linestatus
 def q3_top_revenue_orders(sf_dir: str, num_partitions: int = 8):
     """Revenue of BUILDING-segment orders (TPC-H Q3 shape).
 
-    Join strategy — fully hash-partitioned, nothing fact-table-derived on
-    the driver: orders(filtered) LEFT SEMI customer(BUILDING) on custkey,
-    then per-batch lineitem revenue partials LEFT SEMI the surviving
-    orderkeys.  Both semi-joins are ``Dataset.join`` exchanges carrying
-    keys only; works unchanged when the qualifying key set is billions of
-    rows (the round-1 broadcast variant collected it on the driver)."""
+    Join strategy — size-gated planner (``functions.joins``): orders
+    (filtered) SEMI customer(BUILDING) on custkey, then per-batch lineitem
+    revenue partials SEMI the surviving orderkeys.  Each semi-join runs as
+    a broadcast ``is_in`` filter while the key side's SOURCE table (footer
+    metadata, provable bound) is under the broadcast cap, and as a
+    hash-partitioned ``left_semi Dataset.join`` above it — nothing
+    fact-table-derived ever reaches the driver at scale."""
+    from .functions.joins import semi_join
+    from .sources.tables import table_rows
+
     cutoff = pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
@@ -122,12 +126,10 @@ def q3_top_revenue_orders(sf_dir: str, num_partitions: int = 8):
         ),
         batch_format="pyarrow",
     )
-    order_keys = orders.join(
-        cust,
-        join_type="left_semi",
+    order_keys = semi_join(
+        orders, cust, "o_custkey", "c_custkey",
+        right_source_rows=table_rows(sf_dir, "customer"),
         num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
     ).select_columns(["o_orderkey"])
 
     li = read_table(
@@ -148,13 +150,11 @@ def q3_top_revenue_orders(sf_dir: str, num_partitions: int = 8):
     from ray.data.aggregate import Sum
 
     agg = (
-        li.map_batches(revenue_partial, batch_format="pyarrow")
-        .join(
-            order_keys,
-            join_type="left_semi",
+        semi_join(
+            li.map_batches(revenue_partial, batch_format="pyarrow"),
+            order_keys, "l_orderkey", "o_orderkey",
+            right_source_rows=table_rows(sf_dir, "orders"),
             num_partitions=num_partitions,
-            on=("l_orderkey",),
-            right_on=("o_orderkey",),
         )
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
@@ -186,11 +186,12 @@ LIMIT 10
 
 
 def q5_nation_revenue(sf_dir: str, num_partitions: int = 8):
-    """Revenue by customer nation: two hash-partitioned ``Dataset.join``
-    exchanges (lineitem partials ⋈ orders on orderkey, then custkey
-    partials ⋈ customer) — customer is a fact-sized table and is never
-    built into a driver map.  Only nation (25 rows, a true dimension) is
-    broadcast, applied with a vectorized ``pc.index_in`` + ``take`` lookup."""
+    """Revenue by customer nation: lineitem partials ⋈ orders is always a
+    hash-partitioned ``Dataset.join`` (both sides fact-sized); the custkey
+    partials ⋈ customer step goes through the size-gated ``lookup_join`` —
+    a broadcast ``index_in``+``take`` while customer fits the cap, the same
+    hash exchange above it (never a driver-built Python map).  Nation
+    (25 rows, a true dimension) is broadcast with a vectorized lookup."""
     import ray
 
     nation = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
@@ -232,12 +233,14 @@ def q5_nation_revenue(sf_dir: str, num_partitions: int = 8):
         out = t.group_by(["o_custkey"], use_threads=False).aggregate([("revenue", "sum")])
         return out.rename_columns(["o_custkey", "revenue"])
 
-    with_nation = joined.map_batches(cust_partial, batch_format="pyarrow").join(
-        cust,
-        join_type="inner",
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    with_nation = lookup_join(
+        joined.map_batches(cust_partial, batch_format="pyarrow"),
+        cust, "o_custkey", "c_custkey", ["c_nationkey"],
+        right_source_rows=table_rows(sf_dir, "customer"),
         num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
     )
 
     from .functions.broadcast import get_cached
@@ -321,11 +324,14 @@ def q4_order_priority(sf_dir: str, num_partitions: int = 8):
     lineitem (the testdata schema has no commit/receipt dates, so the
     predicate is l_returnflag='R'), counted by priority.
 
-    The EXISTS is a hash-partitioned LEFT SEMI ``Dataset.join``: lineitem
-    ships per-batch-distinct qualifying orderkeys into the exchange (map-
-    side dedup shrinks the shuffle; semi-join semantics make a global
-    dedup unnecessary), orders ships (key, priority).  No driver-side key
-    collection at any scale."""
+    The EXISTS is a size-gated semi-join (``functions.joins``): lineitem
+    ships per-batch-distinct qualifying orderkeys (map-side dedup shrinks
+    either plan; semi-join semantics make a global dedup unnecessary).
+    Broadcast ``is_in`` under the cap, hash-partitioned ``left_semi``
+    exchange above it — no unbounded driver-side key collection."""
+    from .functions.joins import semi_join
+    from .sources.tables import table_rows
+
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
 
     def late_keys(batch: pa.Table) -> pa.Table:
@@ -350,12 +356,11 @@ def q4_order_priority(sf_dir: str, num_partitions: int = 8):
         )
         return batch.filter(m).select(["o_orderkey", "o_orderpriority"])
 
-    kept = orders.map_batches(filt, batch_format="pyarrow").join(
-        late,
-        join_type="left_semi",
+    kept = semi_join(
+        orders.map_batches(filt, batch_format="pyarrow"),
+        late, "o_orderkey", "l_orderkey",
+        right_source_rows=table_rows(sf_dir, "lineitem"),
         num_partitions=num_partitions,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
     )
     return grouped_agg(
         kept.select_columns(["o_orderpriority"]),
@@ -475,11 +480,14 @@ def approx_distinct_orders(sf_dir: str, k: int = 1024):
 
 
 def customers_without_orders(sf_dir: str, num_partitions: int = 8):
-    """Anti-join shape: customers with no orders — a hash-partitioned LEFT
-    ANTI ``Dataset.join`` (customer ⟕̸ orders on custkey).  The orders side
-    ships per-batch-distinct custkeys into the exchange; no key set is ever
-    collected on the driver (customer-cardinality sets aren't broadcastable
-    at 100 TB)."""
+    """Anti-join shape: customers with no orders — size-gated
+    (``functions.joins``): broadcast NOT-``is_in`` filter while the orders
+    table is under the cap, hash-partitioned ``left_anti Dataset.join``
+    above it (customer-cardinality key sets aren't broadcastable at
+    100 TB).  The orders side ships per-batch-distinct custkeys either way."""
+    from .functions.joins import anti_join
+    from .sources.tables import table_rows
+
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
 
     def keys(batch: pa.Table) -> pa.Table:
@@ -490,12 +498,10 @@ def customers_without_orders(sf_dir: str, num_partitions: int = 8):
     have = orders.map_batches(keys, batch_format="pyarrow")
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
     df = (
-        cust.join(
-            have,
-            join_type="left_anti",
+        anti_join(
+            cust, have, "c_custkey", "o_custkey",
+            right_source_rows=table_rows(sf_dir, "orders"),
             num_partitions=num_partitions,
-            on=("c_custkey",),
-            right_on=("o_custkey",),
         )
         .sort("c_custkey")
         .to_pandas()
@@ -977,13 +983,24 @@ FROM documents
 
 
 def doc_bpe_tokens(sf_dir: str):
-    """BPE-ish token counting (TOKEN_RX: words/numbers/symbols) — regex
-    tokenizers differ across engines, so this is rows-only by design."""
+    """BPE-ish token counting (TOKEN_RX: words/numbers/symbols).  DuckDB's
+    RE2 agrees with Python re on this alternation, so the query is
+    oracle-checked (promoted from rows-only in round 2)."""
     from .functions.textstats import bpe_token_stats_batch
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         bpe_token_stats_batch, batch_format="pyarrow"
     )
+
+
+DOC_BPE_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+         AS n_unique_bpe
+FROM documents
+"""
 
 
 def doc_term_freq(sf_dir: str, term: str = "data"):
@@ -1082,10 +1099,71 @@ def doc_lang_id(sf_dir: str):
     )
 
 
+def _lang_sql() -> str:
+    """Oracle for the stopword-vote language ID: per-language distinct-token
+    intersections, argmax with Python-max tie-break order (en,fr,es,de,id),
+    'und' when every score is zero — promoted from rows-only in round 2."""
+    from .functions.textstats import _LANG_STOPWORDS
+
+    langs = list(_LANG_STOPWORDS)
+    scores = ", ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents
+), s AS (
+  SELECT doc_id, {scores} FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest({greatest}) = 0 THEN 'und'
+       {' '.join(cases)}
+       END AS lang_pred
+FROM s
+"""
+
+
+DOC_LANG_SQL = _lang_sql()
+
+
 def doc_quality(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         quality_score_batch, batch_format="pyarrow"
     )
+
+
+# Same arithmetic as quality_score_batch, term for term (C4/Gopher-style
+# rules are all length/ratio bands → plain SQL) — promoted from rows-only.
+DOC_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_unique
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, n_unique,
+         CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / greatest(n_tokens, 1)
+              ELSE 0 END AS mean_wl,
+         least(n_tokens / 50.0, 1.0) AS len_score
+  FROM t
+)
+SELECT doc_id,
+       round(0.4 * len_score
+             + 0.2 * (CASE WHEN mean_wl >= 2 AND mean_wl <= 12 THEN 1.0 ELSE 0.3 END)
+             + 0.4 * (CASE WHEN n_tokens > 0 THEN n_unique / greatest(n_tokens, 1) ELSE 0 END),
+             4) AS quality
+FROM s
+"""
 
 
 def doc_fingerprints(sf_dir: str):
@@ -1459,8 +1537,12 @@ ORACLE_SQL: Dict[str, str] = {
     "ann_topk": ANN_TOPK_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,
     "html_main_content": HTML_MAIN_SQL,
-    # doc_lang_id / doc_quality / doc_fingerprints / dedup_minhash /
-    # dedup_simhash / dedup_embeddings / dedup_ngram_verify / ann_ivf_topk /
-    # media_*: not SQL-expressible → rows-only driver check
-    # (sketch/heuristic/iterative/DOM/codec operators)
+    "doc_bpe_tokens": DOC_BPE_SQL,
+    "doc_lang_id": DOC_LANG_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /
+    # dedup_ngram_verify / ann_ivf_topk / approx_distinct_orders / media_*:
+    # not SQL-expressible → rows-only driver check (sketch/heuristic/
+    # iterative/DOM/codec operators), each pinned by goldens or
+    # recall/precision/tolerance tests in pytest
 }

@@ -72,3 +72,13 @@ def write_documents(ds, uri: str) -> None:
         ds.write_lance(uri)
         return
     ds.write_parquet(uri, compression="none")
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — no data read, no Ray.
+    The size-gated join planner's input (functions/joins.py)."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}")
+    return pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows

@@ -135,6 +135,10 @@ def _init_ray(num_cpus: int) -> None:
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            # worker→driver log streaming costs real wall time on chatty
+            # stages (hash-shuffle aggregators log per schema); a benchmark
+            # must not time the log pipe
+            log_to_driver=False,
         )
 
 
