@@ -8,9 +8,12 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
   bench.py and pytest).
 - ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operator suite).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query;
-  heuristic/sketch/iterative operators (lang-id, quality, fingerprints,
-  minhash/simhash/embedding dedup, IVF ANN) are rows-only by design.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+  (31 of 43, incl. lang-id/quality/BPE-token oracles added in round 2);
+  sketch/iterative/DOM/codec operators (fingerprints, minhash/simhash/
+  embedding dedup, KMV distinct, IVF ANN, media stubs) are rows-only by
+  design — each pinned instead by goldens, recall/precision, or tolerance
+  assertions in pytest (tests/test_dedup_ann.py, tests/test_queries.py).
 """
 
 from __future__ import annotations
