@@ -1399,6 +1399,131 @@ def extract_rollup_by_strategy(sf_dir: str):
     return out.sort("strategy")
 
 
+def doc_top_terms(sf_dir: str, k: int = 20):
+    """Corpus-wide top-k terms — the vocabulary/stopword-inventory builder.
+
+    Scale shape: terms are exploded and pre-counted INSIDE each batch
+    (Arrow C group-by), so the groupby(term) exchange moves one partial row
+    per (term, batch) instead of one row per token occurrence — a ~10³×
+    shuffle reduction on natural text (Zipf)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        terms = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        t = pa.Table.from_arrays([terms], names=["term"])
+        out = t.group_by(["term"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["term", "n"])
+
+    return (
+        ds.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+DOC_TOP_TERMS_SQL = """
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
+def doc_pack_sequences(sf_dir: str, seq_len: int = 2048, num_partitions: int = 64):
+    """Sequence packing — the operator that turns a document corpus into
+    fixed-length training sequences: contiguous documents (within a salted
+    partition, in doc_id order) are concatenated and cut into packs of
+    ``seq_len`` tokens; a document's pack is where its first token lands.
+
+    Scale shape: one salted shuffle (doc_id % P), then a fully vectorized
+    in-partition cumsum — packing is embarrassingly parallel across
+    partitions, which is exactly how production packers shard (global
+    contiguity buys nothing for training and would serialize the corpus)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokens_and_part(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(
+            pc.add(pc.count_substring(batch.column("text"), " "), 1), pa.int64()
+        )
+        part = pc.cast(
+            pc.bit_wise_and(batch.column("doc_id"), num_partitions - 1), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), part, n_tokens],
+            names=["doc_id", "part", "n_tokens"],
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", ignore_index=True)
+        starts = g["n_tokens"].cumsum() - g["n_tokens"]
+        g["pack_id"] = (starts // seq_len).astype("int64")
+        return g
+
+    return (
+        ds.map_batches(tokens_and_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+DOC_PACK_SQL = """
+SELECT doc_id, CAST(doc_id % 64 AS INTEGER) AS part, n_tokens,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         sum(len(string_split(text, ' ')))
+           OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS cum
+  FROM documents
+) t
+"""
+
+
+def customer_sample_per_segment(sf_dir: str, n: int = 10):
+    """Deterministic stratified sample: exactly ``n`` customers per market
+    segment, chosen by key hash — same rows on every run, any cluster size,
+    no coordination (the per-stratum version of ``doc_sample_hash``).
+
+    5 segments → one Ray group per segment is fine; a high-cardinality
+    stratum key would use the salted-partition pattern with the same
+    in-group vectorized rank."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = keys * np.uint64(_SAMPLE_A) + np.uint64(_SAMPLE_B)
+        return batch.append_column("h", pa.array(h.view(np.int64)))
+
+    def top_n(g: pd.DataFrame) -> pd.DataFrame:
+        # uint64 order == int64-bits order shifted; compare in uint64 space
+        g = g.assign(hu=g["h"].to_numpy().view("uint64"))
+        g = g.sort_values(["hu", "c_custkey"]).head(n)
+        return g[["c_mktsegment", "c_custkey"]]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(top_n, batch_format="pandas")
+    )
+
+
+CUSTOMER_SAMPLE_SQL = f"""
+SELECT c_mktsegment, c_custkey FROM (
+  SELECT c_mktsegment, c_custkey,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY (CAST(c_custkey AS HUGEINT) * {_SAMPLE_A} + {_SAMPLE_B})
+                    % 18446744073709551616,
+                    c_custkey) AS rn
+  FROM customer
+) t WHERE rn <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -1504,6 +1629,9 @@ QUERIES: Dict[str, Callable] = {
     "media_video_frames": media_video_frames,
     "extract_rollup_by_strategy": extract_rollup_by_strategy,
     "span_roundtrip_stats": span_roundtrip_stats,
+    "doc_top_terms": doc_top_terms,
+    "doc_pack_sequences": doc_pack_sequences,
+    "customer_sample_per_segment": customer_sample_per_segment,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -1540,6 +1668,9 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_bpe_tokens": DOC_BPE_SQL,
     "doc_lang_id": DOC_LANG_SQL,
     "doc_quality": DOC_QUALITY_SQL,
+    "doc_top_terms": DOC_TOP_TERMS_SQL,
+    "doc_pack_sequences": DOC_PACK_SQL,
+    "customer_sample_per_segment": CUSTOMER_SAMPLE_SQL,
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /
     # dedup_ngram_verify / ann_ivf_topk / approx_distinct_orders / media_*:
     # not SQL-expressible → rows-only driver check (sketch/heuristic/
