@@ -186,13 +186,18 @@ LIMIT 10
 
 
 def q5_nation_revenue(sf_dir: str, num_partitions: int = 8):
-    """Revenue by customer nation: lineitem partials ⋈ orders is always a
-    hash-partitioned ``Dataset.join`` (both sides fact-sized); the custkey
-    partials ⋈ customer step goes through the size-gated ``lookup_join`` —
-    a broadcast ``index_in``+``take`` while customer fits the cap, the same
-    hash exchange above it (never a driver-built Python map).  Nation
+    """Revenue by customer nation: BOTH equi-joins go through the size-gated
+    ``lookup_join`` (``functions.joins``) — lineitem revenue partials pick
+    up ``o_custkey`` from orders, then custkey partials pick up
+    ``c_nationkey`` from customer.  Under the cap each is a broadcast
+    ``index_in``+``take``; above it the identical query text runs both as
+    hash-partitioned ``Dataset.join`` exchanges (the forced-hash test pins
+    that plan oracle-green — never a driver-built Python map).  Nation
     (25 rows, a true dimension) is broadcast with a vectorized lookup."""
     import ray
+
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
 
     nation = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     nation_ref = ray.put(nation.combine_chunks())
@@ -216,14 +221,13 @@ def q5_nation_revenue(sf_dir: str, num_partitions: int = 8):
 
     # The per-batch partials join directly — no intermediate
     # groupby(l_orderkey): orders-side keys are unique, so one joined row
-    # per partial still sums correctly in the final nation groupby, and
-    # skipping the orderkey shuffle halves the query (7.0 → 3.7 s at sf0.1).
-    joined = orders.join(
+    # per partial still sums correctly in the final nation groupby
+    # (skipping the orderkey pre-shuffle halved the query in round 1).
+    joined = lookup_join(
         li.map_batches(li_partial, batch_format="pyarrow"),
-        join_type="inner",
+        orders, "l_orderkey", "o_orderkey", ["o_custkey"],
+        right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
     )
 
     # pre-aggregate by custkey per batch before the customer exchange — the
@@ -232,9 +236,6 @@ def q5_nation_revenue(sf_dir: str, num_partitions: int = 8):
         t = batch.select(["o_custkey", "revenue"])
         out = t.group_by(["o_custkey"], use_threads=False).aggregate([("revenue", "sum")])
         return out.rename_columns(["o_custkey", "revenue"])
-
-    from .functions.joins import lookup_join
-    from .sources.tables import table_rows
 
     with_nation = lookup_join(
         joined.map_batches(cust_partial, batch_format="pyarrow"),
