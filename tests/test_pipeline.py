@@ -295,3 +295,30 @@ def test_extractor_handles_shuffled_span_order(ray_session):
         offs = [s["offset"] for s in rb["out_spans"]]
         assert offs == sorted(offs)
         assert rb["out_spans"] == ra["out_spans"]
+
+
+def test_job_submit_entrypoint(tmp_path):
+    """scripts/run_extraction_job.py is the `ray job submit` driver: runs
+    standalone (own Ray session in a subprocess), prints one JSON line,
+    and a re-run skips all done shards."""
+    import json
+    import subprocess
+    import sys
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for k in range(2):
+        pq.write_table(fixtures.corpus_table(20, start=k * 20), src / f"s{k}.parquet")
+
+    cmd = [sys.executable, "scripts/run_extraction_job.py",
+           "--input", str(src), "--output", str(tmp_path / "out")]
+    env = dict(**__import__("os").environ)
+    env.pop("RAY_ADDRESS", None)
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["shards"] == 2 and rec["total"] == 40 and rec["skipped_shards"] == 0
+
+    out2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", env=env)
+    rec2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert rec2["skipped_shards"] == 2 and rec2["total"] == 40
