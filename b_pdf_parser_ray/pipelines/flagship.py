@@ -188,6 +188,7 @@ def run_resumable(
         extracted.write_parquet(out_path)
         metrics = summarize(extracted)
         metrics["duration_sec"] = time.perf_counter() - t0
+        metrics["input_path"] = path  # lineage: which shard produced this output
         metrics["output_path"] = out_path
         store.record(shard, metrics)
         rec = store.load(shard)
