@@ -1240,35 +1240,69 @@ FROM documents
 
 
 def dedup_ngram_verify(sf_dir: str, threshold: float = 0.5):
-    """Exact n-gram Jaccard verification of MinHash-LSH candidate pairs.
+    """Exact n-gram Jaccard verification of MinHash-LSH candidate pairs —
+    the verification itself runs DISTRIBUTED: the candidate-pair Dataset is
+    mapped in batches, each task recomputing exact shingle Jaccard against a
+    broadcast candidate-text side (bounded by |candidate docs|, which any
+    realistic dup rate keeps ≪ corpus; the texts are fetched with a
+    pushed-down filtered read of only those rows).  At a dup-heavy 100 TB
+    corpus the pair list can reach millions of rows — a driver loop (the
+    round-1 shape) would serialize exactly the part that grows."""
+    import ray
 
-    Scale shape: the candidate pair list is tiny relative to the corpus, so
-    pair doc_ids are collected and the texts fetched with a pushed-down
-    semi-join filter on the documents read — no all-to-all shuffle; at
-    100 TB the same fetch is a filtered read of only the candidate rows."""
+    from .functions.broadcast import get_cached
     from .functions.dedup import minhash_lsh_pairs, ngram_jaccard
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, threshold=threshold).to_pandas()
-    if pairs.empty:
+    # pairs are tiny by construction (bounded by dup rate) and consumed twice
+    # (key projection + verification) — materialize so the LSH pass runs once
+    pairs_ds = minhash_lsh_pairs(ds, threshold=threshold).materialize()
+
+    # candidate doc ids: a per-batch-unique projection of the (tiny) pair set
+    def pair_keys(b: pa.Table) -> pa.Table:
+        ids = pc.unique(
+            pa.chunked_array([b.column("a"), b.column("b")]).combine_chunks()
+        )
+        return pa.Table.from_arrays([ids], names=["doc_id"])
+
+    key_tbl = pa.Table.from_pandas(
+        pairs_ds.map_batches(pair_keys, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    if key_tbl.num_rows == 0:
         return pa.Table.from_arrays(
             [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
              pa.array([], type=pa.float64())],
             names=["doc_a", "doc_b", "jaccard"],
         )
-    need = set(pairs["a"]) | set(pairs["b"])
+    need = pc.unique(key_tbl.column("doc_id").combine_chunks())
     tbl = read_arrow(sf_dir, "documents", columns=["doc_id", "text"])
-    tbl = tbl.filter(pc.is_in(pc.cast(tbl.column("doc_id"), pa.string()),
-                              value_set=pa.array([str(x) for x in need])))
-    texts = dict(zip((str(d) for d in tbl.column("doc_id").to_pylist()),
-                     tbl.column("text").to_pylist()))
-    jac = [
-        round(ngram_jaccard(texts[str(a)], texts[str(b)]), 5)
-        for a, b in zip(pairs["a"], pairs["b"])
-    ]
-    out = pairs.assign(jaccard=jac).rename(columns={"a": "doc_a", "b": "doc_b"})
-    out = out[out["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    tbl = tbl.filter(
+        pc.is_in(
+            pc.cast(tbl.column("doc_id"), pa.string()),
+            value_set=pc.cast(need, pa.string()),
+        )
+    ).combine_chunks()
+    texts_ref = ray.put(
+        dict(zip((str(d) for d in tbl.column("doc_id").to_pylist()),
+                 tbl.column("text").to_pylist()))
+    )
+
+    def verify_batch(b: pa.Table) -> pa.Table:
+        texts = get_cached(texts_ref)
+        a_ids = b.column("a").to_pylist()
+        b_ids = b.column("b").to_pylist()
+        jac = pa.array(
+            [round(ngram_jaccard(texts[str(x)], texts[str(y)]), 5)
+             for x, y in zip(a_ids, b_ids)],
+            type=pa.float64(),
+        )
+        out = pa.Table.from_arrays(
+            [b.column("a"), b.column("b"), jac], names=["doc_a", "doc_b", "jaccard"]
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return pairs_ds.map_batches(verify_batch, batch_format="pyarrow")
 
 
 def media_image_features(sf_dir: str):
