@@ -153,6 +153,9 @@ def batch_parse(
     verify_turnover: bool = True,
     output_dir: Optional[str] = None,
     batch_size: Optional[int] = None,
+    max_workers: Optional[int] = None,
+    chunk_size: Optional[int] = None,
+    init_strategy: str = "per-worker",
 ) -> Dict[str, object]:
     """Corpus-scale parse — the reference's ``batch_parse`` (``batch.py:254-414``).
 
@@ -170,6 +173,14 @@ def batch_parse(
     ``memory_peak_mb`` is the driver's peak RSS; ``worker_overhead_percent``
     is 0.0 (Ray has no pool warm-up phase to measure — the field is kept
     for dict-shape parity).
+
+    The reference's tuning knobs (``batch.py:254-268``) map onto the Ray
+    physical plan: ``chunk_size`` (files per worker batch) is the
+    ``batch_size`` analog (documents per Arrow batch); ``init_strategy``
+    ``'per-worker'`` → task mode with module-level warm state (the
+    reference's recommended mode), ``'per-file'`` → an explicit actor pool
+    (state isolation per pool actor), sized by ``max_workers``.  All three
+    are validated with the reference's ranges.
     """
     import warnings
 
@@ -178,8 +189,12 @@ def batch_parse(
 
     from .pipelines.flagship import DEFAULT_BATCH_SIZE, extract_documents, summarize
 
-    if strategy not in VALID_STRATEGIES:
-        raise ValueError(f"Invalid strategy: {strategy}")
+    validate_batch_params(
+        strategy, max_workers, chunk_size if chunk_size is not None else 10,
+        init_strategy,
+    )
+    if batch_size is None and chunk_size is not None:
+        batch_size = chunk_size
 
     def _zero(failed: int) -> Dict[str, object]:
         return {
@@ -212,11 +227,17 @@ def batch_parse(
         ds = source
 
     t0 = time.time()
+    extract_kwargs: Dict[str, object] = {}
+    if init_strategy == "per-file":
+        extract_kwargs["compute"] = "actors"
+        if max_workers is not None:
+            extract_kwargs["concurrency"] = (1, max_workers)
     extracted = extract_documents(
         ds,
         verify=verify_turnover,
         default_strategy=strategy,
         batch_size=batch_size or DEFAULT_BATCH_SIZE,
+        **extract_kwargs,
     )
     if output_dir is not None:
         # stream to the sink, then summarize from the written output —

@@ -125,6 +125,10 @@ def write_per_document_csvs(extracted_ds, output_dir: str, delimiter: str = ";")
     fmt = kernel.format_number_for_csv
 
     def write_batch(batch: pa.Table) -> pa.Table:
+        # re-create on the worker: tasks may land on nodes where only the
+        # shared mount exists, not the driver-created dirs
+        os.makedirs(meta_dir, exist_ok=True)
+        os.makedirs(txn_dir, exist_ok=True)
         wrote = 0
         for doc_id, meta, txns in zip(
             batch.column("doc_id").to_pylist(),

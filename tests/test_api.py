@@ -130,3 +130,18 @@ def test_batch_parse_from_directory(ray_session, tmp_path):
     assert res["total"] == 20
     with pytest.raises(FileNotFoundError):
         batch_parse_from_directory(str(tmp_path / "empty_missing_dir_x"))
+
+
+def test_batch_parse_reference_tuning_knobs(ray_session):
+    """chunk_size / max_workers / init_strategy map onto the Ray physical
+    plan (batch size, actor pool) with reference-range validation."""
+    res = batch_parse(
+        corpus_table(30), chunk_size=15, init_strategy="per-file", max_workers=2
+    )
+    assert res["total"] == 30 and res["successful"] == 30
+    with pytest.raises(ValueError, match="chunk_size"):
+        batch_parse(corpus_table(5), chunk_size=501)
+    with pytest.raises(ValueError, match="init_strategy"):
+        batch_parse(corpus_table(5), init_strategy="bogus")
+    with pytest.raises(ValueError, match="max_workers"):
+        batch_parse(corpus_table(5), max_workers=0)
