@@ -348,8 +348,14 @@ def ngram_jaccard(text_a: str, text_b: str, width: int = 3) -> float:
 class SimHasher:
     """64-bit simhash over whitespace tokens (weights = term counts).
 
-    Vectorized: token hashes memoized per actor, then one (unique_tokens ×
-    64) bit-matrix weighted sum per document — no per-token numpy calls."""
+    Batched across documents: the count-weighted sum over UNIQUE tokens
+    equals the plain sum over all token OCCURRENCES, so the whole batch's
+    token stream becomes one (total_tokens × 64) ±1 bit matrix reduced per
+    document with ``np.add.reduceat`` — no per-document numpy dispatch.
+    Token hashes are memoized per worker."""
+
+    # bound the (chunk_tokens × 64) int8 intermediate to ~16 MB
+    _CHUNK_TOKENS = 262_144
 
     def __init__(self):
         self.cache: Dict[str, int] = {}
@@ -357,24 +363,44 @@ class SimHasher:
         self._shifts = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        toks = text.split()
-        if not toks:
-            return 0
+        """Single-document form (tests / ground-truth checks)."""
+        return int(self.simhashes([text])[0])
+
+    def simhashes(self, texts) -> np.ndarray:
         if len(self.cache) > self.cache_cap:
             self.cache.clear()
         cache = self.cache
         get, put = cache.get, cache.setdefault
-        th = np.fromiter(
-            (get(t) or put(t, token_hash64(t)) for t in toks), np.uint64, len(toks)
-        )
-        uniq, counts = np.unique(th, return_counts=True)
-        bits = ((uniq[:, None] >> self._shifts) & np.uint64(1)).astype(np.int64)
-        acc = (counts[:, None] * (2 * bits - 1)).sum(axis=0)
-        out_bits = (acc > 0).astype(np.uint8)
-        return int(np.packbits(out_bits[::-1]).view(">u8")[0])
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        tok_lists = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+        nonempty = np.nonzero(lens)[0]
+        start = 0
+        while start < len(nonempty):
+            end, tot = start, 0
+            while end < len(nonempty) and (
+                tot == 0 or tot + lens[nonempty[end]] <= self._CHUNK_TOKENS
+            ):
+                tot += lens[nonempty[end]]
+                end += 1
+            idx = nonempty[start:end]
+            th = np.fromiter(
+                (get(t) or put(t, token_hash64(t))
+                 for i in idx for t in tok_lists[i]),
+                np.uint64, tot,
+            )
+            signs = (((th[:, None] >> self._shifts) & np.uint64(1)) << np.uint64(1)
+                     ).astype(np.int64) - 1  # ±1 per (occurrence, bit)
+            starts = np.r_[0, np.cumsum(lens[idx])[:-1]]
+            acc = np.add.reduceat(signs, starts, axis=0)  # (docs, 64)
+            bits = (acc > 0).astype(np.uint8)
+            out[idx] = np.packbits(bits[:, ::-1], axis=1).view(">u8")[:, 0]
+            start = end
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = [self.simhash(t or "") for t in batch.column("text").to_pylist()]
+        sh = self.simhashes(batch.column("text").to_pylist())
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(sh, type=pa.uint64())],
             names=["doc_id", "simhash"],
