@@ -1559,6 +1559,75 @@ SELECT c_mktsegment, c_custkey FROM (
 """
 
 
+def events_json_props(sf_dir: str):
+    """Semi-structured extraction: parse the ``props`` JSON column and
+    aggregate an extracted field per event type — the metadata-sidecar
+    parsing every training pipeline does on raw crawl records.
+
+    Scale shape: JSON decode is per-row C (``json.loads``) inside
+    ``map_batches`` with the aggregate pre-reduced in-batch, so the
+    exchange carries 5 partial rows per block, never parsed objects."""
+    import json
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse_partial(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch.column("props").to_pylist()),
+            np.int64, batch.num_rows,
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"), pa.array(ks)], names=["event_type", "k"]
+        )
+        out = t.group_by(["event_type"], use_threads=False).aggregate(
+            [("k", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["event_type", "sum_k", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(parse_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+        .sort("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def doc_normalize_text(sf_dir: str):
+    """Text normalization — lowercase, collapse whitespace runs, trim — the
+    cleaning pass upstream of tokenization/dedup.  Vectorized end to end
+    with pyarrow compute kernels (no Python per row); value-hash-checked
+    against the oracle on the full normalized strings."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), pattern=r"\s+", replacement=" "
+            )
+        )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), t], names=["doc_id", "norm_text"]
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+DOC_NORMALIZE_SQL = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -1667,6 +1736,8 @@ QUERIES: Dict[str, Callable] = {
     "doc_top_terms": doc_top_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "customer_sample_per_segment": customer_sample_per_segment,
+    "events_json_props": events_json_props,
+    "doc_normalize_text": doc_normalize_text,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -1706,6 +1777,8 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_top_terms": DOC_TOP_TERMS_SQL,
     "doc_pack_sequences": DOC_PACK_SQL,
     "customer_sample_per_segment": CUSTOMER_SAMPLE_SQL,
+    "events_json_props": EVENTS_JSON_SQL,
+    "doc_normalize_text": DOC_NORMALIZE_SQL,
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /
     # dedup_ngram_verify / ann_ivf_topk / approx_distinct_orders / media_*:
     # not SQL-expressible → rows-only driver check (sketch/heuristic/
