@@ -30,8 +30,11 @@ BROADCAST_MAX_SOURCE_ROWS = 5_000_000
 
 
 def _collect_keys(keys_ds, key: str) -> pa.Array:
-    """Distinct keys of a (bounded) Dataset as one Arrow array: per-batch
-    unique partials, driver-side final unique."""
+    """Distinct non-null keys of a (bounded) Dataset as one Arrow array:
+    per-batch unique partials, driver-side final unique.  Nulls are dropped
+    to give SQL join semantics — NULL never equals anything, so it can
+    match no left row (``pc.is_in`` would otherwise treat null-in-set as a
+    match)."""
     tbl = pa.Table.from_pandas(
         keys_ds.map_batches(
             lambda b: pa.Table.from_arrays([pc.unique(b.column(key))], names=[key]),
@@ -39,7 +42,7 @@ def _collect_keys(keys_ds, key: str) -> pa.Array:
         ).to_pandas(),
         preserve_index=False,
     )
-    return pc.unique(tbl.column(key).combine_chunks())
+    return pc.drop_null(pc.unique(tbl.column(key).combine_chunks()))
 
 
 def semi_join(
@@ -63,9 +66,12 @@ def semi_join(
         keys_ref = ray.put(_collect_keys(keys_ds, right_key))
 
         def filt(batch: pa.Table) -> pa.Table:
-            return batch.filter(
-                pc.is_in(batch.column(left_key), value_set=get_cached(keys_ref))
+            # null left key → no match (SQL EXISTS semantics)
+            mask = pc.fill_null(
+                pc.is_in(batch.column(left_key), value_set=get_cached(keys_ref)),
+                False,
             )
+            return batch.filter(mask)
 
         return left_ds.map_batches(filt, batch_format="pyarrow")
     return left_ds.join(
@@ -99,11 +105,14 @@ def anti_join(
         keys_ref = ray.put(_collect_keys(keys_ds, right_key))
 
         def filt(batch: pa.Table) -> pa.Table:
-            return batch.filter(
+            # null left key → kept (SQL NOT EXISTS semantics)
+            mask = pc.fill_null(
                 pc.invert(
                     pc.is_in(batch.column(left_key), value_set=get_cached(keys_ref))
-                )
+                ),
+                True,
             )
+            return batch.filter(mask)
 
         return left_ds.map_batches(filt, batch_format="pyarrow")
     return left_ds.join(
@@ -144,6 +153,9 @@ def lookup_join(
         tbl = pa.Table.from_pandas(
             right_ds.to_pandas(), preserve_index=False
         ).combine_chunks()
+        # null right keys can never equi-match (SQL semantics); dropping
+        # them also stops index_in's null-matches-null behavior
+        tbl = tbl.filter(pc.is_valid(tbl.column(right_key)))
         side_ref = ray.put(tbl)
 
         def join_batch(batch: pa.Table) -> pa.Table:

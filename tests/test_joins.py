@@ -108,3 +108,29 @@ def ddb_sf():
             f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
         )
     return con
+
+
+def test_null_keys_sql_semantics_both_plans(ray_session):
+    """NULL keys follow SQL EXISTS/NOT EXISTS semantics on BOTH physical
+    plans: a null left key matches nothing (excluded from semi, kept in
+    anti, dropped by lookup); null right keys match nothing."""
+    import ray.data
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, None, 4], type=pa.int64()),
+                  "v": [10, 20, 30, 40]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, None], type=pa.int64()),
+                  "name": ["two", "null"]})
+    )
+    for cap in (100, 0):  # broadcast plan, then hash plan
+        s = semi_join(left, right, "k", "rk",
+                      right_source_rows=2, max_broadcast_rows=cap).to_pandas()
+        a = anti_join(left, right, "k", "rk",
+                      right_source_rows=2, max_broadcast_rows=cap).to_pandas()
+        assert sorted(s["v"]) == [20], f"semi cap={cap}"
+        assert sorted(a["v"]) == [10, 30, 40], f"anti cap={cap}"
+    lk = lookup_join(left, right, "k", "rk", ["name"],
+                     right_source_rows=2).to_pandas()
+    assert sorted(lk["v"]) == [20] and list(lk["name"]) == ["two"]
