@@ -24,25 +24,39 @@ from .. import kernel
 def normalize_transactions_batch(batch: pa.Table) -> pa.Table:
     """Explode per-doc transaction lists to row-per-transaction with
     CSV-normalized amounts — the distributed form of the reference's
-    ``save_transactions_csv`` loop (`utils.py:447-481`)."""
-    doc_ids: List[str] = []
-    rows = {k: [] for k in ("date", "description", "user", "debit", "credit", "balance")}
+    ``save_transactions_csv`` loop (`utils.py:447-481`).
+
+    The explode is zero-copy Arrow (``flatten`` + ``list_parent_indices``);
+    the only per-row Python left is the number normalizer on the three
+    amount columns (format semantics the reference defines in Python)."""
+    import pyarrow.compute as pc
+
+    txns = batch.column("transactions").combine_chunks()
+    if isinstance(txns, pa.ChunkedArray):
+        txns = txns.chunk(0) if txns.num_chunks else pa.array([], type=txns.type)
+    # null transaction lists (error rows) explode to nothing
+    parent = pc.list_parent_indices(txns)
+    doc_ids = pc.take(batch.column("doc_id"), parent)
+    flat = txns.flatten()
     fmt = kernel.format_number_for_csv
-    for doc_id, txns in zip(
-        batch.column("doc_id").to_pylist(), batch.column("transactions").to_pylist()
-    ):
-        for t in txns or []:
-            doc_ids.append(doc_id)
-            rows["date"].append(t["date"])
-            rows["description"].append(t["description"])
-            rows["user"].append(t["user"])
-            rows["debit"].append(fmt(t["debit"]))
-            rows["credit"].append(fmt(t["credit"]))
-            rows["balance"].append(fmt(t["balance"]))
+
+    def fmt_col(name: str) -> pa.Array:
+        return pa.array(
+            [fmt(v) if v else v for v in flat.field(name).to_pylist()],
+            type=pa.string(),
+        )
+
     return pa.Table.from_arrays(
-        [pa.array(doc_ids, type=pa.string())]
-        + [pa.array(rows[k], type=pa.string()) for k in rows],
-        names=["doc_id"] + list(rows),
+        [
+            doc_ids,
+            flat.field("date"),
+            flat.field("description"),
+            flat.field("user"),
+            fmt_col("debit"),
+            fmt_col("credit"),
+            fmt_col("balance"),
+        ],
+        names=["doc_id", "date", "description", "user", "debit", "credit", "balance"],
     )
 
 

@@ -134,3 +134,58 @@ def test_null_keys_sql_semantics_both_plans(ray_session):
     lk = lookup_join(left, right, "k", "rk", ["name"],
                      right_source_rows=2).to_pandas()
     assert sorted(lk["v"]) == [20] and list(lk["name"]) == ["two"]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_joins_match_duckdb(ray_session, seed):
+    """Randomized differential: semi/anti/lookup on random key sets with
+    duplicates and nulls must match DuckDB on both physical plans."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+
+    def col(n, null_rate):
+        vals = rng.randint(0, 30, size=n).astype("float64")
+        vals[rng.random(n) < null_rate] = np.nan
+        return pa.array([None if np.isnan(v) else int(v) for v in vals],
+                        type=pa.int64())
+
+    n_l, n_r = 80, 25
+    lt = pa.table({"k": col(n_l, 0.1), "v": pa.array(range(n_l), type=pa.int64())})
+    rt = pa.table({"rk": col(n_r, 0.1),
+                   "name": pa.array([f"n{i}" for i in range(n_r)])})
+    # lookup needs unique right keys: dedup by first occurrence
+    seen, keep = set(), []
+    for i, x in enumerate(rt.column("rk").to_pylist()):
+        keep.append(x not in seen)
+        seen.add(x)
+    rt_uniq = rt.filter(pa.array(keep))
+
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    con.register("ru", rt_uniq)
+    want_semi = sorted(con.sql(
+        "SELECT v FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.rk = l.k)").df()["v"])
+    want_anti = sorted(con.sql(
+        "SELECT v FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.rk = l.k)").df()["v"])
+    want_lookup = con.sql(
+        "SELECT v, name FROM l JOIN ru ON l.k = ru.rk ORDER BY v").df()
+
+    lds = ray.data.from_arrow(lt)
+    rds = ray.data.from_arrow(rt)
+    ruds = ray.data.from_arrow(rt_uniq)
+    for cap in (1000, 0):
+        s = sorted(semi_join(lds, rds, "k", "rk", right_source_rows=n_r,
+                             max_broadcast_rows=cap).to_pandas()["v"])
+        a = sorted(anti_join(lds, rds, "k", "rk", right_source_rows=n_r,
+                             max_broadcast_rows=cap).to_pandas()["v"])
+        assert s == want_semi, f"semi cap={cap} seed={seed}"
+        assert a == want_anti, f"anti cap={cap} seed={seed}"
+        lk = (lookup_join(lds, ruds, "k", "rk", ["name"], right_source_rows=n_r,
+                          max_broadcast_rows=cap)
+              .to_pandas().sort_values("v").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            lk[["v", "name"]], want_lookup, check_dtype=False)
