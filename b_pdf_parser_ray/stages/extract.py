@@ -84,13 +84,11 @@ class Extractor:
         import pyarrow.compute as pc
 
         kind_arr = flat.field("kind")
+        text_flat = flat.field("text")
         is_text = pc.equal(kind_arr, "text").to_numpy(zero_copy_only=False)
-        texts = flat.field("text").to_pylist()
         # span texts are single lines in the span model; if any embeds a
         # newline, fall back to join+split so line semantics match rendering
-        texts_are_lines = not pc.any(
-            pc.match_substring(flat.field("text"), "\n")
-        ).as_py()
+        texts_are_lines = not pc.any(pc.match_substring(text_flat, "\n")).as_py()
         offsets = flat.field("offset").to_numpy(zero_copy_only=False)
         row_offsets = spans_col.offsets.to_numpy(zero_copy_only=False)
 
@@ -101,6 +99,29 @@ class Extractor:
         )
 
         all_sorted = bool(np.all(offsets[1:] >= offsets[:-1])) if len(offsets) else True
+
+        # Per-document text assembly in Arrow C, not Python: filter the flat
+        # text spans, regroup with prefix-sum offsets, join with \n — one
+        # materialized string per DOCUMENT instead of one per span (the
+        # per-span to_pylist + per-row join/strip was as expensive as the
+        # parse itself).  The stripped variant feeds the kernel's line list
+        # via one C split per row.
+        text_mask = pa.array(is_text)
+        text_counts_prefix = np.concatenate(
+            ([0], np.cumsum(is_text, dtype=np.int64))
+        )[row_offsets]
+        kept_text = text_flat.filter(text_mask)
+        raw_rows = pa.ListArray.from_arrays(
+            pa.array(text_counts_prefix, type=pa.int32()), kept_text
+        )
+        full_texts = pc.binary_join(raw_rows, "\n").to_pylist()
+        stripped_rows = pa.ListArray.from_arrays(
+            pa.array(text_counts_prefix, type=pa.int32()),
+            pc.utf8_trim_whitespace(kept_text),
+        )
+        stripped_texts = pc.binary_join(stripped_rows, "\n").to_pylist()
+
+        texts: Optional[List] = None  # per-span list, built only if needed
 
         metadata_out: List[Optional[Dict]] = []
         txns_out: List[Optional[List[Dict]]] = []
@@ -117,10 +138,17 @@ class Extractor:
                 np.all(offsets[lo + 1 : hi] >= offsets[lo : hi - 1])
             )
             if row_sorted:
-                line_idx = (np.nonzero(is_text[lo:hi])[0] + lo).tolist()
+                text = full_texts[i]
+                row_lines = stripped_texts[i].split("\n") if text else []
             else:
+                if texts is None:
+                    texts = text_flat.to_pylist()
                 order = lo + np.argsort(offsets[lo:hi], kind="stable")
                 line_idx = [int(j) for j in order if is_text[j]]
+                text = "\n".join(texts[j] for j in line_idx)
+                row_lines = (
+                    [texts[j].strip() for j in line_idx] if texts_are_lines else []
+                )
                 if rebuilt_spans is None:
                     rebuilt_spans = [None] * n
                 rebuilt_spans[i] = [
@@ -134,8 +162,6 @@ class Extractor:
                 ]
             n_spans_out.append(hi - lo)
             try:
-                row_lines = [texts[j] for j in line_idx]
-                text = "\n".join(row_lines)
                 n_chars_out.append(len(text))
                 res = kernel.parse_document(
                     doc_ids[i],
@@ -143,7 +169,7 @@ class Extractor:
                     strategy=strategies[i],
                     verify=self.verify,
                     # span texts ARE the lines — skip the kernel's re-split
-                    lines=[l.strip() for l in row_lines] if texts_are_lines else None,
+                    lines=row_lines if (texts_are_lines or not text) else None,
                 )
                 md = dict(_EMPTY_METADATA)
                 md.update(res["metadata"])
