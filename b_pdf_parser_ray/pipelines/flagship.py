@@ -141,10 +141,17 @@ def run_resumable(
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=None,
     max_inflight_shards: int = 2,
+    on_error: str = "raise",
 ) -> List[Dict[str, object]]:
     """Process a sharded corpus with per-shard manifests; finished shards are
     skipped on restart.  Shard = input file (the unit the driver of a 100 TB
     run would also use: Lance fragments / parquet files).
+
+    ``on_error='record'``: a shard whose read/extract/sink raises (corrupt
+    file, schema drift) is recorded as a ``status='failed'`` manifest with
+    the error string and the run CONTINUES — one bad shard must not kill a
+    100 TB job.  Failed shards stay not-done, so a re-run retries exactly
+    them.  The default ``'raise'`` keeps fail-fast semantics for tests.
 
     Shards are PIPELINED: up to ``max_inflight_shards`` run concurrently from
     driver threads, so shard N+1's read/extract overlaps shard N's sink
@@ -210,7 +217,23 @@ def run_resumable(
                     raise
                 time.sleep(0.05 * (attempt + 1))
 
+    def guarded(path: str) -> Dict[str, object]:
+        if on_error != "record":
+            return process(path)
+        try:
+            return process(path)
+        except Exception as exc:  # shard-level containment
+            shard = os.path.splitext(os.path.basename(path))[0]
+            store.record(
+                shard,
+                {"input_path": path, "error": f"{type(exc).__name__}: {exc}"},
+                status="failed",
+            )
+            rec = store.load(shard)
+            rec["skipped"] = False
+            return rec
+
     if max_inflight_shards <= 1 or len(input_files) <= 1:
-        return [process_once(p) for p in input_files]
+        return [guarded(p) for p in input_files]
     with ThreadPoolExecutor(max_workers=max_inflight_shards) as pool:
-        return list(pool.map(process, input_files))
+        return list(pool.map(guarded, input_files))

@@ -44,8 +44,13 @@ class ManifestStore:
         except (json.JSONDecodeError, OSError):
             return False
 
-    def record(self, partition_id: str, metrics: Dict[str, object]) -> None:
-        payload = {"partition_id": partition_id, "status": "done", **metrics}
+    def record(
+        self, partition_id: str, metrics: Dict[str, object], status: str = "done"
+    ) -> None:
+        """``status='failed'`` records the attempt (lineage + error) without
+        marking the partition complete — ``is_done`` stays False, so a
+        restarted job retries exactly the failed shards."""
+        payload = {"partition_id": partition_id, "status": status, **metrics}
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:

@@ -322,3 +322,33 @@ def test_job_submit_entrypoint(tmp_path):
     out2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", env=env)
     rec2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert rec2["skipped_shards"] == 2 and rec2["total"] == 40
+
+
+def test_resumable_records_failed_shard_and_continues(ray_session, tmp_path):
+    """on_error='record': a corrupt shard yields a status='failed' manifest
+    and the run continues; the re-run (with the file fixed) retries exactly
+    that shard and completes."""
+    shard_dir = tmp_path / "in"
+    shard_dir.mkdir()
+    good = shard_dir / "good.parquet"
+    bad = shard_dir / "bad.parquet"
+    pq.write_table(fixtures.corpus_table(20), good)
+    bad.write_bytes(b"this is not parquet")
+    files = [str(bad), str(good)]
+
+    out = tmp_path / "out"
+    recs = run_resumable(files, str(out), concurrency=2, on_error="record")
+    by_id = {r["partition_id"]: r for r in recs}
+    assert by_id["good"]["status"] == "done" and by_id["good"]["total"] == 20
+    assert by_id["bad"]["status"] == "failed" and "error" in by_id["bad"]
+
+    # fail-fast default still raises
+    with pytest.raises(Exception):
+        run_resumable([str(bad)], str(tmp_path / "out2"), concurrency=2)
+
+    # fix the shard; re-run retries only it
+    pq.write_table(fixtures.corpus_table(10, start=100), bad)
+    recs2 = run_resumable(files, str(out), concurrency=2, on_error="record")
+    by_id2 = {r["partition_id"]: r for r in recs2}
+    assert by_id2["good"]["skipped"] is True
+    assert by_id2["bad"]["status"] == "done" and by_id2["bad"]["total"] == 10
