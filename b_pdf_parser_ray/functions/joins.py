@@ -29,18 +29,29 @@ import pyarrow.compute as pc
 BROADCAST_MAX_SOURCE_ROWS = 5_000_000
 
 
+def _collect_arrow(ds) -> pa.Table:
+    """Driver-side collection of a (bounded, gate-checked) Dataset as one
+    Arrow table — block refs fetched directly, no pandas round-trip."""
+    import ray
+
+    tables = [
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+        for t in ray.get(ds.to_arrow_refs())
+    ]
+    return pa.concat_tables(tables).combine_chunks()
+
+
 def _collect_keys(keys_ds, key: str) -> pa.Array:
     """Distinct non-null keys of a (bounded) Dataset as one Arrow array:
     per-batch unique partials, driver-side final unique.  Nulls are dropped
     to give SQL join semantics — NULL never equals anything, so it can
     match no left row (``pc.is_in`` would otherwise treat null-in-set as a
     match)."""
-    tbl = pa.Table.from_pandas(
+    tbl = _collect_arrow(
         keys_ds.map_batches(
             lambda b: pa.Table.from_arrays([pc.unique(b.column(key))], names=[key]),
             batch_format="pyarrow",
-        ).to_pandas(),
-        preserve_index=False,
+        )
     )
     return pc.drop_null(pc.unique(tbl.column(key).combine_chunks()))
 
@@ -150,9 +161,7 @@ def lookup_join(
 
         from .broadcast import get_cached
 
-        tbl = pa.Table.from_pandas(
-            right_ds.to_pandas(), preserve_index=False
-        ).combine_chunks()
+        tbl = _collect_arrow(right_ds)
         # null right keys can never equi-match (SQL semantics); dropping
         # them also stops index_in's null-matches-null behavior
         tbl = tbl.filter(pc.is_valid(tbl.column(right_key)))

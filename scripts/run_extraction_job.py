@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--max-inflight-shards", type=int, default=2)
+    ap.add_argument("--on-error", choices=["raise", "record"], default="record",
+                    help="record: corrupt shards get a failed manifest and the "
+                         "job continues (retried on resubmit)")
     args = ap.parse_args()
 
     import ray
@@ -57,17 +60,18 @@ def main() -> None:
         verify=not args.no_verify,
         batch_size=args.batch_size or DEFAULT_BATCH_SIZE,
         max_inflight_shards=args.max_inflight_shards,
+        on_error=args.on_error,
     )
-    total = sum(r["total"] for r in records)
-    valid = sum(r["valid"] for r in records)
-    skipped = sum(1 for r in records if r["skipped"])
+    done = [r for r in records if r.get("status") == "done"]
+    failed = [r for r in records if r.get("status") == "failed"]
     print(json.dumps({
         "shards": len(records),
-        "skipped_shards": skipped,
-        "total": total,
-        "valid": valid,
-        "transactions": sum(r["transactions"] for r in records),
-        "wall_sec_sum": round(sum(r.get("duration_sec", 0.0) for r in records), 2),
+        "skipped_shards": sum(1 for r in records if r["skipped"]),
+        "failed_shards": len(failed),
+        "total": sum(r["total"] for r in done),
+        "valid": sum(r["valid"] for r in done),
+        "transactions": sum(r["transactions"] for r in done),
+        "wall_sec_sum": round(sum(r.get("duration_sec", 0.0) for r in done), 2),
         "output": args.output,
     }))
     ray.shutdown()
