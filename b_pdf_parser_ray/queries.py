@@ -1080,16 +1080,21 @@ def extract_docs(sf_dir: str):
                 batch.column("is_valid"),
                 pc.cast(n_txns, pa.int64()),
                 status,
+                batch.column("n_chars"),
             ],
-            names=["doc_id", "is_valid", "n_txns", "status"],
+            names=["doc_id", "is_valid", "n_txns", "status", "n_chars"],
         )
 
     return extracted.map_batches(project, batch_format="pyarrow")
 
 
+# n_chars is the text-derived column that makes this oracle non-constant;
+# the extraction-status columns are constant on this corpus because the
+# driver documents are not statement-shaped (statement corpora are covered
+# by the fixture-based differential tests)
 EXTRACT_DOCS_SQL = """
 SELECT doc_id, CAST(false AS BOOLEAN) AS is_valid, CAST(0 AS BIGINT) AS n_txns,
-       'not_available' AS status
+       'not_available' AS status, CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """
 

@@ -223,8 +223,13 @@ class TextExtractor:
         self.verify = verify
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         doc_ids = [str(d) for d in batch.column("doc_id").to_pylist()]
         texts = batch.column("text").to_pylist()
+        n_chars = pc.cast(
+            pc.fill_null(pc.utf8_length(batch.column("text")), 0), pa.int64()
+        )
         strategies = (
             batch.column("strategy").to_pylist()
             if "strategy" in batch.column_names
@@ -256,7 +261,9 @@ class TextExtractor:
                 pa.array(txns_out, type=pa.list_(TRANSACTION_TYPE)),
                 pa.array(valid_out, type=pa.bool_()),
                 pa.array(verify_out, type=VERIFICATION_TYPE),
+                n_chars,
                 pa.array(error_out, type=pa.string()),
             ],
-            names=["doc_id", "metadata", "transactions", "is_valid", "verification", "error"],
+            names=["doc_id", "metadata", "transactions", "is_valid",
+                   "verification", "n_chars", "error"],
         )
