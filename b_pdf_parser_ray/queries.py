@@ -1639,9 +1639,19 @@ FROM documents
 
 
 def _query_vector(sf_dir: str) -> np.ndarray:
-    emb = read_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    idx = pc.index(emb.column("vec_id"), 0).as_py()
-    return np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float64)
+    """One query vector by id — row-group-pushdown filtered read, so only
+    matching row groups leave storage (a full-table driver read of a
+    10^12-row embeddings table to fetch one row would be the bug)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    return np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def ann_topk(sf_dir: str):
