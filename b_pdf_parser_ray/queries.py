@@ -1281,12 +1281,17 @@ def dedup_ngram_verify(sf_dir: str, threshold: float = 0.5):
             names=["doc_a", "doc_b", "jaccard"],
         )
     need = pc.unique(key_tbl.column("doc_id").combine_chunks())
-    tbl = read_arrow(sf_dir, "documents", columns=["doc_id", "text"])
-    tbl = tbl.filter(
-        pc.is_in(
-            pc.cast(tbl.column("doc_id"), pa.string()),
-            value_set=pc.cast(need, pa.string()),
-        )
+    # genuinely pushed-down candidate fetch: the `in` filter prunes row
+    # groups at the read, so only fragments containing candidate docs are
+    # decoded (a full-table driver read here would not survive 100 TB)
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", need.to_pylist())],
     ).combine_chunks()
     texts_ref = ray.put(
         dict(zip((str(d) for d in tbl.column("doc_id").to_pylist()),
