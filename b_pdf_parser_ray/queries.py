@@ -1532,27 +1532,41 @@ def customer_sample_per_segment(sf_dir: str, n: int = 10):
     segment, chosen by key hash — same rows on every run, any cluster size,
     no coordination (the per-stratum version of ``doc_sample_hash``).
 
-    5 segments → one Ray group per segment is fine; a high-cardinality
-    stratum key would use the salted-partition pattern with the same
-    in-group vectorized rank."""
+    Scale shape: each batch pre-reduces to its n smallest hashes per
+    segment (a mergeable partial, same idea as ``topk_cosine``), so the
+    groupby exchange carries ≤ |segments|·n·|blocks| candidate rows — never
+    the stratum population.  A high-cardinality stratum key would use the
+    salted-partition pattern with the same in-group vectorized rank."""
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    def top_n_pd(g: pd.DataFrame) -> pd.DataFrame:
+        # uint64 order == wrapped int64 bits; compare in uint64 space
+        g = g.assign(hu=g["h"].to_numpy().view("uint64"))
+        return g.sort_values(["hu", "c_custkey"]).head(n)[
+            ["c_mktsegment", "c_custkey", "h"]
+        ]
+
+    def partial(batch: pa.Table) -> pa.Table:
         keys = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = keys * np.uint64(_SAMPLE_A) + np.uint64(_SAMPLE_B)
-        return batch.append_column("h", pa.array(h.view(np.int64)))
-
-    def top_n(g: pd.DataFrame) -> pd.DataFrame:
-        # uint64 order == int64-bits order shifted; compare in uint64 space
-        g = g.assign(hu=g["h"].to_numpy().view("uint64"))
-        g = g.sort_values(["hu", "c_custkey"]).head(n)
-        return g[["c_mktsegment", "c_custkey"]]
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": batch.column("c_mktsegment").to_pandas(),
+                "c_custkey": batch.column("c_custkey").to_pandas(),
+                "h": h.view(np.int64),
+            }
+        )
+        out = df.groupby("c_mktsegment", sort=False, group_keys=False).apply(top_n_pd)
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("c_mktsegment")
-        .map_groups(top_n, batch_format="pandas")
+        .map_groups(
+            lambda g: top_n_pd(g)[["c_mktsegment", "c_custkey"]],
+            batch_format="pandas",
+        )
     )
 
 
