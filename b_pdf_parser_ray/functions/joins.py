@@ -38,6 +38,12 @@ def _collect_arrow(ds) -> pa.Table:
         t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
         for t in ray.get(ds.to_arrow_refs())
     ]
+    if not tables:
+        # zero block refs (fully-filtered side): an empty zero-column table
+        # (a map_batches Dataset that never ran has no recoverable schema);
+        # callers treat it as the trivial empty side — semi returns nothing,
+        # anti/lookup pass through / return empty
+        return pa.table({})
     return pa.concat_tables(tables).combine_chunks()
 
 
@@ -53,6 +59,8 @@ def _collect_keys(keys_ds, key: str) -> pa.Array:
             batch_format="pyarrow",
         )
     )
+    if key not in tbl.column_names:  # empty key side (zero blocks)
+        return pa.array([], type=pa.null())
     return pc.drop_null(pc.unique(tbl.column(key).combine_chunks()))
 
 
@@ -74,7 +82,10 @@ def semi_join(
 
         from .broadcast import get_cached
 
-        keys_ref = ray.put(_collect_keys(keys_ds, right_key))
+        keys = _collect_keys(keys_ds, right_key)
+        if len(keys) == 0:  # empty key side: nothing can match
+            return left_ds.limit(0)
+        keys_ref = ray.put(keys)
 
         def filt(batch: pa.Table) -> pa.Table:
             # null left key → no match (SQL EXISTS semantics)
@@ -113,7 +124,10 @@ def anti_join(
 
         from .broadcast import get_cached
 
-        keys_ref = ray.put(_collect_keys(keys_ds, right_key))
+        keys = _collect_keys(keys_ds, right_key)
+        if len(keys) == 0:  # empty key side: every left row survives
+            return left_ds
+        keys_ref = ray.put(keys)
 
         def filt(batch: pa.Table) -> pa.Table:
             # null left key → kept (SQL NOT EXISTS semantics)
@@ -162,6 +176,11 @@ def lookup_join(
         from .broadcast import get_cached
 
         tbl = _collect_arrow(right_ds)
+        if right_key not in tbl.column_names or tbl.num_rows == 0:
+            # empty lookup side: inner join yields no rows (note: the
+            # appended value columns are unknowable here, so the result
+            # carries the left schema only — it has zero rows either way)
+            return left_ds.limit(0)
         # null right keys can never equi-match (SQL semantics); dropping
         # them also stops index_in's null-matches-null behavior
         tbl = tbl.filter(pc.is_valid(tbl.column(right_key)))

@@ -171,8 +171,29 @@ def run_resumable(
 
     store = ManifestStore(output_dir)
 
+    # Shard identity: file basename stem — unless two inputs share a basename
+    # (same-named files in different directories), in which case ids fall back
+    # to the path relative to the common root (separators sanitized).  Without
+    # this, concurrent in-flight shards with colliding ids would rmtree/write
+    # the same shard dir and manifest (last writer wins, silent corruption).
+    def _stem(p: str) -> str:
+        return os.path.splitext(os.path.basename(p))[0]
+
+    shard_ids = [_stem(p) for p in input_files]
+    if len(set(shard_ids)) < len(shard_ids):
+        abspaths = [os.path.abspath(p) for p in input_files]
+        root = os.path.commonpath(abspaths) if len(abspaths) > 1 else os.path.dirname(abspaths[0])
+        shard_ids = [
+            os.path.splitext(os.path.relpath(p, root))[0].replace(os.sep, "__")
+            for p in abspaths
+        ]
+        if len(set(shard_ids)) < len(shard_ids):
+            dupes = sorted({s for s in shard_ids if shard_ids.count(s) > 1})
+            raise ValueError(f"duplicate input shards: {dupes}")
+    shard_of = dict(zip(input_files, shard_ids))
+
     def process_once(path: str) -> Dict[str, object]:
-        shard = os.path.splitext(os.path.basename(path))[0]
+        shard = shard_of[path]
         if store.is_done(shard):
             rec = store.load(shard)
             rec["skipped"] = True
@@ -223,7 +244,7 @@ def run_resumable(
         try:
             return process(path)
         except Exception as exc:  # shard-level containment
-            shard = os.path.splitext(os.path.basename(path))[0]
+            shard = shard_of[path]
             store.record(
                 shard,
                 {"input_path": path, "error": f"{type(exc).__name__}: {exc}"},

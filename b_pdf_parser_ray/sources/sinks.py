@@ -41,8 +41,11 @@ def normalize_transactions_batch(batch: pa.Table) -> pa.Table:
     fmt = kernel.format_number_for_csv
 
     def fmt_col(name: str) -> pa.Array:
+        # null/empty → "" (never a null): the reference's
+        # _format_number_for_csv(None) returns "", and downstream Arrow/
+        # parquet consumers of this table rely on the column being null-free
         return pa.array(
-            [fmt(v) if v else v for v in flat.field(name).to_pylist()],
+            [fmt(v) if v else "" for v in flat.field(name).to_pylist()],
             type=pa.string(),
         )
 

@@ -189,3 +189,31 @@ def test_randomized_joins_match_duckdb(ray_session, seed):
               .to_pandas().sort_values("v").reset_index(drop=True))
         pd.testing.assert_frame_equal(
             lk[["v", "name"]], want_lookup, check_dtype=False)
+
+
+def test_empty_key_side_broadcast_plan(ray_session):
+    """A fully-filtered key side yields zero block refs; the broadcast plan
+    must return the trivial result, not crash in concat_tables."""
+    import ray.data
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}))
+    right = ray.data.from_arrow(pa.table({"rk": [99]})).filter(
+        lambda r: r["rk"] < 0
+    )
+    assert semi_join(left, right, "k", "rk", right_source_rows=1).count() == 0
+    assert sorted(
+        anti_join(left, right, "k", "rk", right_source_rows=1).to_pandas()["v"]
+    ) == [10, 20, 30]
+    assert (
+        lookup_join(
+            left,
+            ray.data.from_arrow(pa.table({"rk": [99], "name": ["x"]})).filter(
+                lambda r: r["rk"] < 0
+            ),
+            "k",
+            "rk",
+            ["name"],
+            right_source_rows=1,
+        ).count()
+        == 0
+    )

@@ -352,3 +352,34 @@ def test_resumable_records_failed_shard_and_continues(ray_session, tmp_path):
     by_id2 = {r["partition_id"]: r for r in recs2}
     assert by_id2["good"]["skipped"] is True
     assert by_id2["bad"]["status"] == "done" and by_id2["bad"]["total"] == 10
+
+
+def test_resumable_same_basename_shards_do_not_collide(ray_session, tmp_path):
+    """Two input files with the same basename in different directories must
+    get distinct shard ids (relative-path fallback), not silently overwrite
+    one another's shard dir and manifest."""
+    a_dir = tmp_path / "a"
+    b_dir = tmp_path / "b"
+    a_dir.mkdir()
+    b_dir.mkdir()
+    pa_path = a_dir / "part.parquet"
+    pb_path = b_dir / "part.parquet"
+    pq.write_table(fixtures.corpus_table(15, start=0), pa_path)
+    pq.write_table(fixtures.corpus_table(15, start=15), pb_path)
+
+    out = tmp_path / "out"
+    recs = run_resumable(
+        [str(pa_path), str(pb_path)], str(out), concurrency=2,
+        max_inflight_shards=2,
+    )
+    ids = [r["partition_id"] for r in recs]
+    assert len(set(ids)) == 2, ids
+    assert sum(r["total"] for r in recs) == 30
+
+    import ray.data
+
+    assert ray.data.read_parquet(str(out)).count() == 30
+
+    # a literally duplicated input path is a genuine error
+    with pytest.raises(ValueError, match="duplicate input shards"):
+        run_resumable([str(pa_path), str(pa_path)], str(tmp_path / "out2"))

@@ -147,3 +147,38 @@ def test_read_documents_lance_requires_package():
         pytest.skip("lance installed; error path not applicable")
     with pytest.raises(ImportError):
         read_documents("/tmp/nonexistent.lance")
+
+
+def test_normalized_transactions_are_null_free(ray_session):
+    """None debit/credit/balance must land as "" (the reference's
+    _format_number_for_csv(None) semantics), never an Arrow null — parquet/
+    Arrow consumers of the normalized table rely on null-free amounts."""
+    txn_type = pa.list_(
+        pa.struct(
+            [
+                ("date", pa.string()),
+                ("description", pa.string()),
+                ("user", pa.string()),
+                ("debit", pa.string()),
+                ("credit", pa.string()),
+                ("balance", pa.string()),
+            ]
+        )
+    )
+    batch = pa.Table.from_arrays(
+        [
+            pa.array([1], type=pa.int64()),
+            pa.array(
+                [[{"date": "01/01/24 10:00:00", "description": "d", "user": "123456",
+                   "debit": None, "credit": "", "balance": "1,000.00"}]],
+                type=txn_type,
+            ),
+        ],
+        names=["doc_id", "transactions"],
+    )
+    flat = normalize_transactions_batch(batch)
+    for col in ("debit", "credit", "balance"):
+        assert flat.column(col).null_count == 0
+    assert flat.column("debit").to_pylist() == [""]
+    assert flat.column("credit").to_pylist() == [""]
+    assert flat.column("balance").to_pylist() == ["1000"]
