@@ -888,42 +888,52 @@ FROM events p WHERE p.event_type = 'purchase'
 
 
 def events_daily_top_user(sf_dir: str):
-    """Windowed top-1: highest-volume user per day.  Partial (day,user)
-    aggregation inside map_batches, then a groupby(day) argmax — the
-    shuffle carries one partial row per (day,user,block), never raw events."""
+    """Windowed top-1: highest-volume user per day, with every stage
+    bounded-memory at any user cardinality:
+
+    1. in-batch (day,user) pre-reduce (Arrow C group-by) — the exchange
+       carries one partial row per (day, user, block);
+    2. exact ``groupby((day,user)).aggregate(Sum)`` — fine-grained key, so
+       no single Ray group ever holds more than one (day,user)'s partials
+       (the former ``groupby(day).map_groups`` put |active users|×|blocks|
+       rows in ONE group per day — unbounded at 10⁹ users/day);
+    3. map-side top-1-per-day over the aggregated blocks (≤ |days| rows per
+       block survive);
+    4. final per-day argmax over ≤ |days|×|blocks| candidate rows."""
+    from ray.data.aggregate import Sum
+
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def day_user_partial(b: pa.Table) -> pa.Table:
         day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
-        df = pd.DataFrame(
-            {
-                "day": day.to_pandas(),
-                "user_id": b.column("user_id").to_pandas(),
-                "total_value": b.column("value").to_pandas(),
-            }
+        t = pa.Table.from_arrays(
+            [day, b.column("user_id"), b.column("value")],
+            names=["day", "user_id", "total_value"],
         )
-        out = df.groupby(["day", "user_id"], sort=False, as_index=False)[
-            "total_value"
-        ].sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out = t.group_by(["day", "user_id"], use_threads=False).aggregate(
+            [("total_value", "sum")]
+        )
+        return out.rename_columns(["day", "user_id", "total_value"])
 
-    def day_top(g: pd.DataFrame) -> pd.DataFrame:
-        # combine cross-block partials for this day, then argmax (ties → min
-        # user).  One Ray group per day (~tiny), pandas does the heavy part.
-        s = g.groupby("user_id", sort=False)["total_value"].sum()
-        best = s.sort_index().sort_values(kind="stable", ascending=False)
-        return pd.DataFrame(
-            {
-                "day": [g["day"].iloc[0]],
-                "user_id": [best.index[0]],
-                "total_value": sql_round(pd.Series([best.iloc[0]]), 2),
-            }
+    def top1_per_day(df: pd.DataFrame) -> pd.DataFrame:
+        # argmax per day (ties → min user): one multi-key sort, first per day
+        df = df.sort_values(
+            ["day", "total_value", "user_id"], ascending=[True, False, True]
         )
+        return df.drop_duplicates("day", keep="first")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = top1_per_day(g)
+        g["total_value"] = sql_round(g["total_value"], 2)
+        return g[["day", "user_id", "total_value"]]
 
     return (
         ds.map_batches(day_user_partial, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Sum("total_value", alias_name="total_value"))
+        .map_batches(top1_per_day, batch_format="pandas")
         .groupby("day")
-        .map_groups(day_top, batch_format="pandas")
+        .map_groups(finish, batch_format="pandas")
     )
 
 
@@ -1244,26 +1254,107 @@ FROM documents
 """
 
 
-def dedup_ngram_verify(sf_dir: str, threshold: float = 0.5):
+# Candidate-TEXT broadcast cap: unlike the joins planner's 8-byte-key cap,
+# each broadcast row here carries a full document body, so the cap is in
+# documents, not keys (100k docs × ~4 KB ≈ 400 MB object-store entry, read
+# zero-copy by every verify task).  Above it the verification switches to
+# two hash-partitioned Dataset.joins — unbounded scale.
+NGRAM_VERIFY_BROADCAST_MAX_DOCS = 100_000
+
+
+def dedup_ngram_verify(
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_broadcast_docs: int = None,
+    num_partitions: int = 8,
+):
     """Exact n-gram Jaccard verification of MinHash-LSH candidate pairs —
-    the verification itself runs DISTRIBUTED: the candidate-pair Dataset is
-    mapped in batches, each task recomputing exact shingle Jaccard against a
-    broadcast candidate-text side (bounded by |candidate docs|, which any
-    realistic dup rate keeps ≪ corpus; the texts are fetched with a
-    pushed-down filtered read of only those rows).  At a dup-heavy 100 TB
-    corpus the pair list can reach millions of rows — a driver loop (the
-    round-1 shape) would serialize exactly the part that grows."""
+    the verification itself runs DISTRIBUTED over the pair Dataset.
+
+    Size-gated like ``functions.joins``, but on an EXACT bound: the pair
+    list is materialized (it is consumed twice anyway), so |candidate docs|
+    ≤ 2·|pairs| is known, not assumed.  Under the cap the candidate texts
+    are fetched with a pushed-down filtered read (only row groups holding
+    candidate ids are decoded — ``pq.read_table`` accepts a single file or
+    a fragment directory) and broadcast once; above it — the dup-heavy
+    corpus where candidates ≈ corpus — texts are attached to the pairs with
+    two hash-partitioned ``Dataset.join``s (pairs⋈documents on ``a``, then
+    on ``b``) and verified inside the joined batches, so nothing
+    corpus-sized ever reaches the driver."""
+    import os
+
     import ray
 
     from .functions.broadcast import get_cached
     from .functions.dedup import minhash_lsh_pairs, ngram_jaccard
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    # pairs are tiny by construction (bounded by dup rate) and consumed twice
-    # (key projection + verification) — materialize so the LSH pass runs once
-    pairs_ds = minhash_lsh_pairs(ds, threshold=threshold).materialize()
+    if max_broadcast_docs is None:
+        max_broadcast_docs = NGRAM_VERIFY_BROADCAST_MAX_DOCS
 
-    # candidate doc ids: a per-batch-unique projection of the (tiny) pair set
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # pairs are consumed twice (count/keys + verification) — materialize so
+    # the LSH pass runs once
+    pairs_ds = minhash_lsh_pairs(ds, threshold=threshold).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.float64())],
+            names=["doc_a", "doc_b", "jaccard"],
+        )
+
+    def verify_texts(b: pa.Table, a_text, b_text) -> pa.Table:
+        jac = pa.array(
+            [round(ngram_jaccard(x, y), 5) for x, y in zip(a_text, b_text)],
+            type=pa.float64(),
+        )
+        out = pa.Table.from_arrays(
+            [b.column("a"), b.column("b"), jac], names=["doc_a", "doc_b", "jaccard"]
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    if 2 * n_pairs > max_broadcast_docs:
+        # hash plan: attach text_a / text_b via two partitioned exchanges
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        # Normalize the pair projection: Ray's groupby emits ZERO-COLUMN
+        # empty blocks for empty partitions, which crash the hash-join's
+        # per-partition pa.Table.join ("no match for FieldRef a") — rebuild
+        # each block with the fixed (a, b) schema instead of select_columns.
+        def pair_proj(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "a" not in b.column_names:
+                return pa.Table.from_arrays(
+                    [pa.array([], type=pa.int64()), pa.array([], type=pa.int64())],
+                    names=["a", "b"],
+                )
+            return b.select(["a", "b"])
+
+        # The repartition is load-bearing, not cosmetic: Ray skips the map
+        # UDF on empty blocks, so zero-column PANDAS empties from the
+        # upstream groupby survive pair_proj and poison the join's
+        # schema inference (left schema = names=[] → "no match for FieldRef
+        # a").  One cheap exchange over (a,b) int64 rows re-emits every
+        # block as Arrow with the unified (a,b) schema.
+        #
+        # Dataset.join drops the right key column, so each join leaves just
+        # the picked-up text column to rename
+        j1 = pairs_ds.map_batches(pair_proj, batch_format="pyarrow").repartition(
+            num_partitions
+        ).join(
+            docs, join_type="inner", num_partitions=num_partitions,
+            on=("a",), right_on=("doc_id",),
+        ).rename_columns({"text": "text_a"})
+        j2 = j1.join(
+            docs, join_type="inner", num_partitions=num_partitions,
+            on=("b",), right_on=("doc_id",),
+        ).rename_columns({"text": "text_b"})
+        return j2.map_batches(
+            lambda b: verify_texts(
+                b, b.column("text_a").to_pylist(), b.column("text_b").to_pylist()
+            ),
+            batch_format="pyarrow",
+        )
+
+    # broadcast plan: candidate doc ids from the (tiny) pair set
     def pair_keys(b: pa.Table) -> pa.Table:
         ids = pc.unique(
             pa.chunked_array([b.column("a"), b.column("b")]).combine_chunks()
@@ -1274,18 +1365,9 @@ def dedup_ngram_verify(sf_dir: str, threshold: float = 0.5):
         pairs_ds.map_batches(pair_keys, batch_format="pyarrow").to_pandas(),
         preserve_index=False,
     )
-    if key_tbl.num_rows == 0:
-        return pa.Table.from_arrays(
-            [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
-             pa.array([], type=pa.float64())],
-            names=["doc_a", "doc_b", "jaccard"],
-        )
     need = pc.unique(key_tbl.column("doc_id").combine_chunks())
-    # genuinely pushed-down candidate fetch: the `in` filter prunes row
-    # groups at the read, so only fragments containing candidate docs are
-    # decoded (a full-table driver read here would not survive 100 TB)
-    import os
-
+    # pushed-down candidate fetch: the `in` filter prunes row groups (and
+    # fragments, when the table is a directory of files) at the read
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
@@ -1300,17 +1382,11 @@ def dedup_ngram_verify(sf_dir: str, threshold: float = 0.5):
 
     def verify_batch(b: pa.Table) -> pa.Table:
         texts = get_cached(texts_ref)
-        a_ids = b.column("a").to_pylist()
-        b_ids = b.column("b").to_pylist()
-        jac = pa.array(
-            [round(ngram_jaccard(texts[str(x)], texts[str(y)]), 5)
-             for x, y in zip(a_ids, b_ids)],
-            type=pa.float64(),
+        return verify_texts(
+            b,
+            (texts[str(x)] for x in b.column("a").to_pylist()),
+            (texts[str(y)] for y in b.column("b").to_pylist()),
         )
-        out = pa.Table.from_arrays(
-            [b.column("a"), b.column("b"), jac], names=["doc_a", "doc_b", "jaccard"]
-        )
-        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
     return pairs_ds.map_batches(verify_batch, batch_format="pyarrow")
 

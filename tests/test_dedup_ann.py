@@ -239,3 +239,34 @@ def test_fingerprint_goldens(ray_session):
     assert out[1]["fingerprint"] == "4bc51d1bf278056b"
     # whitespace is significant (double space tokenizes differently)
     assert out[2]["fingerprint"] != out[0]["fingerprint"]
+
+
+def test_ngram_verify_both_plans_agree(ray_session, dup_corpus, tmp_path):
+    """dedup_ngram_verify is size-gated: the broadcast plan (candidate texts
+    fetched + broadcast) and the hash plan (two partitioned Dataset.joins)
+    must produce identical verified pairs.  max_broadcast_docs=0 forces the
+    hash plan the way tests pin the joins planner."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import dedup_ngram_verify
+
+    pq.write_table(dup_corpus, tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    def run(**kw):
+        out = dedup_ngram_verify(sf, threshold=0.5, **kw)
+        if not isinstance(out, pa.Table):
+            out = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+        return (
+            out.to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    bcast = run()
+    hash_ = run(max_broadcast_docs=0)
+    assert len(bcast) > 0  # planted dups must verify
+    found = {tuple(p) for p in bcast[["doc_a", "doc_b"]].to_numpy()}
+    assert (0, 100) in found and (0, 101) in found and (100, 101) in found
+    pd.testing.assert_frame_equal(bcast, hash_, check_dtype=False)
