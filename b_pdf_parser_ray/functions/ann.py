@@ -132,12 +132,76 @@ class IVFIndex:
 
         return ds.map_batches(tag, batch_format="pyarrow")
 
-    def search(self, assigned_ds, query_vec, k: int = 20, nprobe: int = 4):
-        """Top-k over only the nprobe nearest centroid partitions."""
+    def probe_clusters(self, query_vec, nprobe: int) -> List[int]:
+        """The ``nprobe`` centroid ids nearest to the query."""
         q = np.asarray(query_vec, dtype=np.float64)
         qn = q / np.linalg.norm(q)
-        probe = np.argsort(-(self.centroids @ qn))[:nprobe]
-        probe_set = [int(c) for c in probe]
+        return [int(c) for c in np.argsort(-(self.centroids @ qn))[:nprobe]]
+
+    def write_index(self, ds, index_dir: str) -> None:
+        """Materialize the cluster assignment ONCE as cluster-partitioned
+        parquet (``index_dir/cluster=N/``) — the layout that makes IVF's
+        promise real: a search reads only the probed directories, a
+        ~nprobe/n_clusters fraction of the corpus, instead of scanning
+        everything to filter by cluster membership.  Build cost is one
+        streaming pass + one partitioned write; the index is reusable
+        across queries."""
+        import os
+        import shutil
+
+        if os.path.exists(index_dir):
+            # write_parquet appends uniquely-named files; a stale index dir
+            # would duplicate rows
+            shutil.rmtree(index_dir)
+        self.assign(ds).write_parquet(index_dir, partition_cols=["cluster"])
+
+    @staticmethod
+    def probe_paths(index_dir: str, clusters: List[int]) -> List[str]:
+        """Existing partition directories for the probed clusters (a probe
+        cluster that captured no vectors has no directory)."""
+        import os
+
+        paths = []
+        for c in clusters:
+            p = os.path.join(index_dir, f"cluster={c}")
+            if os.path.isdir(p):
+                paths.append(p)
+        return paths
+
+    def search_partitioned(
+        self, index_dir: str, query_vec, k: int = 20, nprobe: int = 4
+    ):
+        """Top-k reading ONLY the ``nprobe`` probed cluster partitions of a
+        ``write_index`` output — the scan never touches unprobed data."""
+        import os
+
+        import ray.data
+
+        dirs = self.probe_paths(index_dir, self.probe_clusters(query_vec, nprobe))
+        # read_parquet with a path LIST expects files, not directories —
+        # expand each probed partition dir to its fragment files
+        paths = [
+            os.path.join(d, f)
+            for d in dirs
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        if not paths:
+            return ray.data.from_arrow(
+                pa.Table.from_arrays(
+                    [pa.array([], type=pa.int64()), pa.array([], type=pa.float64())],
+                    names=["vec_id", "score"],
+                )
+            )
+        cand = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+        return topk_cosine(cand, query_vec, k=k)
+
+    def search(self, assigned_ds, query_vec, k: int = 20, nprobe: int = 4):
+        """Filter-based fallback over an in-memory assigned Dataset: correct,
+        but it SCANS every vector to test cluster membership — use
+        ``write_index`` + ``search_partitioned`` when the corpus lives in
+        storage (the 100 TB path)."""
+        probe_set = self.probe_clusters(query_vec, nprobe)
 
         import pyarrow.compute as pc
 

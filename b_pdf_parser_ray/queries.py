@@ -1765,12 +1765,25 @@ ORDER BY score DESC, vec_id LIMIT 20
 
 
 def ann_ivf_topk(sf_dir: str):
+    """IVF top-k via the partition-pruned path: train → materialize the
+    cluster assignment once as cluster-partitioned parquet → search reads
+    ONLY the nprobe probed partition dirs (~nprobe/n_clusters of the corpus;
+    the former filter-based search scanned every vector for membership)."""
+    import hashlib
+    import os
+    import tempfile
+
     from .functions.ann import IVFIndex
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     index = IVFIndex.train(ds, n_clusters=8)
-    assigned = index.assign(ds)
-    return index.search(assigned, _query_vector(sf_dir), k=10, nprobe=3)
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        "b_pdf_parser_ray_ivf",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    index.write_index(ds, index_dir)
+    return index.search_partitioned(index_dir, _query_vector(sf_dir), k=10, nprobe=3)
 
 
 def embedding_norms(sf_dir: str):

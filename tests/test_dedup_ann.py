@@ -270,3 +270,50 @@ def test_ngram_verify_both_plans_agree(ray_session, dup_corpus, tmp_path):
     found = {tuple(p) for p in bcast[["doc_a", "doc_b"]].to_numpy()}
     assert (0, 100) in found and (0, 101) in found and (100, 101) in found
     pd.testing.assert_frame_equal(bcast, hash_, check_dtype=False)
+
+
+def test_ivf_partitioned_search_prunes_to_probe_dirs(ray_session, tmp_path):
+    """write_index + search_partitioned must (a) read ONLY the probed
+    cluster directories, (b) scan strictly less than the corpus, and
+    (c) keep recall vs brute force."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    rng = np.random.RandomState(9)
+    centers = rng.normal(size=(8, 64)) * 3
+    vecs = np.concatenate([c + rng.normal(size=(40, 64)) for c in centers])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    q = vecs[5]
+
+    index = IVFIndex.train(ds, n_clusters=8, sample_fraction=0.5)
+    index_dir = str(tmp_path / "ivf")
+    index.write_index(ds, index_dir)
+
+    # (a) probe paths are exactly the existing dirs of the probed clusters
+    probe = index.probe_clusters(q, nprobe=3)
+    paths = IVFIndex.probe_paths(index_dir, probe)
+    assert paths and all(
+        os.path.basename(p) in {f"cluster={c}" for c in probe} for p in paths
+    )
+    all_dirs = {d for d in os.listdir(index_dir) if d.startswith("cluster=")}
+    assert len(all_dirs) > len(paths)  # unprobed partitions exist and are skipped
+
+    # (b) rows under the probed dirs (parquet footers) < corpus rows
+    def dir_rows(d):
+        return sum(
+            pq.read_metadata(os.path.join(d, f)).num_rows
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    scanned = sum(dir_rows(p) for p in paths)
+    assert 0 < scanned < len(vecs)
+
+    # (c) recall against brute force
+    brute = set(topk_cosine(ds, q, k=10).to_pandas()["vec_id"])
+    approx = set(
+        index.search_partitioned(index_dir, q, k=10, nprobe=3).to_pandas()["vec_id"]
+    )
+    assert len(brute & approx) / 10 >= 0.8
