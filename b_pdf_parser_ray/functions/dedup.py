@@ -518,6 +518,7 @@ def embedding_near_dups(
     n_tables: int = 4,
     seed: int = 11,
     dim: int = 64,
+    num_partitions: int = 64,
 ):
     """Cosine-similarity near-duplicate pairs via random-hyperplane LSH.
 
@@ -570,8 +571,6 @@ def embedding_near_dups(
         return pd.DataFrame({"a": a_out, "b": b_out, "cosine": c_out})
 
     from ray.data.aggregate import Max
-
-    num_partitions = 64
 
     def partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": [], "b": [], "cosine": []})

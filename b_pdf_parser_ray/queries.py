@@ -706,13 +706,18 @@ FROM events GROUP BY event_type
 """
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_partitions: int = 64):
+def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_partitions: int = None):
     """Session counts per user: salted groupby(user_id % P) shuffle, then a
     pandas per-user pass inside each partition — one Ray group per coarse
     partition instead of one per user (per-group machinery dominates at
-    millions of users; same pattern as the dedup operators).  Ordering
-    assumption: within one user's rows only — enforced by the in-group
-    sort, never by block order (ray_guide.md 'Streaming-shaped')."""
+    millions of users; same pattern as the dedup operators).  P scales with
+    the events-table row count so one partition-group stays worker-sized.
+    Ordering assumption: within one user's rows only — enforced by the
+    in-group sort, never by block order (ray_guide.md 'Streaming-shaped')."""
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "events"))
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -809,7 +814,7 @@ FROM (
 """
 
 
-def events_asof_attribution(sf_dir: str, num_partitions: int = 64):
+def events_asof_attribution(sf_dir: str, num_partitions: int = None):
     """As-of join (backward): for every 'purchase' event, the same user's
     most recent 'click' at or before it — click→purchase attribution.
 
@@ -817,7 +822,12 @@ def events_asof_attribution(sf_dir: str, num_partitions: int = 64):
     key, so each partition holds every row it needs), then a per-partition
     ``pd.merge_asof(by=user_id)`` — vectorized, no per-user Python.  The
     partitioning assumption this operator relies on: the as-of key (user)
-    must be entirely within one partition; the salt guarantees it."""
+    must be entirely within one partition; the salt guarantees it.  P
+    scales with the events row count (footer metadata)."""
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "events"))
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -1188,15 +1198,27 @@ def doc_fingerprints(sf_dir: str):
     )
 
 
+def _doc_salt_partitions(sf_dir: str, table: str, rows_per_doc: int) -> int:
+    """P for the banded dedup shuffles: the exchanged rows are band rows
+    (``rows_per_doc`` per document), so size P to the band-row count."""
+    from .sources.tables import salted_partitions, table_rows
+
+    return salted_partitions(table_rows(sf_dir, table) * rows_per_doc)
+
+
 def dedup_minhash(sf_dir: str):
     return minhash_lsh_pairs(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.5,
+        num_partitions=_doc_salt_partitions(sf_dir, "documents", 16),  # 16 bands
     )
 
 
 def dedup_simhash(sf_dir: str):
     return simhash_pairs(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_hamming=3,
+        num_partitions=_doc_salt_partitions(sf_dir, "documents", 4),  # 4 bands
     )
 
 
@@ -1204,6 +1226,7 @@ def dedup_embeddings(sf_dir: str):
     return embedding_near_dups(
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
         threshold=0.9,
+        num_partitions=_doc_salt_partitions(sf_dir, "embeddings", 4),  # 4 tables
     )
 
 
@@ -1426,49 +1449,133 @@ def media_video_frames(sf_dir: str):
 
 
 def span_roundtrip_stats(sf_dir: str):
-    """Exploded-span path end-to-end: corpus → explode (row per span) →
-    salted shuffle → offset-ordered reassembly → per-kind span counts,
-    with an in-query invariant check that reassembly preserved every
-    document's span count and offset order."""
-    import ray.data
+    """Exploded-span path end-to-end, oracle-checked: each document's text
+    is deterministically rendered as a span sequence (one text span per
+    whitespace token, plus a media span inserted after every 7th token —
+    offsets 0..n_spans-1 by construction), pushed through the REAL
+    explode → salted shuffle → offset-ordered reassembly path, and reduced
+    to per-document stats the oracle recomputes from ``text`` alone:
 
-    from .fixtures import corpus_table
+    * ``n_spans`` / ``n_media`` — lossless roundtrip (count identities);
+    * ``offsets_ok`` — reassembled offsets are exactly 0..n_spans-1 in
+      order (the oracle emits literal TRUE; the hash check enforces it);
+    * ``body_chars`` — Σ len(text-span text) = len(text) - n_tokens + 1,
+      so content (not just counts) survived the shuffle."""
+    from .model import SPAN_TYPE
+    from .sources.tables import salted_partitions, table_rows
     from .stages.reassemble import explode, reassemble
 
-    tbl = corpus_table(200)
-    ds = ray.data.from_arrow(tbl)
-    back = reassemble(explode(ds))
+    # one reassembly partition per ~50k documents (~5M spans at ~100
+    # tokens/doc) — scales with the corpus, output-invariant
+    reassemble_parts = salted_partitions(
+        table_rows(sf_dir, "documents"), target_rows=50_000
+    )
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth_spans(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        toks = tok_lists.flatten()
+        n_tok = pc.list_value_length(tok_lists).to_numpy().astype(np.int64)
+        ndocs = len(n_tok)
+        tok_doc = pc.list_parent_indices(tok_lists).to_numpy().astype(np.int64)
+        tok_starts = np.cumsum(n_tok) - n_tok
+        j = np.arange(len(toks), dtype=np.int64) - tok_starts[tok_doc]
+        text_off = j + j // 7  # media after every 7th token shifts later spans
+        n_med = n_tok // 7
+        med_doc = np.repeat(np.arange(ndocs, dtype=np.int64), n_med)
+        med_starts = np.cumsum(n_med) - n_med
+        k = np.arange(len(med_doc), dtype=np.int64) - med_starts[med_doc] + 1
+        med_off = 8 * k - 1
+
+        doc_all = np.concatenate([tok_doc, med_doc])
+        off_all = np.concatenate([text_off, med_off]).astype(np.int32)
+        kind_all = pa.concat_arrays(
+            [
+                pa.nulls(len(toks), pa.string()).fill_null("text"),
+                pa.nulls(len(med_doc), pa.string()).fill_null("media"),
+            ]
+        )
+        text_all = pa.concat_arrays(
+            [toks.cast(pa.string()), pa.nulls(len(med_doc), pa.string()).fill_null("")]
+        )
+        ref_all = pa.concat_arrays(
+            [
+                pa.nulls(len(toks), pa.string()).fill_null(""),
+                pa.array([f"Im{o}" for o in med_off], type=pa.string()),
+            ]
+        )
+        order = np.lexsort((off_all, doc_all))
+        struct = pa.StructArray.from_arrays(
+            [
+                kind_all.take(pa.array(order)),
+                text_all.take(pa.array(order)),
+                ref_all.take(pa.array(order)),
+                pa.array(off_all[order], type=pa.int32()),
+            ],
+            fields=list(SPAN_TYPE),
+        )
+        counts = (n_tok + n_med).astype(np.int32)
+        offsets = pa.array(np.r_[0, np.cumsum(counts)].astype(np.int32))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.ListArray.from_arrays(offsets, struct)],
+            names=["doc_id", "spans"],
+        )
+
+    back = reassemble(
+        explode(
+            ds.map_batches(synth_spans, batch_format="pyarrow"),
+            num_partitions=reassemble_parts,
+        )
+    )
 
     def check(batch: pa.Table) -> pa.Table:
-        spans = batch.column("spans")
-        n_spans = pc.list_value_length(spans)
-        flat = spans.combine_chunks().flatten()
-        kinds = flat.field("kind")
-        ordered = []
-        for row in spans.to_pylist():
-            offs = [s["offset"] for s in row]
-            ordered.append(offs == sorted(offs))
+        spans = batch.column("spans").combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0) if spans.num_chunks else pa.array([], type=spans.type)
+        n_spans = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+        starts = np.cumsum(n_spans) - n_spans
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        offs = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_media = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        ndocs = batch.num_rows
+        bad = np.zeros(ndocs, dtype=np.int64)
+        np.add.at(bad, parent, (offs != pos).astype(np.int64))
+        n_media = np.zeros(ndocs, dtype=np.int64)
+        np.add.at(n_media, parent, is_media.astype(np.int64))
+        body = np.zeros(ndocs, dtype=np.int64)
+        np.add.at(body, parent, chars)
         return pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
-                pc.cast(n_spans, pa.int64()),
-                pa.array(ordered, type=pa.bool_()),
-                pa.array(
-                    [sum(1 for s in row if s["kind"] == "media") for row in spans.to_pylist()],
-                    type=pa.int64(),
-                ),
+                pa.array(n_spans),
+                pa.array(n_media),
+                pa.array(bad == 0, type=pa.bool_()),
+                pa.array(body),
             ],
-            names=["doc_id", "n_spans", "offsets_sorted", "n_media"],
+            names=["doc_id", "n_spans", "n_media", "offsets_ok", "body_chars"],
         )
 
-    out = back.map_batches(check, batch_format="pyarrow").to_pandas()
-    truth = {r["doc_id"]: len(r["spans"]) for r in tbl.to_pylist()}
-    out["count_matches"] = [
-        truth[d] == n for d, n in zip(out["doc_id"], out["n_spans"])
-    ]
-    return pa.Table.from_pandas(
-        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
-    )
+    return back.map_batches(check, batch_format="pyarrow")
+
+
+SPAN_ROUNDTRIP_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         len(string_split(text, ' ')) AS n,
+         length(text) AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n + n // 7 AS BIGINT) AS n_spans,
+       CAST(n // 7 AS BIGINT)     AS n_media,
+       TRUE                       AS offsets_ok,
+       CAST(c - n + 1 AS BIGINT)  AS body_chars
+FROM t
+"""
 
 
 def extract_rollup_by_strategy(sf_dir: str):
@@ -1553,7 +1660,12 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
-def doc_pack_sequences(sf_dir: str, seq_len: int = 2048, num_partitions: int = 64):
+# One pack partition per ~1M documents: P is part of the OUTPUT (part,
+# pack_id), so the oracle recomputes the identical formula from count(*).
+PACK_TARGET_DOCS = 1_000_000
+
+
+def doc_pack_sequences(sf_dir: str, seq_len: int = 2048, num_partitions: int = None):
     """Sequence packing — the operator that turns a document corpus into
     fixed-length training sequences: contiguous documents (within a salted
     partition, in doc_id order) are concatenated and cut into packs of
@@ -1562,7 +1674,15 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = 2048, num_partitions: int = 6
     Scale shape: one salted shuffle (doc_id % P), then a fully vectorized
     in-partition cumsum — packing is embarrassingly parallel across
     partitions, which is exactly how production packers shard (global
-    contiguity buys nothing for training and would serialize the corpus)."""
+    contiguity buys nothing for training and would serialize the corpus).
+    P scales with the corpus (footer row count; 64 at bench sizes) so one
+    partition-group never outgrows a worker."""
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(
+            table_rows(sf_dir, "documents"), target_rows=PACK_TARGET_DOCS
+        )
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tokens_and_part(batch: pa.Table) -> pa.Table:
@@ -1590,14 +1710,19 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = 2048, num_partitions: int = 6
     )
 
 
-DOC_PACK_SQL = """
-SELECT doc_id, CAST(doc_id % 64 AS INTEGER) AS part, n_tokens,
+DOC_PACK_SQL = f"""
+WITH np AS (
+  SELECT CAST(POWER(2, CEIL(LOG2(GREATEST(64,
+              CEIL(count(*) / {float(PACK_TARGET_DOCS)}))))) AS BIGINT) AS p
+  FROM documents
+)
+SELECT doc_id, CAST(doc_id % (SELECT p FROM np) AS INTEGER) AS part, n_tokens,
        CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
 FROM (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
          sum(len(string_split(text, ' ')))
-           OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS cum
+           OVER (PARTITION BY doc_id % (SELECT p FROM np) ORDER BY doc_id) AS cum
   FROM documents
 ) t
 """
@@ -1902,6 +2027,7 @@ ORACLE_SQL: Dict[str, str] = {
     "customer_sample_per_segment": CUSTOMER_SAMPLE_SQL,
     "events_json_props": EVENTS_JSON_SQL,
     "doc_normalize_text": DOC_NORMALIZE_SQL,
+    "span_roundtrip_stats": SPAN_ROUNDTRIP_SQL,
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /
     # dedup_ngram_verify / ann_ivf_topk / approx_distinct_orders / media_*:
     # not SQL-expressible → rows-only driver check (sketch/heuristic/

@@ -74,6 +74,23 @@ def write_documents(ds, uri: str) -> None:
     ds.write_parquet(uri, compression="none")
 
 
+def salted_partitions(
+    source_rows: int, target_rows: int = 2_000_000, floor: int = 64
+) -> int:
+    """Partition count for the salted-shuffle operators, derived from the
+    source-table row count (footer metadata — no data read) so one
+    partition-group stays worker-memory-sized at ANY corpus: a fixed P=64
+    over 10^10 rows would put ~160M rows in one Ray group.  Power of two
+    (the salt is a bit-and), floored at 64 so small inputs keep enough
+    parallelism.  IEEE float formula (ceil(x/t), 2^ceil(log2(.))) matches
+    DuckDB's CEIL/LOG2/POWER exactly — the pack oracle recomputes it in
+    SQL from count(*)."""
+    import math
+
+    x = max(floor, math.ceil(source_rows / target_rows))
+    return 1 << math.ceil(math.log2(x))
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Exact row count from parquet footer metadata — no data read, no Ray.
     The size-gated join planner's input (functions/joins.py)."""

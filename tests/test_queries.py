@@ -94,3 +94,38 @@ def test_rows_only_queries_deterministic(ray_session, name):
     a = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
     b = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_salted_partitions_formula_and_duckdb_parity():
+    """P derivation: floor 64 at bench sizes, grows with rows, power of two;
+    the Python formula must agree with the SQL formula the pack oracle
+    embeds (POWER/CEIL/LOG2 over doubles) for row counts spanning 9 orders
+    of magnitude — P is part of doc_pack_sequences' OUTPUT."""
+    import duckdb
+
+    from b_pdf_parser_ray.queries import PACK_TARGET_DOCS
+    from b_pdf_parser_ray.sources.tables import salted_partitions
+
+    assert salted_partitions(0) == 64
+    assert salted_partitions(500) == 64
+    assert salted_partitions(2_000_000 * 64) == 64
+    assert salted_partitions(2_000_000 * 64 + 1) == 128
+    assert salted_partitions(10_000_000_000) > 64
+    for n in (1, 500, 5_000, 64_000_000, 64_000_001, 10**9, 10**12, 7 * 10**10):
+        p = salted_partitions(n, target_rows=PACK_TARGET_DOCS)
+        assert p & (p - 1) == 0  # power of two
+        sql_p = duckdb.sql(
+            f"SELECT CAST(POWER(2, CEIL(LOG2(GREATEST(64, "
+            f"CEIL({n} / {float(PACK_TARGET_DOCS)}))))) AS BIGINT)"
+        ).fetchone()[0]
+        assert p == sql_p, (n, p, sql_p)
+
+
+def test_sessionize_partition_count_invariance(ray_session):
+    """Salted-partition operators must be P-invariant: same results at any
+    partition count (the dynamic-P derivation changes P with corpus size)."""
+    from b_pdf_parser_ray.queries import events_sessionize
+
+    a = _normalize(_to_pandas(events_sessionize(SF_DIR, num_partitions=64)))
+    b = _normalize(_to_pandas(events_sessionize(SF_DIR, num_partitions=256)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
