@@ -897,21 +897,27 @@ FROM events p WHERE p.event_type = 'purchase'
 # ---------------------------------------------------------------------------
 
 
-def events_daily_top_user(sf_dir: str):
-    """Windowed top-1: highest-volume user per day, with every stage
-    bounded-memory at any user cardinality:
+def events_daily_top_user(sf_dir: str, num_partitions: int = None):
+    """Windowed top-1: highest-volume user per day, bounded-memory at any
+    user cardinality via the salted-partition pattern (one exchange, like
+    sessionize — an exact ``groupby((day,user)).aggregate(Sum)`` variant
+    measured ~2× slower in a matched A/B, see BASELINE.md):
 
     1. in-batch (day,user) pre-reduce (Arrow C group-by) — the exchange
        carries one partial row per (day, user, block);
-    2. exact ``groupby((day,user)).aggregate(Sum)`` — fine-grained key, so
-       no single Ray group ever holds more than one (day,user)'s partials
-       (the former ``groupby(day).map_groups`` put |active users|×|blocks|
-       rows in ONE group per day — unbounded at 10⁹ users/day);
-    3. map-side top-1-per-day over the aggregated blocks (≤ |days| rows per
-       block survive);
-    4. final per-day argmax over ≤ |days|×|blocks| candidate rows."""
-    from ray.data.aggregate import Sum
+    2. salted shuffle on ``user_id % P`` (P from the events row count):
+       all partials of one user land in one partition, so per-user daily
+       sums are exact there; each partition group holds ≤ |partials|/P
+       rows — never |active users|×|blocks| in one group (the round-2
+       shape, unbounded at 10⁹ users/day);
+    3. per-partition top-1 per day → ≤ |days|·P candidate rows total;
+    4. final per-day argmax in ONE task over the ≤ |days|·P candidates
+       (``repartition(1)`` — a groupby(day) here costs a full sort-shuffle
+       stage for a tiny input, measured +0.8 s at sf0.1)."""
+    from .sources.tables import salted_partitions, table_rows
 
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "events"))
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def day_user_partial(b: pa.Table) -> pa.Table:
@@ -922,8 +928,11 @@ def events_daily_top_user(sf_dir: str):
         )
         out = t.group_by(["day", "user_id"], use_threads=False).aggregate(
             [("total_value", "sum")]
+        ).rename_columns(["day", "user_id", "total_value"])
+        part = pc.cast(
+            pc.bit_wise_and(out.column("user_id"), num_partitions - 1), pa.int32()
         )
-        return out.rename_columns(["day", "user_id", "total_value"])
+        return out.append_column("part", part)
 
     def top1_per_day(df: pd.DataFrame) -> pd.DataFrame:
         # argmax per day (ties → min user): one multi-key sort, first per day
@@ -932,6 +941,14 @@ def events_daily_top_user(sf_dir: str):
         )
         return df.drop_duplicates("day", keep="first")
 
+    def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        # exact per-user daily sums (every partial of a user is in this
+        # partition), then this partition's daily winners
+        s = g.groupby(["day", "user_id"], sort=False, as_index=False)[
+            "total_value"
+        ].sum()
+        return top1_per_day(s)
+
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = top1_per_day(g)
         g["total_value"] = sql_round(g["total_value"], 2)
@@ -939,11 +956,12 @@ def events_daily_top_user(sf_dir: str):
 
     return (
         ds.map_batches(day_user_partial, batch_format="pyarrow")
-        .groupby(["day", "user_id"])
-        .aggregate(Sum("total_value", alias_name="total_value"))
-        .map_batches(top1_per_day, batch_format="pandas")
-        .groupby("day")
-        .map_groups(finish, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: part_top(g.drop(columns=["part"])), batch_format="pandas"
+        )
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
     )
 
 
