@@ -9,11 +9,12 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operator suite).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (31 of 43, incl. lang-id/quality/BPE-token oracles added in round 2);
+  (37 of 48, incl. the span-roundtrip oracle added in round 3);
   sketch/iterative/DOM/codec operators (fingerprints, minhash/simhash/
-  embedding dedup, KMV distinct, IVF ANN, media stubs) are rows-only by
-  design — each pinned instead by goldens, recall/precision, or tolerance
-  assertions in pytest (tests/test_dedup_ann.py, tests/test_queries.py).
+  embedding dedup, KMV distinct, IVF ANN, media stages) are rows-only by
+  design — each pinned instead by goldens, recall/precision, tolerance,
+  or real-codec ground-truth assertions in pytest
+  (tests/test_dedup_ann.py, tests/test_queries.py, tests/test_html_media.py).
 """
 
 from __future__ import annotations

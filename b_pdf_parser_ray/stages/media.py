@@ -5,12 +5,17 @@ metadata struct — the engine never interprets bytes outside these stages
 (the spans model stores only ``media_ref`` pointers; this module is where a
 ref would be resolved against a payload table and processed).
 
-The codec libraries (PIL/ffmpeg/soundfile) are NOT in this container, so
-**decode is stubbed**: ``fake=True`` parses this module's deterministic
-synthetic payload format; ``fake=False`` raises ``NotImplementedError`` at
-the exact call site a real decoder would occupy.  Everything around the
-stub — schemas, actor signatures, batch sizing, numpy feature kernels,
-output layout — is real and tested.
+Decode status per modality:
+
+* **audio — REAL**: RIFF/WAV (PCM16) payloads decode through the stdlib
+  ``wave`` codec (``_decode_wav``); ``synth_wav`` emits genuine WAV bytes,
+  so the audio stage exercises an actual container format end to end.
+* **image/video — stubbed**: PIL/ffmpeg are NOT in this container, so
+  ``fake=True`` parses this module's deterministic synthetic payload
+  format and ``fake=False`` raises ``NotImplementedError`` at the exact
+  call site a real decoder would occupy.  Everything around the stub —
+  schemas, actor signatures, batch sizing, numpy feature kernels, output
+  layout — is real and tested.
 
 Scale notes: payloads are large → small ``batch_size`` (16–64) so
 batch × concurrency fits worker heaps; stages are actor pools so a real
@@ -73,6 +78,46 @@ def fake_audio(media_id: str, sample_rate: int = 16000, n_samples: int = 16000) 
     return header + (_seed_bytes(f"aud:{media_id}", n_samples * 2)).tobytes()
 
 
+def synth_wav(media_id: str, sample_rate: int = 16000, n_samples: int = 16000) -> bytes:
+    """A REAL RIFF/WAV payload (16-bit mono PCM) — deterministic tone +
+    seeded noise.  This is genuine container-format bytes a stdlib codec
+    decodes; the audio path is therefore NOT a stub (see _decode_wav)."""
+    import io
+    import wave as wave_mod
+
+    h = hashlib.sha256(f"wav:{media_id}".encode()).digest()
+    rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64)[0])
+    freq = 110.0 + float(rng.integers(0, 880))
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    pcm = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n_samples)
+    samples = np.clip(pcm * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes):
+    """REAL audio decode via the stdlib ``wave`` codec (RIFF/WAV, PCM16).
+    Returns (sample_rate, int16 numpy samples of the first channel)."""
+    import io
+    import wave as wave_mod
+
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        if sw != 2:
+            raise NotImplementedError(f"only 16-bit PCM supported, got {8 * sw}-bit")
+        frames = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    if nch > 1:
+        frames = frames[::nch]  # first channel
+    return sr, frames
+
+
 def fake_video(media_id: str, width: int = 32, height: int = 24, n_frames: int = 30) -> bytes:
     header = _MAGIC + b"VID" + struct.pack("<iii", width, height, n_frames)
     return header + _seed_bytes(f"vid:{media_id}", width * height * n_frames).tobytes()
@@ -92,9 +137,11 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             metas.append({"format": "fake-img", "width": w, "height": h, "channels": 3,
                           "sample_rate": 0, "n_samples": 0, "n_frames": 1})
         elif kind == "audio":
+            # real RIFF/WAV bytes — the audio stage exercises an actual
+            # container decode (stdlib wave codec), not the stub format
             ns = 8000 + (i % 5) * 4000
-            payloads.append(fake_audio(mid, 16000, ns))
-            metas.append({"format": "fake-aud", "width": 0, "height": 0, "channels": 1,
+            payloads.append(synth_wav(mid, 16000, ns))
+            metas.append({"format": "wav", "width": 0, "height": 0, "channels": 1,
                           "sample_rate": 16000, "n_samples": ns, "n_frames": 0})
         else:
             nf = 10 + (i % 4) * 10
@@ -219,7 +266,11 @@ class ImageResizer:
 
 
 class AudioFeatures:
-    """audio payloads → per-clip RMS/zero-crossing features over fixed windows."""
+    """audio payloads → per-clip RMS/zero-crossing features over fixed windows.
+
+    RIFF/WAV payloads take the REAL stdlib-``wave`` decode path; the FAKE
+    wire format remains accepted for the synthetic stub payloads
+    (``fake=False`` rejects it, the honest-stub switch)."""
 
     def __init__(self, window: int = 2048, fake: bool = True):
         self.window, self.fake = window, fake
@@ -233,9 +284,12 @@ class AudioFeatures:
         ):
             if kind != "audio":
                 continue
-            if not self.fake:
+            if payload[:4] == b"RIFF":
+                sr, wave = _decode_wav(payload)
+            elif not self.fake:
                 raise NotImplementedError("real audio decode unavailable (see module docstring)")
-            sr, wave = _decode_fake(payload)
+            else:
+                sr, wave = _decode_fake(payload)
             x = wave.astype(np.float64) / 32768.0
             n = (len(x) // self.window) * self.window
             frames = x[:n].reshape(-1, self.window)

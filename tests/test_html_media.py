@@ -179,3 +179,51 @@ def test_video_frame_sampler_fan_out(ray_session):
     assert (out["frame_idx"] % 10 == 0).all()
     for payload in out["payload"].head(3):
         assert _decode_fake(payload).ndim == 3
+
+
+def test_wav_payloads_are_real_and_decode_matches_ground_truth(ray_session):
+    """The audio path is a REAL codec now: synth_wav emits genuine RIFF/WAV
+    bytes the stdlib wave module (an independent decoder here) round-trips,
+    and AudioFeatures' outputs equal features computed directly from the
+    known PCM."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from b_pdf_parser_ray.stages.media import AudioFeatures, _decode_wav, synth_wav
+
+    payload = synth_wav("clip_1", sample_rate=16000, n_samples=12000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+    # independent stdlib round-trip
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        assert w.getframerate() == 16000
+        assert w.getnframes() == 12000
+        raw = np.frombuffer(w.readframes(12000), dtype="<i2")
+    sr, got = _decode_wav(payload)
+    assert sr == 16000 and np.array_equal(got, raw)
+
+    # stage features == ground truth computed from the same PCM
+    batch = pa.Table.from_pylist(
+        [{"media_id": "clip_1", "kind": "audio", "payload": payload}]
+    )
+    out = AudioFeatures(window=2048)(batch).to_pylist()[0]
+    x = raw.astype(np.float64) / 32768.0
+    frames = x[: (len(x) // 2048) * 2048].reshape(-1, 2048)
+    assert out["duration_sec"] == len(x) / 16000
+    assert out["mean_rms"] == float(np.sqrt((frames**2).mean(axis=1)).mean())
+    assert out["zcr"] == float((np.diff(np.signbit(x)) != 0).mean())
+    # a real tone has substantial energy and a plausible zero-crossing rate
+    assert 0.2 < out["mean_rms"] < 0.5 and 0 < out["zcr"] < 0.5
+
+    # fake=False rejects only the stub format, not real WAV
+    from b_pdf_parser_ray.stages.media import fake_audio
+
+    strict = AudioFeatures(fake=False)
+    assert strict(batch).num_rows == 1
+    stub = pa.Table.from_pylist(
+        [{"media_id": "s", "kind": "audio", "payload": fake_audio("s")}]
+    )
+    with pytest.raises(NotImplementedError):
+        strict(stub)
