@@ -9,7 +9,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operator suite).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (37 of 48, incl. the span-roundtrip oracle added in round 3);
+  (39 of 50, incl. span-roundtrip, TF-IDF and PII-scrub oracles added in round 3);
   sketch/iterative/DOM/codec operators (fingerprints, minhash/simhash/
   embedding dedup, KMV distinct, IVF ANN, media stages) are rows-only by
   design — each pinned instead by goldens, recall/precision, tolerance,

@@ -1678,6 +1678,125 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def corpus_tfidf_top_terms(sf_dir: str, k: int = 20):
+    """Corpus-wide top-k terms by total TF-IDF — the salience-weighted
+    vocabulary builder (plain counts rank stopwords first; tf·idf ranks
+    what distinguishes documents).
+
+    Scale shape: ONE exchange.  Each batch pre-reduces to (term, tf, df)
+    partials with two Arrow C group-bys — (term, doc) pair counts, then per
+    term — so term frequency AND document frequency cross the shuffle as
+    one partial row per (term, batch).  df partials sum exactly because a
+    document is one row (never split across batches).  N comes from footer
+    metadata — no count pass."""
+    from ray.data.aggregate import Sum
+
+    from .sources.tables import table_rows
+
+    n_docs = table_rows(sf_dir, "documents")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tfidf_partial(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("text"), " ")
+        t = pa.Table.from_arrays(
+            [pc.list_flatten(tok_lists), pc.list_parent_indices(tok_lists)],
+            names=["term", "doc"],
+        )
+        td = t.group_by(["term", "doc"], use_threads=False).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["term", "doc", "n"])
+        out = td.group_by(["term"], use_threads=False).aggregate(
+            [("n", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["term", "tf", "df"])
+
+    agg = (
+        ds.map_batches(tfidf_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b["tfidf"] = sql_round(b["tf"] * np.log(n_docs / b["df"].astype(np.float64)), 4)
+        return b
+
+    return (
+        agg.map_batches(score, batch_format="pandas")
+        .sort(["tfidf", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+CORPUS_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), agg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY term
+)
+SELECT term, tf, df,
+       round(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 4)
+         AS tfidf
+FROM agg ORDER BY tfidf DESC, term LIMIT 20
+"""
+
+
+# PII scrub patterns — RE2 syntax on BOTH sides (pyarrow.compute and DuckDB
+# are RE2-based, so match/replace/count semantics are identical).
+PII_EMAIL_RX = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RX = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def doc_pii_scrub(sf_dir: str):
+    """PII redaction — the scrub pass every training-data pipeline runs
+    before tokenization: emails then phone-number shapes are replaced by
+    typed placeholders, with per-document redaction counts for audit.
+
+    Fully vectorized (pc.count_substring_regex / replace_substring_regex —
+    RE2, zero per-row Python); phones are counted AFTER email removal so an
+    address's digits never double-count.  Value-hash-checked against the
+    oracle on the full scrubbed strings."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_email = pc.count_substring_regex(text, PII_EMAIL_RX)
+        t1 = pc.replace_substring_regex(
+            text, pattern=PII_EMAIL_RX, replacement="<EMAIL>"
+        )
+        n_phone = pc.count_substring_regex(t1, PII_PHONE_RX)
+        t2 = pc.replace_substring_regex(
+            t1, pattern=PII_PHONE_RX, replacement="<PHONE>"
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                t2,
+                pc.cast(n_email, pa.int64()),
+                pc.cast(n_phone, pa.int64()),
+            ],
+            names=["doc_id", "clean_text", "n_emails", "n_phones"],
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+DOC_PII_SQL = f"""
+WITH e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL_RX}')) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL_RX}', '<EMAIL>', 'g') AS t1
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(t1, '{PII_PHONE_RX}', '<PHONE>', 'g') AS clean_text,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{PII_PHONE_RX}')) AS BIGINT) AS n_phones
+FROM e
+"""
+
+
 # One pack partition per ~1M documents: P is part of the OUTPUT (part,
 # pack_id), so the oracle recomputes the identical formula from count(*).
 PACK_TARGET_DOCS = 1_000_000
@@ -2004,6 +2123,8 @@ QUERIES: Dict[str, Callable] = {
     "customer_sample_per_segment": customer_sample_per_segment,
     "events_json_props": events_json_props,
     "doc_normalize_text": doc_normalize_text,
+    "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
+    "doc_pii_scrub": doc_pii_scrub,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -2046,6 +2167,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_json_props": EVENTS_JSON_SQL,
     "doc_normalize_text": DOC_NORMALIZE_SQL,
     "span_roundtrip_stats": SPAN_ROUNDTRIP_SQL,
+    "corpus_tfidf_top_terms": CORPUS_TFIDF_SQL,
+    "doc_pii_scrub": DOC_PII_SQL,
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /
     # dedup_ngram_verify / ann_ivf_topk / approx_distinct_orders / media_*:
     # not SQL-expressible → rows-only driver check (sketch/heuristic/

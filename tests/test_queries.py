@@ -129,3 +129,33 @@ def test_sessionize_partition_count_invariance(ray_session):
     a = _normalize(_to_pandas(events_sessionize(SF_DIR, num_partitions=64)))
     b = _normalize(_to_pandas(events_sessionize(SF_DIR, num_partitions=256)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_pii_scrub_redacts_planted_pii(ray_session, tmp_path):
+    """The sf corpus carries no PII, so the oracle hash alone can't prove
+    redaction — plant emails/phones in a tmp documents table and pin
+    counts + placeholders."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import doc_pii_scrub
+
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "contact alice.smith+x@example-corp.io or bob@x.co today",
+                "call +1 (555) 123-4567 or 021 7654 321 now",
+                "email a@b.io then call 555-123-4567 done",
+            ],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in doc_pii_scrub(str(tmp_path)).take_all()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0
+    assert "<EMAIL>" in out[1]["clean_text"] and "@" not in out[1]["clean_text"]
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 2
+    assert "<PHONE>" in out[2]["clean_text"]
+    assert not any(ch.isdigit() for ch in out[2]["clean_text"])
+    assert out[3]["n_emails"] == 1 and out[3]["n_phones"] == 1
+    assert out[3]["clean_text"] == "email <EMAIL> then call <PHONE> done"
