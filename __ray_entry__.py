@@ -9,7 +9,8 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operator suite).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (39 of 50, incl. span-roundtrip, TF-IDF and PII-scrub oracles added in round 3);
+  (42 of 53; round 3 added span-roundtrip, TF-IDF, PII-scrub, exact-dedup
+  materialization, length-histogram and bigram oracles);
   sketch/iterative/DOM/codec operators (fingerprints, minhash/simhash/
   embedding dedup, KMV distinct, IVF ANN, media stages) are rows-only by
   design — each pinned instead by goldens, recall/precision, tolerance,

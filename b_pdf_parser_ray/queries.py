@@ -1745,6 +1745,125 @@ FROM agg ORDER BY tfidf DESC, term LIMIT 20
 """
 
 
+def dedup_exact_keep(sf_dir: str, num_partitions: int = 8):
+    """Materialize the deduplicated corpus — the op a training pipeline
+    actually runs after dedup analysis: one representative (min doc_id)
+    per distinct text survives, annotated with its copy count.
+
+    Scale shape: ``exact_dedup``'s groupby carries (content_hash, doc_id)
+    only, and the surviving ids come back onto the corpus through the
+    size-gated ``lookup_join`` (broadcast under the cap, hash-partitioned
+    ``Dataset.join`` above — same planner as the TPC-H queries), so
+    document bodies never shuffle."""
+    from .functions.dedup import exact_dedup
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    reps = exact_dedup(docs)  # (doc_id, n_copies), doc_id = min per text
+    kept = lookup_join(
+        read_table(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        reps,
+        "doc_id",
+        "doc_id",
+        ["n_copies"],
+        # provable bound: reps ≤ documents rows (footer metadata)
+        right_source_rows=table_rows(sf_dir, "documents"),
+        num_partitions=num_partitions,
+    )
+    return kept
+
+
+DEDUP_KEEP_SQL = """
+WITH k AS (
+  SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY text
+)
+SELECT d.doc_id, d.n_chars, k.n_copies
+FROM documents d JOIN k USING (doc_id)
+"""
+
+
+def doc_length_histogram(sf_dir: str, bucket_width: int = 50):
+    """Token-length histogram of the corpus — the length-distribution
+    profile every data pipeline reports before filtering.  In-batch Arrow C
+    pre-count; the exchange carries one (bucket, count) partial per block."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        bucket = pc.multiply(
+            pc.divide(pc.cast(n_tokens, pa.int64()), bucket_width), bucket_width
+        )
+        t = pa.Table.from_arrays([bucket], names=["bucket"])
+        out = t.group_by(["bucket"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["bucket", "n_docs"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort("bucket")
+    )
+
+
+DOC_LENGTH_HIST_SQL = """
+SELECT CAST((len(string_split(text, ' ')) // 50) * 50 AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY bucket ORDER BY bucket
+"""
+
+
+def doc_top_bigrams(sf_dir: str, k: int = 20):
+    """Corpus top-k word bigrams — the order-sensitive n-gram inventory
+    (collocation mining / contamination screens).
+
+    Scale shape: bigrams are built vectorized (adjacent flat tokens joined
+    where both sides belong to the same document) and pre-counted in-batch
+    with Arrow C group-by, so the exchange carries one (bigram, batch)
+    partial — never a row per bigram occurrence."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        flat = tok_lists.flatten()
+        parent = pc.list_parent_indices(tok_lists).to_numpy()
+        if len(flat) < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.string()), pa.array([], type=pa.int64())],
+                names=["bigram", "n"],
+            )
+        same_doc = parent[1:] == parent[:-1]
+        bigrams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        ).filter(pa.array(same_doc))
+        t = pa.Table.from_arrays([bigrams], names=["bigram"])
+        out = t.group_by(["bigram"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["bigram", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+DOC_TOP_BIGRAMS_SQL = """
+SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i + 1])) AS bigram
+  FROM documents
+) GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
 # PII scrub patterns — RE2 syntax on BOTH sides (pyarrow.compute and DuckDB
 # are RE2-based, so match/replace/count semantics are identical).
 PII_EMAIL_RX = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
@@ -2128,6 +2247,9 @@ QUERIES: Dict[str, Callable] = {
     "doc_normalize_text": doc_normalize_text,
     "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "doc_pii_scrub": doc_pii_scrub,
+    "dedup_exact_keep": dedup_exact_keep,
+    "doc_length_histogram": doc_length_histogram,
+    "doc_top_bigrams": doc_top_bigrams,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -2172,6 +2294,9 @@ ORACLE_SQL: Dict[str, str] = {
     "span_roundtrip_stats": SPAN_ROUNDTRIP_SQL,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
+    "dedup_exact_keep": DEDUP_KEEP_SQL,
+    "doc_length_histogram": DOC_LENGTH_HIST_SQL,
+    "doc_top_bigrams": DOC_TOP_BIGRAMS_SQL,
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /
     # dedup_ngram_verify / ann_ivf_topk / approx_distinct_orders / media_*:
     # not SQL-expressible → rows-only driver check (sketch/heuristic/
