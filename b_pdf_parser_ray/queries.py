@@ -1919,6 +1919,348 @@ FROM e
 """
 
 
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality metrics (Rae et al. 2021, §A1.1):
+    per document, the unique-word ratio, the fraction of word-bigram
+    occurrences taken by the single most frequent bigram, and the fraction
+    of duplicated word trigrams — the standard screens for boilerplate /
+    pathologically repetitive crawl text.
+
+    Scale shape: map-only (no exchange).  All three metrics are computed
+    per batch with Arrow C kernels — split → flatten → adjacent
+    ``binary_join_element_wise`` n-grams → ``pa.Table.group_by`` on
+    (doc, gram) — and scatter back to row order through numpy; zero
+    per-row Python.  Documents shorter than 3 tokens are dropped (the
+    trigram metric is undefined), matching the oracle's inner joins."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc_gram_stats(parent: np.ndarray, grams, n_docs: int):
+        """distinct-count and max-count per doc for a (parent, gram) pair
+        stream, via one Arrow C group-by; returns (n_distinct, max_n)."""
+        t = pa.Table.from_arrays(
+            [pa.array(parent, type=pa.int64()), grams], names=["d", "g"]
+        )
+        counts = t.group_by(["d", "g"], use_threads=False).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["d", "g", "n"])
+        d = counts.column("d").to_numpy()
+        n = counts.column("n").to_numpy()
+        distinct = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(distinct, d, 1)
+        mx = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(mx, d, n)
+        return distinct, mx
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        flat = tok_lists.flatten()
+        parent = pc.list_parent_indices(tok_lists).to_numpy()
+        n_tokens = pc.list_value_length(tok_lists).to_numpy().astype(np.int64)
+
+        uniq_tok, _ = per_doc_gram_stats(parent, flat, n)
+
+        same2 = parent[1:] == parent[:-1]
+        bigrams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        ).filter(pa.array(same2))
+        _, top_bi = per_doc_gram_stats(parent[:-1][same2], bigrams, n)
+
+        same3 = same2[1:] & same2[:-1]
+        trigrams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 2), flat.slice(1, len(flat) - 2),
+            flat.slice(2), " ",
+        ).filter(pa.array(same3))
+        uniq_tri, _ = per_doc_gram_stats(parent[: len(flat) - 2][same3], trigrams, n)
+
+        keep = n_tokens >= 3
+        nt, ut, tb, utr = (a[keep] for a in (n_tokens, uniq_tok, top_bi, uniq_tri))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").filter(pa.array(keep)),
+                pa.array(nt),
+                pa.array(sql_round(ut / nt, 4)),
+                pa.array(sql_round(tb / (nt - 1), 4)),
+                pa.array(sql_round(1.0 - utr / (nt - 2), 4)),
+            ],
+            names=[
+                "doc_id", "n_tokens", "unique_ratio",
+                "top_bigram_frac", "dup_trigram_frac",
+            ],
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+DOC_REPETITION_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t),
+bc AS (SELECT doc_id, gram, count(*) AS n FROM b GROUP BY 1, 2),
+bstat AS (SELECT doc_id, max(n) AS top_bi, sum(n) AS n_bi FROM bc GROUP BY 1),
+tri AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram FROM t),
+tstat AS (SELECT doc_id, count(DISTINCT gram) AS uniq_tri, count(*) AS n_tri
+          FROM tri GROUP BY 1),
+u AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq
+      FROM t)
+SELECT u.doc_id, CAST(u.n_tokens AS BIGINT) AS n_tokens,
+       round(u.n_uniq / CAST(u.n_tokens AS DOUBLE), 4) AS unique_ratio,
+       round(bstat.top_bi / CAST(bstat.n_bi AS DOUBLE), 4) AS top_bigram_frac,
+       round(1.0 - tstat.uniq_tri / CAST(tstat.n_tri AS DOUBLE), 4)
+         AS dup_trigram_frac
+FROM u JOIN bstat USING (doc_id) JOIN tstat USING (doc_id)
+"""
+
+
+def lang_top_docs(sf_dir: str, k: int = 3):
+    """Grouped top-k: the ``k`` longest documents per language (ties to the
+    lower doc_id) — the per-stratum exemplar query (inspect the extremes of
+    every language before setting length filters).
+
+    Scale shape: each batch pre-reduces to its own top-k per language (a
+    mergeable partial, like ``customer_sample_per_segment``), so only
+    ≤ |langs|·k·|blocks| candidate rows leave the map side; the final exact
+    top-k + rank runs in ONE task over those candidates (|langs|·k output
+    rows — driver-small by construction)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["lang", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+        return b.groupby("lang", sort=False).head(k)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = local_topk(b)
+        b["rank"] = b.groupby("lang", sort=False).cumcount() + 1
+        return b[["lang", "rank", "doc_id", "n_chars"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )
+
+
+LANG_TOP_DOCS_SQL = """
+SELECT lang, rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM documents) t
+WHERE rank <= 3
+"""
+
+
+# Decontamination: documents sharing any 8-token shingle with the benchmark
+# slice (doc_id % 49 == 0 — the held-out eval set stand-in) are flagged.
+DECONTAM_BENCH_MOD = 49
+DECONTAM_NGRAM = 8
+
+
+def _ngram_stream(batch: pa.Table, n: int):
+    """(parent_doc_index, n-gram string array) for all within-document
+    word n-grams of a batch — adjacent-slice joins, zero per-row Python."""
+    tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+    flat = tok_lists.flatten()
+    parent = pc.list_parent_indices(tok_lists).to_numpy()
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+    same = parent[n - 1:] == parent[: m]
+    grams = pc.binary_join_element_wise(
+        *[flat.slice(i, m) for i in range(n)], " "
+    ).filter(pa.array(same))
+    return parent[:m][same], grams
+
+
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination — the screen every training corpus runs
+    against its eval sets (GPT-3 appx. C / PaLM-style n-gram overlap): a
+    document that shares any 8-token shingle with a benchmark document is
+    flagged, with the overlapping-occurrence count for audit.  Benchmark
+    docs themselves are excluded from the output.
+
+    Scale shape: the benchmark side is small BY DEFINITION (eval suites,
+    not crawl data) — its distinct shingles are collected once and
+    broadcast (``ray.put`` + per-worker cache); the corpus side is a
+    map-only pass (vectorized n-gram build + ``pc.is_in`` + bincount), no
+    exchange at any corpus size."""
+    import ray
+
+    from .functions.broadcast import get_cached
+
+    bench_ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        mask = np.mod(batch.column("doc_id").to_numpy(), DECONTAM_BENCH_MOD) == 0
+        _, grams = _ngram_stream(batch.filter(pa.array(mask)), DECONTAM_NGRAM)
+        return pa.Table.from_arrays([pc.unique(grams)], names=["gram"])
+
+    parts = bench_ds.map_batches(bench_grams, batch_format="pyarrow").take_all()
+    gram_set = pc.unique(pa.array([r["gram"] for r in parts], type=pa.string()))
+    set_ref = ray.put(gram_set)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        mask = (
+            np.mod(batch.column("doc_id").to_numpy(), DECONTAM_BENCH_MOD) != 0
+        )
+        batch = batch.filter(pa.array(mask))
+        parent, grams = _ngram_stream(batch, DECONTAM_NGRAM)
+        hits = pc.is_in(grams, value_set=get_cached(set_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        n_hits = np.bincount(
+            parent[hits], minlength=batch.num_rows
+        ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(n_hits), pa.array(n_hits > 0)],
+            names=["doc_id", "n_hits", "contaminated"],
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - {DECONTAM_NGRAM - 2}),
+        i -> {" || ' ' || ".join(f"toks[i+{j}]" for j in range(DECONTAM_NGRAM))}))
+        AS gram FROM t),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % {DECONTAM_BENCH_MOD} <> 0 GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+"""
+
+
+# Exact-Jaccard pair audit: deterministic key-hash sample (doc_id % 13),
+# all pairs with trigram-set Jaccard ≥ threshold.
+JACCARD_SAMPLE_MOD = 13
+JACCARD_THRESHOLD = 0.02
+
+
+def dedup_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard over all pairs of a deterministic sample — the
+    oracle-checkable ground-truth audit for the sketch dedup family
+    (MinHash/SimHash estimate THIS quantity; auditing a key-hash sample is
+    how their thresholds are calibrated in production).
+
+    Scale shape: all-pairs is quadratic BY DEFINITION, so it runs on a
+    bounded sample (doc_id % {mod}) — never the corpus.  The sample's
+    distinct-trigram sets are built vectorized per batch, collected once
+    (bounded by the sample rate), dictionary-encoded to int32 ids, and
+    broadcast; each task then compares ITS batch's docs against the
+    higher-id half of the sample with a membership-vector intersection
+    (numpy, no Python sets), distributing the O(s²) work across tasks."""
+    import ray
+
+    from .functions.broadcast import get_cached
+
+    def sample_only(batch: pa.Table) -> pa.Table:
+        mask = np.mod(batch.column("doc_id").to_numpy(), JACCARD_SAMPLE_MOD) == 0
+        return batch.filter(pa.array(mask))
+
+    sample = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        sample_only, batch_format="pyarrow"
+    )
+
+    def gram_lists(batch: pa.Table) -> pa.Table:
+        parent, grams = _ngram_stream(batch, 3)
+        t = pa.Table.from_arrays(
+            [pa.array(parent, type=pa.int64()), grams], names=["d", "g"]
+        )
+        dist = t.group_by(["d", "g"], use_threads=False).aggregate([])
+        d = dist.column("d").to_numpy()
+        order = np.argsort(d, kind="stable")
+        counts = np.bincount(d, minlength=batch.num_rows)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.ListArray.from_arrays(
+                    pa.array(offsets),
+                    pc.take(dist.column("g").combine_chunks(), pa.array(order)),
+                ),
+            ],
+            names=["doc_id", "grams"],
+        )
+
+    side = pa.concat_tables(
+        [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            for t in ray.get(
+                sample.map_batches(gram_lists, batch_format="pyarrow").to_arrow_refs()
+            )
+        ]
+    ).combine_chunks()
+    # dictionary-encode ALL sample grams once → per-doc sorted id arrays
+    grams_col = side.column("grams").combine_chunks()
+    flat_ids = np.asarray(
+        grams_col.flatten().dictionary_encode().indices.to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )
+    offs = grams_col.offsets.to_numpy(zero_copy_only=False)
+    doc_ids = side.column("doc_id").to_numpy()
+    vocab = int(flat_ids.max()) + 1 if len(flat_ids) else 1
+    side_ref = ray.put((doc_ids, offs, flat_ids, vocab))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        s_ids, s_offs, s_flat, s_vocab = get_cached(side_ref)
+        pos_of = {int(d): i for i, d in enumerate(s_ids)}
+        out_a, out_b, out_j = [], [], []
+        member = np.zeros(s_vocab, dtype=bool)
+        for a in batch.column("doc_id").to_numpy():
+            ia = pos_of[int(a)]
+            ga = s_flat[s_offs[ia]: s_offs[ia + 1]]
+            member[ga] = True
+            for ib in range(len(s_ids)):
+                b = int(s_ids[ib])
+                if b <= int(a):
+                    continue
+                gb = s_flat[s_offs[ib]: s_offs[ib + 1]]
+                inter = int(member[gb].sum())
+                union = len(ga) + len(gb) - inter
+                j = float(sql_round(inter / union, 4)) if union else 0.0
+                if j >= JACCARD_THRESHOLD:
+                    out_a.append(int(a)); out_b.append(b); out_j.append(j)
+            member[ga] = False
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_a, type=pa.int64()),
+                pa.array(out_b, type=pa.int64()),
+                pa.array(out_j, type=pa.float64()),
+            ],
+            names=["doc_a", "doc_b", "jaccard"],
+        )
+
+    return sample.select_columns(["doc_id"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE doc_id % {JACCARD_SAMPLE_MOD} = 0),
+g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams FROM t)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.grams, b.grams)) /
+               CAST(len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 4)
+           AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id) p
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
 # One pack partition per ~1M documents: P is part of the OUTPUT (part,
 # pack_id), so the oracle recomputes the identical formula from count(*).
 PACK_TARGET_DOCS = 1_000_000
@@ -2250,6 +2592,10 @@ QUERIES: Dict[str, Callable] = {
     "dedup_exact_keep": dedup_exact_keep,
     "doc_length_histogram": doc_length_histogram,
     "doc_top_bigrams": doc_top_bigrams,
+    "doc_repetition_stats": doc_repetition_stats,
+    "lang_top_docs": lang_top_docs,
+    "doc_decontaminate": doc_decontaminate,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -2297,6 +2643,10 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_exact_keep": DEDUP_KEEP_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "doc_top_bigrams": DOC_TOP_BIGRAMS_SQL,
+    "doc_repetition_stats": DOC_REPETITION_SQL,
+    "lang_top_docs": LANG_TOP_DOCS_SQL,
+    "doc_decontaminate": DECONTAM_SQL,
+    "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /
     # dedup_ngram_verify / ann_ivf_topk / approx_distinct_orders / media_*:
     # not SQL-expressible → rows-only driver check (sketch/heuristic/
