@@ -5,17 +5,25 @@ metadata struct — the engine never interprets bytes outside these stages
 (the spans model stores only ``media_ref`` pointers; this module is where a
 ref would be resolved against a payload table and processed).
 
-Decode status per modality:
+Decode status per modality — all three are REAL container formats now:
 
 * **audio — REAL**: RIFF/WAV (PCM16) payloads decode through the stdlib
-  ``wave`` codec (``_decode_wav``); ``synth_wav`` emits genuine WAV bytes,
-  so the audio stage exercises an actual container format end to end.
-* **image/video — stubbed**: PIL/ffmpeg are NOT in this container, so
-  ``fake=True`` parses this module's deterministic synthetic payload
-  format and ``fake=False`` raises ``NotImplementedError`` at the exact
-  call site a real decoder would occupy.  Everything around the stub —
-  schemas, actor signatures, batch sizing, numpy feature kernels, output
-  layout — is real and tested.
+  ``wave`` codec (``_decode_wav``); ``synth_wav`` emits genuine WAV bytes.
+* **image — REAL**: PNG (8-bit gray/RGB/RGBA, all five scanline filters)
+  decodes through ``_decode_png`` — chunk parse + stdlib ``zlib`` inflate
+  + per-filter unfiltering (PNG spec, RFC 2083); ``encode_png`` emits
+  spec-valid bytes cycling every filter type so round-trip tests exercise
+  the whole unfilter path.
+* **video — REAL**: multi-frame GIF87a/89a decodes through ``_decode_gif``
+  — a full LZW decompressor (variable code width, clear/EOI codes,
+  sub-block framing) plus palette resolution; ``encode_gif`` emits valid
+  GIF89a (literal-code LZW with periodic clears).
+
+The legacy ``FAKE`` wire format is still accepted when ``fake=True`` (the
+stub wiring the round-1 tests pinned); ``fake=False`` now means "real
+containers only" and rejects FAKE payloads.  PIL/ffmpeg remain absent from
+this container — these decoders are pure stdlib+numpy implementations of
+the published formats, not bindings.
 
 Scale notes: payloads are large → small ``batch_size`` (16–64) so
 batch × concurrency fits worker heaps; stages are actor pools so a real
@@ -118,6 +126,333 @@ def _decode_wav(payload: bytes):
     return sr, frames
 
 
+# ---------------------------------------------------------------------------
+# PNG codec (pure stdlib zlib + numpy; PNG spec / RFC 2083)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels → color type (gray/RGB/RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(raw: np.ndarray, prior: np.ndarray, bpp: int, ftype: int) -> np.ndarray:
+    """Apply scanline filter ``ftype`` (encoder side), vectorized."""
+    r = raw.astype(np.int16)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    up = prior.astype(np.int16)
+    ul = np.zeros_like(up)
+    ul[bpp:] = up[:-bpp]
+    if ftype == 0:
+        f = r
+    elif ftype == 1:
+        f = r - left
+    elif ftype == 2:
+        f = r - up
+    elif ftype == 3:
+        f = r - ((left + up) // 2)
+    else:  # Paeth
+        p = left + up - ul
+        pa_, pb_, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, up, ul))
+        f = r - pred
+    return (f % 256).astype(np.uint8)
+
+
+def _png_unfilter_row(filt: np.ndarray, prior: np.ndarray, bpp: int, ftype: int) -> np.ndarray:
+    """Invert scanline filter ``ftype`` (decoder side).  None/Up vectorize;
+    Sub is a per-stride modular cumsum; Average/Paeth carry a true pixel
+    recurrence and run per byte (rows are short — w·channels bytes)."""
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:
+        return ((filt.astype(np.int16) + prior) % 256).astype(np.uint8)
+    if ftype == 1:
+        out = np.empty_like(filt)
+        for c in range(bpp):
+            out[c::bpp] = (np.cumsum(filt[c::bpp].astype(np.int64)) % 256).astype(np.uint8)
+        return out
+    out = np.empty_like(filt)
+    fi = filt.astype(np.int32)
+    pr = prior.astype(np.int32)
+    for x in range(len(filt)):
+        left = int(out[x - bpp]) if x >= bpp else 0
+        up = int(pr[x])
+        if ftype == 3:
+            val = fi[x] + ((left + up) >> 1)
+        elif ftype == 4:
+            ul = int(pr[x - bpp]) if x >= bpp else 0
+            p = left + up - ul
+            pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa_ <= pb_ and pa_ <= pc_) else (up if pb_ <= pc_ else ul)
+            val = fi[x] + pred
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[x] = val % 256
+    return out
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) or (h, w, c∈{1,3,4}) → spec-valid PNG bytes.  The filter
+    type cycles 0..4 by row so decoders (ours included) exercise every
+    unfilter path; zlib level 6, no interlace."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = _PNG_COLOR_TYPE[c]
+    bpp = c
+    raw = np.ascontiguousarray(arr, dtype=np.uint8).reshape(h, w * c)
+    prior = np.zeros(w * c, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        ftype = y % 5
+        lines.append(bytes([ftype]) + _png_filter_row(raw[y], prior, bpp, ftype).tobytes())
+        prior = raw[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL image decode: PNG chunk walk + zlib inflate + unfilter.
+    Supports 8-bit gray / RGB / RGBA, no interlace.  Returns (h, w, c)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type} interlace={interlace} unsupported"
+        )
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    flat = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(flat) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = flat.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prior = out[y] = _png_unfilter_row(rows[y, 1:], prior, c, int(rows[y, 0]))
+    return out.reshape(h, w, c)
+
+
+def synth_png(media_id: str, width: int = 64, height: int = 48, channels: int = 3) -> bytes:
+    """A REAL PNG payload — deterministic seeded pixels (same key → same
+    bytes), smooth gradient + noise so filters 1-4 actually do work."""
+    noise = _seed_bytes(f"png:{media_id}", width * height * channels).reshape(
+        height, width, channels
+    )
+    gx = np.linspace(0, 200, width, dtype=np.float64)[None, :, None]
+    gy = np.linspace(0, 55, height, dtype=np.float64)[:, None, None]
+    arr = ((gx + gy) + noise * 0.2).astype(np.uint8)
+    return encode_png(arr)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (pure Python LZW; GIF87a/89a spec)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
+    """Valid LZW stream using literal codes only, with a CLEAR before every
+    group of 254 literals so the decoder's table never forces a code-width
+    change past one step — the classic 'uncompressed GIF' construction."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear)
+    for i, v in enumerate(indices.tolist()):
+        if i and i % 254 == 0:
+            emit(clear)
+        emit(int(v))
+    emit(eoi)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """Full LZW decompressor: variable code width, table growth, CLEAR
+    resets, EOI stop (the real thing — decodes any conformant encoder's
+    stream, not just ours)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: Optional[bytes] = None
+    acc = n_bits = pos = 0
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                return np.frombuffer(bytes(out), dtype=np.uint8)
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return np.frombuffer(bytes(out), dtype=np.uint8)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Wrap a byte stream into ≤255-byte GIF sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames: np.ndarray) -> bytes:
+    """uint8 (n_frames, h, w) grayscale → valid multi-frame GIF89a with a
+    256-entry grayscale global palette."""
+    nf, h, w = frames.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # global table, 8-bit, 256 entries; bg 0
+    out += bytes(v for i in range(256) for v in (i, i, i))  # gray palette
+    for f in range(nf):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(8)  # LZW min code size
+        out += _gif_subblocks(_gif_lzw_encode(frames[f].reshape(-1)))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """REAL video decode: GIF87a/89a block walk + LZW decompression +
+    palette resolution.  Returns (n_frames, h, w) uint8 luminance (ITU-R
+    601 weights on the palette RGB)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed, _bg, _ar = payload[10], payload[11], payload[12]
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        fx, fy, fw, fh = struct.unpack("<HHHH", payload[pos : pos + 8])
+        fpacked = payload[pos + 8]
+        pos += 9
+        pal = global_pal
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if fpacked & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        min_code = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            stream += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(stream), min_code)[: fw * fh].reshape(fh, fw)
+        rgb = pal[idx].astype(np.int64)
+        # integer 601 weights (sum 1000) — exact: a gray palette round-trips
+        # bit-identically (float weights truncate 255 → 254)
+        lum = (
+            (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2] + 500) // 1000
+        ).astype(np.uint8)
+        frame = np.zeros((h, w), dtype=np.uint8)
+        frame[fy : fy + fh, fx : fx + fw] = lum
+        frames.append(frame)
+    return np.stack(frames) if frames else np.zeros((0, h, w), dtype=np.uint8)
+
+
+def synth_gif(media_id: str, width: int = 32, height: int = 24, n_frames: int = 30) -> bytes:
+    """A REAL multi-frame GIF payload — deterministic seeded frames."""
+    pixels = _seed_bytes(f"gif:{media_id}", width * height * n_frames).reshape(
+        n_frames, height, width
+    )
+    return encode_gif(pixels)
+
+
 def fake_video(media_id: str, width: int = 32, height: int = 24, n_frames: int = 30) -> bytes:
     header = _MAGIC + b"VID" + struct.pack("<iii", width, height, n_frames)
     return header + _seed_bytes(f"vid:{media_id}", width * height * n_frames).tobytes()
@@ -132,9 +467,11 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         ids.append(mid)
         kinds.append(kind)
         if kind == "image":
+            # real PNG bytes — the image stage exercises an actual container
+            # decode (chunk walk + zlib inflate + unfilter), not the stub
             w, h = 32 + (i % 4) * 16, 24 + (i % 3) * 16
-            payloads.append(fake_image(mid, w, h))
-            metas.append({"format": "fake-img", "width": w, "height": h, "channels": 3,
+            payloads.append(synth_png(mid, w, h))
+            metas.append({"format": "png", "width": w, "height": h, "channels": 3,
                           "sample_rate": 0, "n_samples": 0, "n_frames": 1})
         elif kind == "audio":
             # real RIFF/WAV bytes — the audio stage exercises an actual
@@ -144,9 +481,10 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             metas.append({"format": "wav", "width": 0, "height": 0, "channels": 1,
                           "sample_rate": 16000, "n_samples": ns, "n_frames": 0})
         else:
+            # real multi-frame GIF bytes — true LZW decompression end to end
             nf = 10 + (i % 4) * 10
-            payloads.append(fake_video(mid, 32, 24, nf))
-            metas.append({"format": "fake-vid", "width": 32, "height": 24, "channels": 1,
+            payloads.append(synth_gif(mid, 32, 24, nf))
+            metas.append({"format": "gif", "width": 32, "height": 24, "channels": 1,
                           "sample_rate": 0, "n_samples": 0, "n_frames": nf})
     return pa.Table.from_arrays(
         [
@@ -203,9 +541,12 @@ class ImageFeatures:
         ):
             if kind != "image":
                 continue
-            if not self.fake:
-                raise NotImplementedError("real image decode unavailable (see module docstring)")
-            img = _decode_fake(payload)
+            if payload[:8] == _PNG_SIG:
+                img = _decode_png(payload)  # REAL container decode
+            elif not self.fake:
+                raise NotImplementedError("real decode supports PNG only (see module docstring)")
+            else:
+                img = _decode_fake(payload)
             h, w, c = img.shape
             # 8x8 average-hash (public aHash scheme), vectorized
             ys = np.linspace(0, h, 9, dtype=int)
@@ -249,16 +590,23 @@ class ImageResizer:
         ):
             if kind != "image":
                 continue
-            if not self.fake:
-                raise NotImplementedError("real image decode unavailable (see module docstring)")
-            img = _decode_fake(payload)
+            is_png = payload[:8] == _PNG_SIG
+            if is_png:
+                img = _decode_png(payload)  # REAL container decode
+            elif not self.fake:
+                raise NotImplementedError("real decode supports PNG only (see module docstring)")
+            else:
+                img = _decode_fake(payload)
             h, w, c = img.shape
             yi = (np.arange(self.th) * h // self.th)
             xi = (np.arange(self.tw) * w // self.tw)
             resized = img[yi][:, xi]
-            header = _MAGIC + b"IMG" + struct.pack("<iii", self.tw, self.th, c)
             ids.append(mid)
-            payloads.append(header + resized.tobytes())
+            if is_png:  # resized output stays in the real container format
+                payloads.append(encode_png(resized))
+            else:
+                header = _MAGIC + b"IMG" + struct.pack("<iii", self.tw, self.th, c)
+                payloads.append(header + resized.tobytes())
         return pa.Table.from_arrays(
             [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
             names=["media_id", "payload"],
@@ -326,16 +674,23 @@ class VideoFrameSampler:
         ):
             if kind != "video":
                 continue
-            if not self.fake:
-                raise NotImplementedError("real video decode unavailable (see module docstring)")
-            frames = _decode_fake(payload)
+            is_gif = payload[:6] in (b"GIF87a", b"GIF89a")
+            if is_gif:
+                frames = _decode_gif(payload)  # REAL LZW decode
+            elif not self.fake:
+                raise NotImplementedError("real decode supports GIF only (see module docstring)")
+            else:
+                frames = _decode_fake(payload)
             nf, h, w = frames.shape
             for fi in range(0, nf, self.stride):
                 frame = np.repeat(frames[fi][:, :, None], 3, axis=2)
-                header = _MAGIC + b"IMG" + struct.pack("<iii", w, h, 3)
                 ids.append(mid)
                 idxs.append(fi)
-                payloads.append(header + frame.tobytes())
+                if is_gif:  # sampled frames come out as real PNGs
+                    payloads.append(encode_png(frame))
+                else:
+                    header = _MAGIC + b"IMG" + struct.pack("<iii", w, h, 3)
+                    payloads.append(header + frame.tobytes())
         return pa.Table.from_arrays(
             [
                 pa.array(ids, type=pa.string()),

@@ -21,8 +21,14 @@ from b_pdf_parser_ray.stages.media import (
     ImageResizer,
     VideoFrameSampler,
     _decode_fake,
+    _decode_gif,
+    _decode_png,
+    encode_gif,
+    encode_png,
     fake_image,
+    synth_gif,
     synth_media_table,
+    synth_png,
 )
 
 BODY = (
@@ -153,7 +159,8 @@ def test_image_resizer_stage(ray_session):
     )
     assert len(out) == 4
     for payload in out["payload"]:
-        img = _decode_fake(payload)
+        # inputs are real PNGs, so resized output stays in the container format
+        img = _decode_png(payload)
         assert img.shape == (32, 32, 3)
 
 
@@ -178,7 +185,8 @@ def test_video_frame_sampler_fan_out(ray_session):
     assert len(out) > 10
     assert (out["frame_idx"] % 10 == 0).all()
     for payload in out["payload"].head(3):
-        assert _decode_fake(payload).ndim == 3
+        # sampled frames from real GIF inputs come out as real PNGs
+        assert _decode_png(payload).ndim == 3
 
 
 def test_wav_payloads_are_real_and_decode_matches_ground_truth(ray_session):
@@ -227,3 +235,67 @@ def test_wav_payloads_are_real_and_decode_matches_ground_truth(ray_session):
     )
     with pytest.raises(NotImplementedError):
         strict(stub)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG / GIF codecs
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_roundtrip_bit_identical(channels):
+    """encode_png cycles scanline filters 0-4 by row, so a ≥5-row image
+    exercises every unfilter path; decode must recover the exact pixels."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(11, 17, channels), dtype=np.uint8)
+    payload = encode_png(arr)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    got = _decode_png(payload)
+    assert got.shape == (11, 17, channels)
+    assert np.array_equal(got, arr)
+
+
+def test_synth_png_is_deterministic_real_container():
+    p1, p2 = synth_png("m1", 40, 24), synth_png("m1", 40, 24)
+    assert p1 == p2
+    img = _decode_png(p1)
+    assert img.shape == (24, 40, 3)
+
+
+def test_gif_roundtrip_bit_identical():
+    """Gray palette + integer 601 luminance weights make the multi-frame
+    GIF round-trip exact, LZW decompression included."""
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(5, 13, 19), dtype=np.uint8)
+    payload = encode_gif(frames)
+    assert payload[:6] == b"GIF89a"
+    got = _decode_gif(payload)
+    assert np.array_equal(got, frames)
+    assert _decode_gif(synth_gif("v1", 16, 12, 7)).shape == (7, 12, 16)
+
+
+def test_gif_lzw_decode_handles_compressing_streams():
+    """Our encoder emits literal codes only; a conformant *compressing*
+    encoder also emits table codes, including the KwKwK pattern where a
+    code references the entry being defined.  Hand-pack such a stream
+    (min_code_size=2: clear=4, eoi=5) and check the decoder handles it."""
+    from b_pdf_parser_ray.stages.media import _gif_lzw_decode
+
+    def pack(codes, width):
+        acc = n = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << n
+            n += width
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # clear, literal 1, code 6 (== table size at that moment → KwKwK), eoi
+    stream = pack([4, 1, 6, 5], width=3)
+    got = _gif_lzw_decode(stream, min_code_size=2)
+    assert got.tolist() == [1, 1, 1]
