@@ -603,3 +603,262 @@ def embedding_near_dups(
         )
     )
     return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Connected components (dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def _large_star_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One salted partition of the large-star step.  Input rows (u, v) are
+    the full directed neighborhoods of this partition's u's (the salt is a
+    function of u alone, so every row of a given u is here).  For each u,
+    m = min(N(u) ∪ {u}); emit canonical edges (m, v) for neighbors v > u."""
+    m = np.minimum(
+        g.groupby("u", sort=False)["v"].transform("min").to_numpy(),
+        g["u"].to_numpy(),
+    )
+    keep = g["v"].to_numpy() > g["u"].to_numpy()
+    return pd.DataFrame(
+        {"lo": m[keep], "hi": g["v"].to_numpy()[keep]}
+    ).drop_duplicates()
+
+
+def _small_star_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One salted partition of the small-star step.  Input rows are edges
+    oriented (u = hi, v = lo, v < u); for each u, m = min(N(u)); emit
+    (m, v) for v ≠ m plus the center edge (m, u)."""
+    m = g.groupby("u", sort=False)["v"].transform("min").to_numpy()
+    u = g["u"].to_numpy()
+    v = g["v"].to_numpy()
+    keep = v != m
+    first = ~pd.Series(u).duplicated().to_numpy()  # one center edge per u
+    return pd.DataFrame(
+        {
+            "lo": np.concatenate([m[keep], m[first]]),
+            "hi": np.concatenate([v[keep], u[first]]),
+        }
+    ).drop_duplicates()
+
+
+def _edge_checksum(edges_ds) -> tuple:
+    """(count, xor64, sum64) of the deduped canonical edge set — three
+    tree-aggregated scalars; the driver folds one tiny partial row per
+    block, never the edges themselves."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hi = t.column("hi").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = lo * np.uint64(0x9E3779B97F4A7C15) + hi * np.uint64(0xC2B2AE3D27D4EB4F)
+        return pa.table(
+            {
+                "cnt": pa.array([t.num_rows], type=pa.int64()),
+                "xor": pa.array([int(np.bitwise_xor.reduce(h)) if len(h) else 0], type=pa.uint64()),
+                "sum": pa.array([int(np.sum(h, dtype=np.uint64))], type=pa.uint64()),
+            }
+        )
+
+    cnt = xor = tot = 0
+    for ref in edges_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        for row in t.to_pylist():
+            cnt += row["cnt"]
+            xor ^= row["xor"]
+            tot = (tot + row["sum"]) & 0xFFFFFFFFFFFFFFFF
+    return cnt, xor, tot
+
+
+# Same spirit as joins.BROADCAST_MAX_SOURCE_ROWS: 5M edges × 16 B ≈ 80 MB
+# — driver-safe.  The exact edge count is already known for free (the
+# canonized set's first checksum), so the gate never guesses.
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
+def _driver_components(lo: np.ndarray, hi: np.ndarray):
+    """Exact min-label components for a driver-resident edge list:
+    vectorized hash-to-min (``np.minimum.at`` both directions) + pointer
+    jumping until fixpoint — O(m) per round, O(log n) rounds, no Python
+    per-edge loop.  Returns (node_ids, component_ids) aligned arrays."""
+    ids = np.unique(np.concatenate([lo, hi]))
+    a = np.searchsorted(ids, lo)
+    b = np.searchsorted(ids, hi)
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[a], lab[b])
+        np.minimum.at(lab, a, m)
+        np.minimum.at(lab, b, m)
+        while True:  # pointer jumping: label ← label of label
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, before):
+            break
+    # labels are indices into the SORTED ids, so min index == min node id
+    return ids, ids[lab]
+
+
+def connected_components(
+    edges_ds,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    nodes_ds=None,
+    node_col: str = "node",
+    num_partitions: int = 64,
+    max_iters: int = 50,
+    max_driver_edges: int = None,
+):
+    """Connected components over an undirected edge Dataset → a
+    (node, component) label Dataset, component = min node id reachable.
+
+    Size-gated like the join planner: the canonize pass's checksum yields
+    the EXACT deduped edge count for free, so below ``max_driver_edges``
+    (default 5M ≈ 80 MB) the labels come from one vectorized driver-side
+    hash-to-min + pointer-jumping pass — the distributed rounds' fixed
+    per-stage costs dwarf a tiny candidate-pair graph (measured 15 s for a
+    184-edge graph).  Above the gate it runs the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): each half-step is ONE salted groupby
+    over the edge list — no per-round join against a label table, no
+    driver-side graph — converging in O(log² n) rounds.
+
+    Distributed-path scale shape: each round's shuffles carry two int64s
+    per edge, groups are salted on ``node & (P-1)`` with the exact
+    per-node mins vectorized inside a partition (a hub node never creates
+    an oversized Ray group), and each round's (bounded) edge Dataset is
+    materialized so the O(log n) lineage never re-executes.  Convergence
+    is a fixpoint of (count, xor64, sum64) over the deduped edge set —
+    three scalars per round cross to the driver.  At the fixpoint every
+    component is a star centred on its min node, so labels fall out of
+    the edge list directly: hi → lo, plus a self-label per node.
+
+    ``nodes_ds[node_col]`` (optional) adds isolated nodes, which label
+    themselves.  Self-loops and null endpoints in the input are dropped.
+    Tests pin BOTH plans by forcing the gate (``max_driver_edges=0``).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if max_driver_edges is None:
+        max_driver_edges = DRIVER_CC_MAX_EDGES
+
+    def canonize(t: pa.Table) -> pa.Table:
+        a = t.column(a_col)
+        b = t.column(b_col)
+        ok = pc.and_(
+            pc.and_(pc.is_valid(a), pc.is_valid(b)), pc.not_equal(a, b)
+        )
+        a = pc.cast(pc.filter(a, ok), pa.int64())
+        b = pc.cast(pc.filter(b, ok), pa.int64())
+        return pa.table(
+            {"lo": pc.min_element_wise(a, b), "hi": pc.max_element_wise(a, b)}
+        )
+
+    def explode_salt(t: pa.Table) -> pa.Table:
+        # both directions for large-star: every node sees its full nbhd
+        u = pa.concat_arrays(
+            [t.column("lo").combine_chunks(), t.column("hi").combine_chunks()]
+        )
+        v = pa.concat_arrays(
+            [t.column("hi").combine_chunks(), t.column("lo").combine_chunks()]
+        )
+        part = pc.cast(pc.bit_wise_and(u, num_partitions - 1), pa.int32())
+        return pa.table({"u": u, "v": v, "part": part})
+
+    def orient_salt(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t.column("hi"), num_partitions - 1), pa.int32())
+        return pa.table({"u": t.column("hi"), "v": t.column("lo"), "part": part})
+
+    edges = edges_ds.map_batches(canonize, batch_format="pyarrow").materialize()
+    chk = _edge_checksum(edges)
+    if 0 < chk[0] <= max_driver_edges:
+        # small graph: one driver pass, identical labels by construction
+        blocks = [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            for t in ray.get(edges.to_arrow_refs())
+        ]
+        # drop schema-less zero-column empties (same caveat as
+        # joins._collect_arrow); chk[0] > 0 guarantees data remains
+        tbl = pa.concat_tables([t for t in blocks if t.num_columns > 0])
+        ids, comp = _driver_components(
+            tbl.column("lo").to_numpy(zero_copy_only=False),
+            tbl.column("hi").to_numpy(zero_copy_only=False),
+        )
+        labels = rd.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array(ids, type=pa.int64()),
+                    "component": pa.array(comp, type=pa.int64()),
+                }
+            )
+        )
+        if nodes_ds is not None:
+            labels = labels.union(
+                nodes_ds.map_batches(
+                    lambda t: pa.table(
+                        {
+                            node_col: pc.cast(t.column(node_col), pa.int64()),
+                            "component": pc.cast(t.column(node_col), pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            return labels.groupby(node_col).aggregate(
+                Min("component", alias_name="component")
+            )
+        return labels
+    if chk[0] > 0:
+        for _ in range(max_iters):
+            edges = (
+                edges.map_batches(explode_salt, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(
+                    lambda g: _large_star_part(g.drop(columns=["part"])),
+                    batch_format="pandas",
+                )
+                .map_batches(orient_salt, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(
+                    lambda g: _small_star_part(g.drop(columns=["part"])),
+                    batch_format="pandas",
+                )
+                .materialize()
+            )
+            new_chk = _edge_checksum(edges)
+            if new_chk == chk:
+                break
+            chk = new_chk
+
+    def edge_labels(t: pa.Table) -> pa.Table:
+        return pa.table({node_col: t.column("hi"), "component": t.column("lo")})
+
+    labels = edges.map_batches(edge_labels, batch_format="pyarrow")
+    # roots appear only as `lo` at the fixpoint; self-label them so the
+    # min-agg covers roots too
+    labels = labels.union(
+        edges.map_batches(
+            lambda t: pa.table({node_col: t.column("lo"), "component": t.column("lo")}),
+            batch_format="pyarrow",
+        )
+    )
+    if nodes_ds is not None:
+        selfs = nodes_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    node_col: pc.cast(t.column(node_col), pa.int64()),
+                    "component": pc.cast(t.column(node_col), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = labels.union(selfs)
+    return labels.groupby(node_col).aggregate(Min("component", alias_name="component"))

@@ -38,6 +38,10 @@ def _collect_arrow(ds) -> pa.Table:
         t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
         for t in ray.get(ds.to_arrow_refs())
     ]
+    # zero-COLUMN blocks appear when an upstream aggregate/map stage emits
+    # schema-less empties alongside real blocks; they carry no rows and
+    # would make concat_tables raise on the schema mismatch
+    tables = [t for t in tables if t.num_columns > 0]
     if not tables:
         # zero block refs (fully-filtered side): an empty zero-column table
         # (a map_batches Dataset that never ran has no recoverable schema);

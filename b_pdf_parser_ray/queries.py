@@ -2261,6 +2261,126 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def dedup_cluster_docs(sf_dir: str):
+    """Near-dup clustering — exact-Jaccard pairs on the audit sample →
+    distributed connected components → one cluster id (the component's
+    min doc_id) and cluster size per sampled document.
+
+    The CC step is the alternating small-star/large-star algorithm
+    (``functions.dedup.connected_components``): pure edge-list groupbys,
+    no label-table joins, O(log² n) rounds — the piece that turns a
+    pair LIST into the KEEP/DROP decision a real dedup pipeline needs
+    (transitive closure: A≈B, B≈C must put A and C in one cluster even
+    when A≉C).  The oracle replays it as a recursive CTE."""
+    from ray.data.aggregate import Count
+
+    from .functions.dedup import connected_components
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    pairs = dedup_jaccard_pairs(sf_dir)
+
+    def sample_ids(batch: pa.Table) -> pa.Table:
+        mask = np.mod(batch.column("doc_id").to_numpy(), JACCARD_SAMPLE_MOD) == 0
+        return batch.filter(pa.array(mask))
+
+    nodes = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        sample_ids, batch_format="pyarrow"
+    )
+    labels = connected_components(
+        pairs, a_col="doc_a", b_col="doc_b", nodes_ds=nodes, node_col="doc_id"
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "cluster_id": t.column("component")}
+        ),
+        batch_format="pyarrow",
+    )
+    sizes = labels.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
+    return lookup_join(
+        labels,
+        sizes,
+        "cluster_id",
+        "cluster_id",
+        ["cluster_size"],
+        # provable bound: |clusters| ≤ |sample| ≤ |documents| (footer rows);
+        # past the broadcast cap the planner switches to the hash join
+        right_source_rows=table_rows(sf_dir, "documents"),
+    )
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE doc_id % {JACCARD_SAMPLE_MOD} = 0),
+g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams FROM t),
+p AS (SELECT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.grams, b.grams)) /
+               CAST(len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 4)
+           AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id) q
+  WHERE jaccard >= {JACCARD_THRESHOLD}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+reach(n, r) AS (
+  SELECT doc_id, doc_id FROM t
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.n
+),
+lab AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n)
+SELECT lab.doc_id, lab.cluster_id,
+       CAST(c.cluster_size AS BIGINT) AS cluster_size
+FROM lab JOIN (SELECT cluster_id, count(*) AS cluster_size
+               FROM lab GROUP BY cluster_id) c USING (cluster_id)
+"""
+
+
+NEAR_KEEP_THRESHOLD = 0.5
+
+
+def dedup_near_keep(sf_dir: str, num_partitions: int = None):
+    """End-to-end near-dedup keep list — the pipeline a 100 TB corpus
+    actually runs: MinHash-LSH candidate pairs → distributed connected
+    components over the pair graph → keep each cluster's min doc_id, drop
+    the other members.  Output: the kept corpus (doc_id, lang, n_chars).
+
+    Scale shape: pairs ≪ corpus at any realistic dup rate, so the CC
+    rounds shuffle a bounded edge list; the drop-set anti join goes
+    through the size-gated planner (broadcast under the cap,
+    hash-partitioned ``Dataset.join`` above).  MinHash is a sketch →
+    rows-only driver check; the composition is pinned in pytest against
+    union-find ground truth on a planted-dup corpus."""
+    from .functions.dedup import connected_components, minhash_lsh_pairs
+    from .functions.joins import anti_join
+    from .sources.tables import salted_partitions, table_rows
+
+    n_docs = table_rows(sf_dir, "documents")
+    if num_partitions is None:
+        num_partitions = salted_partitions(n_docs)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+    pairs = minhash_lsh_pairs(
+        docs, threshold=NEAR_KEEP_THRESHOLD, num_partitions=num_partitions
+    )
+    labels = connected_components(
+        pairs, a_col="a", b_col="b", node_col="doc_id",
+        num_partitions=num_partitions,
+    )
+    drops = labels.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("doc_id"), t.column("component"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return anti_join(
+        docs.select_columns(["doc_id", "lang", "n_chars"]),
+        drops,
+        "doc_id",
+        "doc_id",
+        right_source_rows=n_docs,
+    )
+
+
 # One pack partition per ~1M documents: P is part of the OUTPUT (part,
 # pack_id), so the oracle recomputes the identical formula from count(*).
 PACK_TARGET_DOCS = 1_000_000
@@ -2596,6 +2716,8 @@ QUERIES: Dict[str, Callable] = {
     "lang_top_docs": lang_top_docs,
     "doc_decontaminate": doc_decontaminate,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_cluster_docs": dedup_cluster_docs,
+    "dedup_near_keep": dedup_near_keep,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -2647,6 +2769,9 @@ ORACLE_SQL: Dict[str, str] = {
     "lang_top_docs": LANG_TOP_DOCS_SQL,
     "doc_decontaminate": DECONTAM_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+    "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
+    # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
+    # pinned against union-find ground truth in tests/test_components.py
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /
     # dedup_ngram_verify / ann_ivf_topk / approx_distinct_orders / media_*:
     # not SQL-expressible → rows-only driver check (sketch/heuristic/

@@ -1,0 +1,142 @@
+"""Distributed connected components vs a driver-side union-find oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from b_pdf_parser_ray.functions.dedup import connected_components
+
+
+def union_find_labels(n_nodes, edges):
+    """Reference: min-id component labels by plain union-find."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then label = root (root is the min id because
+    # unions always hang the larger root under the smaller)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def run_cc(edges, n_nodes, **kw):
+    edge_tbl = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], type=pa.int64()),
+            "b": pa.array([b for _, b in edges], type=pa.int64()),
+        }
+    )
+    nodes_tbl = pa.table({"node": pa.array(range(n_nodes), type=pa.int64())})
+    out = connected_components(
+        ray.data.from_arrow(edge_tbl),
+        nodes_ds=ray.data.from_arrow(nodes_tbl),
+        **kw,
+    ).to_pandas()
+    return dict(zip(out["node"], out["component"]))
+
+
+# gate=None → driver-side vectorized union-find; gate=0 → the distributed
+# alternating-star rounds.  Both plans must produce identical labels.
+GATES = [None, 0]
+
+
+@pytest.mark.parametrize("gate", GATES)
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_graph_matches_union_find(ray_session, seed, gate):
+    rng = np.random.default_rng(seed)
+    n = 120
+    m = int(rng.integers(40, 140))
+    edges = [tuple(sorted(rng.integers(0, n, 2))) for _ in range(m)]
+    edges = [(int(a), int(b)) for a, b in edges if a != b]
+    want = union_find_labels(n, edges)
+    got = run_cc(edges, n, num_partitions=8, max_driver_edges=gate)
+    assert got == want
+
+
+@pytest.mark.parametrize("gate", GATES)
+def test_path_graph_worst_case(ray_session, gate):
+    """A long path maximizes star-algorithm rounds (O(log n) here)."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = run_cc(edges, n, num_partitions=4, max_driver_edges=gate)
+    assert got == {v: 0 for v in range(n)}
+
+
+@pytest.mark.parametrize("gate", GATES)
+def test_two_cliques_and_singletons(ray_session, gate):
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    got = run_cc(edges, 20, num_partitions=4, max_driver_edges=gate)
+    for v in range(5):
+        assert got[v] == 0
+    for v in range(10, 14):
+        assert got[v] == 10
+    for v in list(range(5, 10)) + list(range(14, 20)):
+        assert got[v] == v
+
+
+def test_empty_edges_all_singletons(ray_session):
+    got = run_cc([], 7, num_partitions=4)
+    assert got == {v: v for v in range(7)}
+
+
+def test_self_loops_and_duplicate_edges_ignored(ray_session):
+    edges = [(3, 3), (1, 2), (2, 1), (1, 2), (4, 4)]
+    got = run_cc(edges, 5, num_partitions=4)
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_near_keep_composition_on_planted_corpus(ray_session):
+    """MinHash pairs → connected components → keep-min-per-cluster must
+    keep exactly one representative per planted dup family (the min id)
+    and every unrelated doc.  Transitivity matters: 0≈100≈101 must
+    collapse to ONE cluster even if a band misses one pair."""
+    import random
+
+    from b_pdf_parser_ray.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from b_pdf_parser_ray.functions.joins import anti_join
+
+    WORDS = [f"w{i}" for i in range(300)]
+    rng = random.Random(5)
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(WORDS) for _ in range(60))}
+        for i in range(40)
+    ]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})
+    toks = rows[1]["text"].split()
+    toks[3] = "w0"
+    toks[40] = "w1"
+    rows.append({"doc_id": 200, "text": " ".join(toks)})
+    docs = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_partitions=8)
+    labels = connected_components(pairs, a_col="a", b_col="b", node_col="doc_id")
+    drops = labels.map_batches(
+        lambda t: t.filter(
+            __import__("pyarrow.compute", fromlist=["x"]).not_equal(
+                t.column("doc_id"), t.column("component")
+            )
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    kept = anti_join(
+        docs.select_columns(["doc_id"]), drops, "doc_id", "doc_id",
+        right_source_rows=len(rows),
+    ).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    assert 0 in kept_ids and 1 in kept_ids
+    assert {100, 101, 200}.isdisjoint(kept_ids)
+    assert set(range(2, 40)) <= kept_ids
+    assert len(kept_ids) == 40
