@@ -2654,6 +2654,190 @@ FROM embeddings
 """
 
 
+def doc_length_quantiles(sf_dir: str):
+    """Exact corpus quantiles of document token length — computed as a
+    distributed value histogram, not a sort: token counts live in a bounded
+    integer domain, so per-block (length, count) partials + one small
+    groupby give the full distribution, and the driver folds only
+    |distinct lengths| rows, reading each quantile off the cumulative count
+    at rank ``ceil(q·n)`` (DuckDB ``quantile_disc`` semantics; the rank is
+    computed in exact rational arithmetic because fp ``ceil(0.9·10)`` = 10
+    while the true rank is 9).
+
+    Scale shape: the exchange carries one (length, block) partial per
+    distinct length per block — never a row per document — and a
+    corpus-wide ``ds.sort`` is avoided entirely."""
+    import math
+    from fractions import Fraction
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        t = pa.Table.from_arrays([pc.cast(n_tokens, pa.int64())], names=["n_tokens"])
+        out = t.group_by(["n_tokens"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["n_tokens", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |distinct lengths| rows — bounded by max doc length
+        .sort_values("n_tokens", ignore_index=True)
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    values = hist["n_tokens"].to_numpy()
+    row = {}
+    for name, q in [("p25", "0.25"), ("p50", "0.5"), ("p75", "0.75"),
+                    ("p90", "0.9"), ("p99", "0.99")]:
+        rank = max(1, math.ceil(Fraction(q) * total))
+        row[name] = int(values[int(np.searchsorted(cum, rank, side="left"))])
+    return pd.DataFrame([row])
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+SELECT CAST(quantile_disc(n, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n, 0.5)  AS BIGINT) AS p50,
+       CAST(quantile_disc(n, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(n, 0.9)  AS BIGINT) AS p90,
+       CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
+FROM (SELECT len(string_split(text, ' ')) AS n FROM documents)
+"""
+
+
+def customer_rollup_hierarchy(sf_dir: str):
+    """``GROUP BY ROLLUP (c_mktsegment, n_name)`` — segment × nation cells,
+    per-segment subtotals, and the grand total, computed the scale-correct
+    way: ONE pass over customers builds the finest-grain aggregate
+    (|segments| × |nations| partial rows cross the exchange) and the
+    coarser rollup levels re-aggregate those finished sums on the driver —
+    the input is never re-read once per level.  Nation names are a 25-row
+    broadcast lookup (``pc.index_in`` + ``take``), never a shuffle join.
+
+    Rounding happens once, after all levels are derived from raw sums —
+    rolling up already-rounded subtotals would drift off the oracle."""
+    import ray
+
+    from .functions.broadcast import get_cached
+
+    nation = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    n_ref = ray.put(nation.combine_chunks())
+    cust = read_table(
+        sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_acctbal"]
+    )
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        nat = get_cached(n_ref)
+        idx = pc.index_in(
+            batch.column("c_nationkey"), value_set=nat.column("n_nationkey")
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("c_mktsegment"),
+                pc.take(nat.column("n_name"), idx),
+                batch.column("c_acctbal"),
+            ],
+            names=["c_mktsegment", "n_name", "c_acctbal"],
+        )
+
+    finest = grouped_agg(
+        cust.map_batches(add_nation, batch_format="pyarrow"),
+        ["c_mktsegment", "n_name"],
+        [(None, "count", "n_cust"), ("c_acctbal", "sum", "bal")],
+    ).to_pandas()  # |segments| × |nations| rows — bounded by dimension sizes
+
+    seg = finest.groupby("c_mktsegment", as_index=False).agg(
+        n_cust=("n_cust", "sum"), bal=("bal", "sum")
+    )
+    seg["n_name"] = None
+    total = pd.DataFrame(
+        [
+            {
+                "c_mktsegment": None,
+                "n_name": None,
+                "n_cust": finest["n_cust"].sum(),
+                "bal": finest["bal"].sum(),
+            }
+        ]
+    )
+    out = pd.concat(
+        [finest, seg[finest.columns.tolist()], total[finest.columns.tolist()]],
+        ignore_index=True,
+    )
+    out["total_bal"] = sql_round(out["bal"], 2)
+    out = out.drop(columns=["bal"])
+    out["n_cust"] = out["n_cust"].astype("int64")
+    return out.sort_values(
+        ["c_mktsegment", "n_name"], na_position="last", ignore_index=True
+    )
+
+
+CUSTOMER_ROLLUP_SQL = """
+SELECT c_mktsegment, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (c_mktsegment, n_name)
+ORDER BY c_mktsegment NULLS LAST, n_name NULLS LAST
+"""
+
+
+def customer_order_distribution(sf_dir: str):
+    """Orders-per-customer distribution including zero-order customers
+    (TPC-H Q13 shape — semantically a LEFT OUTER join) — computed without a
+    physical outer join: the left join's only contribution is the zero
+    bucket, whose size is |customer| (parquet footer metadata, free) minus
+    the number of ordering customers (already known exactly as the sum of
+    the nonzero buckets).
+
+    Scale shape: one fine-grained groupby on ``o_custkey`` (near-unique
+    key, no skew), then in-batch pre-count of (c_count, block) partials, a
+    tiny second groupby over |distinct counts| × |blocks| rows, and a
+    driver fold of the |distinct counts|-row distribution."""
+    from ray.data.aggregate import Sum
+
+    from .sources.tables import table_rows
+
+    n_customers = table_rows(sf_dir, "customer")
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    per_cust = grouped_agg(orders, ["o_custkey"], [(None, "count", "c_count")])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays([batch.column("c_count")], names=["c_count"])
+        out = t.group_by(["c_count"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["c_count", "custdist"])
+
+    dist = (
+        per_cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()  # |distinct per-customer order counts| rows — tiny
+    )
+    zero = n_customers - int(dist["custdist"].sum())
+    if zero:
+        dist = pd.concat(
+            [dist, pd.DataFrame([{"c_count": 0, "custdist": zero}])],
+            ignore_index=True,
+        )
+    dist = dist.astype({"c_count": "int64", "custdist": "int64"})
+    return dist.sort_values(
+        ["custdist", "c_count"], ascending=False, ignore_index=True
+    )
+
+
+CUSTOMER_ORDER_DIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2715,6 +2899,9 @@ QUERIES: Dict[str, Callable] = {
     "doc_repetition_stats": doc_repetition_stats,
     "lang_top_docs": lang_top_docs,
     "doc_decontaminate": doc_decontaminate,
+    "doc_length_quantiles": doc_length_quantiles,
+    "customer_rollup_hierarchy": customer_rollup_hierarchy,
+    "customer_order_distribution": customer_order_distribution,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_cluster_docs": dedup_cluster_docs,
     "dedup_near_keep": dedup_near_keep,
@@ -2768,6 +2955,9 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_repetition_stats": DOC_REPETITION_SQL,
     "lang_top_docs": LANG_TOP_DOCS_SQL,
     "doc_decontaminate": DECONTAM_SQL,
+    "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
+    "customer_rollup_hierarchy": CUSTOMER_ROLLUP_SQL,
+    "customer_order_distribution": CUSTOMER_ORDER_DIST_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
