@@ -2838,6 +2838,162 @@ GROUP BY c_count ORDER BY custdist DESC, c_count DESC
 """
 
 
+def events_user_running_total(sf_dir: str, num_partitions: int = None):
+    """Per-event running total of ``value`` per user (the windowed prefix
+    sum ``SUM(...) OVER (PARTITION BY user ORDER BY ts)``): salted
+    groupby(user_id % P) shuffle, then ONE vectorized pass per partition —
+    sort by (user, ts, event_id), global cumsum, per-user rebase at user
+    starts.  P scales with the events row count (same discipline as
+    sessionize).
+
+    Exactness: the testdata contract is 2-decimal values, so the prefix
+    sums run in integer cents — the global-cumsum-minus-base trick is then
+    EXACT, where double arithmetic would drift off the oracle's sequential
+    accumulation by an ulp per rebase."""
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "events"))
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), num_partitions - 1), pa.int32()
+        )
+        return batch.append_column("part", part)
+
+    def running_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        if len(uid) == 0:
+            return pd.DataFrame({"event_id": [], "user_id": [], "running_total": []})
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        cs = np.cumsum(cents)
+        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        base = np.repeat(cs[starts] - cents[starts], np.diff(np.r_[starts, len(uid)]))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "running_total": (cs - base) / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: running_part(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
+
+
+EVENTS_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM events
+"""
+
+
+def doc_lang_length_quantiles(sf_dir: str):
+    """Exact per-language token-length quantiles — the grouped form of
+    ``doc_length_quantiles``: one distributed (lang, length) histogram, then
+    a driver fold of |langs| × |distinct lengths| rows (bounded by the
+    dimension sizes, never by the corpus) reading p50/p90 off per-language
+    cumulative counts at rank ``ceil(q·n)`` in exact rational arithmetic."""
+    import math
+    from fractions import Fraction
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(
+            pc.add(pc.count_substring(batch.column("text"), " "), 1), pa.int64()
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("lang"), n_tokens], names=["lang", "n_tokens"]
+        )
+        out = t.group_by(["lang", "n_tokens"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["lang", "n_tokens", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "n_tokens"], ignore_index=True)
+    )
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        cum = g["n"].cumsum().to_numpy()
+        values = g["n_tokens"].to_numpy()
+        total = int(cum[-1])
+        row = {"lang": lang}
+        for name, q in [("p50", "0.5"), ("p90", "0.9")]:
+            rank = max(1, math.ceil(Fraction(q) * total))
+            row[name] = int(values[int(np.searchsorted(cum, rank, side="left"))])
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+DOC_LANG_QUANTILES_SQL = """
+SELECT lang, CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90
+FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def orders_monthly_trend(sf_dir: str):
+    """Monthly revenue with month-over-month percent change — time-series
+    rollup plus a LAG window.  The heavy part is the partial-agg groupby
+    (one (month, block) row per block crosses the exchange); the window
+    runs on the driver over |months| rows.  The MoM expression reproduces
+    the oracle's left-associated ``(100·Δ)/prev`` so fp results are
+    bit-identical before rounding; the first month's NULL is coalesced to
+    0 on both sides to keep the value hash deterministic."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def add_month(batch: pa.Table) -> pa.Table:
+        month = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
+        return pa.Table.from_arrays(
+            [month, batch.column("o_totalprice")], names=["month", "o_totalprice"]
+        )
+
+    monthly = (
+        grouped_agg(
+            ds.map_batches(add_month, batch_format="pyarrow"),
+            ["month"],
+            [("o_totalprice", "sum", "revenue")],
+        )
+        .to_pandas()  # |months| rows
+        .sort_values("month", ignore_index=True)
+    )
+    monthly["revenue"] = sql_round(monthly["revenue"], 2)
+    prev = monthly["revenue"].shift(1)
+    mom = pd.Series(sql_round((100.0 * (monthly["revenue"] - prev)) / prev, 2))
+    monthly["mom_pct"] = mom.fillna(0.0)
+    return monthly
+
+
+ORDERS_MONTHLY_TREND_SQL = """
+SELECT month, revenue,
+       coalesce(round((100.0 * (revenue - lag(revenue) OVER (ORDER BY month)))
+                      / lag(revenue) OVER (ORDER BY month), 2), 0.0) AS mom_pct
+FROM (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY month
+) ORDER BY month
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2902,6 +3058,9 @@ QUERIES: Dict[str, Callable] = {
     "doc_length_quantiles": doc_length_quantiles,
     "customer_rollup_hierarchy": customer_rollup_hierarchy,
     "customer_order_distribution": customer_order_distribution,
+    "events_user_running_total": events_user_running_total,
+    "doc_lang_length_quantiles": doc_lang_length_quantiles,
+    "orders_monthly_trend": orders_monthly_trend,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_cluster_docs": dedup_cluster_docs,
     "dedup_near_keep": dedup_near_keep,
@@ -2958,6 +3117,9 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
     "customer_rollup_hierarchy": CUSTOMER_ROLLUP_SQL,
     "customer_order_distribution": CUSTOMER_ORDER_DIST_SQL,
+    "events_user_running_total": EVENTS_RUNNING_TOTAL_SQL,
+    "doc_lang_length_quantiles": DOC_LANG_QUANTILES_SQL,
+    "orders_monthly_trend": ORDERS_MONTHLY_TREND_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
