@@ -2994,6 +2994,130 @@ FROM (
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_daily_type_pivot(sf_dir: str):
+    """Pivot (crosstab): one row per day, one count column per event type.
+    The wide step is the ordinary partial-agg groupby on the (day, type)
+    composite key — |days|×|types|×|blocks| partial rows cross the
+    exchange; the pivot itself reshapes the bounded |days|×|types| result
+    on the driver.  Column set is the declared type vocabulary, so the
+    output schema is stable even when a type is absent from the data."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        t = pa.Table.from_arrays(
+            [day, batch.column("event_type")], names=["day", "event_type"]
+        )
+        out = t.group_by(["day", "event_type"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["day", "event_type", "n"])
+
+    long = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |days| × |types| rows — bounded
+    )
+    wide = (
+        long.pivot_table(index="day", columns="event_type", values="n",
+                         aggfunc="sum", fill_value=0)
+        .reindex(columns=EVENT_TYPES, fill_value=0)
+        .astype("int64")
+        .reset_index()
+        .sort_values("day", ignore_index=True)
+    )
+    wide.columns.name = None
+    return wide
+
+
+EVENTS_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+FROM events GROUP BY day ORDER BY day
+"""
+
+
+def orders_price_decile_counts(sf_dir: str):
+    """Decile bucketing of a continuous column — the two-pass
+    broadcast-stats pattern: pass 1 builds a distributed value histogram of
+    ``floor(price)`` (domain-bounded: |distinct integer prices|, not
+    |orders|) and folds the 9 decile boundaries on the driver at exact
+    ``quantile_disc`` ranks; pass 2 re-streams orders, assigns each row
+    ``#boundaries < value`` with one vectorized ``searchsorted`` against
+    the broadcast boundary array, and pre-counts per block.  Nothing
+    corpus-sized ever leaves the workers, and the input is read twice
+    rather than sorted once — the right trade at 100 TB."""
+    import math
+    from fractions import Fraction
+
+    from ray.data.aggregate import Sum
+
+    def floors(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(batch.column("o_totalprice")), pa.int64())
+        t = pa.Table.from_arrays([v], names=["v"])
+        out = t.group_by(["v"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["v", "n"])
+
+    hist = (
+        read_table(sf_dir, "orders", columns=["o_totalprice"])
+        .map_batches(floors, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |distinct integer prices| rows — domain-bounded
+        .sort_values("v", ignore_index=True)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    values = hist["v"].to_numpy()
+    total = int(cum[-1])
+    boundaries = np.array(
+        [
+            values[int(np.searchsorted(
+                cum, max(1, math.ceil(Fraction(f"0.{d}") * total)), side="left"
+            ))]
+            for d in range(1, 10)
+        ],
+        dtype=np.int64,
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(batch.column("o_totalprice")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        decile = np.searchsorted(boundaries, v, side="left")
+        t = pa.Table.from_arrays(
+            [pa.array(decile, type=pa.int64())], names=["decile"]
+        )
+        out = t.group_by(["decile"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["decile", "n"])
+
+    return (
+        read_table(sf_dir, "orders", columns=["o_totalprice"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("decile")
+    )
+
+
+ORDERS_DECILE_SQL = """
+WITH f AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+b AS (SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM f)
+SELECT CAST(len(list_filter(qs, x -> v > x)) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n
+FROM f, b GROUP BY decile ORDER BY decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3061,6 +3185,8 @@ QUERIES: Dict[str, Callable] = {
     "events_user_running_total": events_user_running_total,
     "doc_lang_length_quantiles": doc_lang_length_quantiles,
     "orders_monthly_trend": orders_monthly_trend,
+    "events_daily_type_pivot": events_daily_type_pivot,
+    "orders_price_decile_counts": orders_price_decile_counts,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_cluster_docs": dedup_cluster_docs,
     "dedup_near_keep": dedup_near_keep,
@@ -3120,6 +3246,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_user_running_total": EVENTS_RUNNING_TOTAL_SQL,
     "doc_lang_length_quantiles": DOC_LANG_QUANTILES_SQL,
     "orders_monthly_trend": ORDERS_MONTHLY_TREND_SQL,
+    "events_daily_type_pivot": EVENTS_PIVOT_SQL,
+    "orders_price_decile_counts": ORDERS_DECILE_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
