@@ -1379,18 +1379,24 @@ def dedup_ngram_verify(
         # a").  One cheap exchange over (a,b) int64 rows re-emits every
         # block as Arrow with the unified (a,b) schema.
         #
-        # Dataset.join drops the right key column, so each join leaves just
-        # the picked-up text column to rename
+        # Rename the DOCS side before each join, never the join output:
+        # rename_columns is a map op that Ray skips on the zero-row blocks
+        # the hash join emits for empty partitions, so a post-join rename
+        # leaves empties carrying the old name and the second join dies on
+        # mixed schemas ("no match or multiple matches for FieldRef b").
+        # Docs blocks come straight from the read and are never empty.
+        docs_a = docs.rename_columns({"text": "text_a"})
+        docs_b = docs.rename_columns({"text": "text_b"})
         j1 = pairs_ds.map_batches(pair_proj, batch_format="pyarrow").repartition(
             num_partitions
         ).join(
-            docs, join_type="inner", num_partitions=num_partitions,
+            docs_a, join_type="inner", num_partitions=num_partitions,
             on=("a",), right_on=("doc_id",),
-        ).rename_columns({"text": "text_a"})
+        )
         j2 = j1.join(
-            docs, join_type="inner", num_partitions=num_partitions,
+            docs_b, join_type="inner", num_partitions=num_partitions,
             on=("b",), right_on=("doc_id",),
-        ).rename_columns({"text": "text_b"})
+        )
         return j2.map_batches(
             lambda b: verify_texts(
                 b, b.column("text_a").to_pylist(), b.column("text_b").to_pylist()
