@@ -23,6 +23,13 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..rayfix import apply as _apply_rayfix
+
+# every Dataset.join in this package flows through this module (or through
+# queries that import it), so the hash-shuffle schema-broadcast fix is
+# installed before any join plan can be built
+_apply_rayfix()
+
 # 5M keys × 8 B ≈ 40 MB broadcast side — comfortably driver/worker-safe;
 # a 100 TB fact table is orders of magnitude above this and takes the
 # hash-partitioned plan.
@@ -151,6 +158,161 @@ def anti_join(
         on=(left_key,),
         right_on=(right_key,),
     )
+
+
+def _hot_keys(left_ds, left_key: str, *, frac: float, per_block_top: int = 16):
+    """Estimate the left side's hot join keys from bounded per-block partials.
+
+    Each block ships its top ``per_block_top`` (key, count) pairs plus its
+    row count — driver traffic is O(blocks × per_block_top) regardless of
+    corpus size.  A key is *hot* when its (under-)estimated global share
+    exceeds ``frac``.  Detection is a heuristic that only picks the plan —
+    both plans are exact, so a missed hot key costs performance, never
+    correctness; a genuinely hot key (> frac of all rows) necessarily tops
+    most blocks' local counts, so its estimate lands within a small factor
+    of truth."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = (
+            pa.table({left_key: batch.column(left_key)})
+            .group_by(left_key)
+            .aggregate([([], "count_all")])
+        )
+        counts = counts.sort_by([("count_all", "descending")]).slice(0, per_block_top)
+        n = counts.num_rows
+        key_type = batch.schema.field(left_key).type
+        # one null-keyed sentinel row per block carries the block's exact
+        # row count, so the driver recovers the exact total without a
+        # second pass (top-k truncation loses mass from the count rows);
+        # partials are ≤ per_block_top+1 rows — pylist construction is fine
+        return pa.Table.from_arrays(
+            [
+                pa.array(counts.column(left_key).to_pylist() + [None], type=key_type),
+                pa.array(
+                    counts.column("count_all").cast(pa.int64()).to_pylist() + [0],
+                    type=pa.int64(),
+                ),
+                pa.array([0] * n + [batch.num_rows], type=pa.int64()),
+            ],
+            names=["key", "cnt", "block_rows"],
+        )
+
+    tbl = _collect_arrow(
+        left_ds.map_batches(partial, batch_format="pyarrow")
+    )
+    if "key" not in tbl.column_names or tbl.num_rows == 0:
+        return pa.array([], type=pa.null())
+    total = max(1, int(pc.sum(tbl.column("block_rows")).as_py() or 0))
+    tbl = tbl.filter(pc.is_valid(tbl.column("key")))
+    if tbl.num_rows == 0:
+        return pa.array([], type=pa.null())
+    per_key = tbl.group_by("key").aggregate([("cnt", "sum")])
+    mask = pc.greater(
+        per_key.column("cnt_sum").cast(pa.float64()),
+        pa.scalar(float(frac) * total),
+    )
+    return pc.drop_null(per_key.filter(mask).column("key").combine_chunks())
+
+
+def skew_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    value_cols,
+    *,
+    right_source_rows: int,
+    max_broadcast_rows: int = None,
+    num_partitions: int = 8,
+    hot_key_fraction: float = None,
+):
+    """Skew-aware inner equi-join appending ``value_cols`` (``right_key``
+    unique on the right, as in :func:`lookup_join`).
+
+    A hash-partitioned join sends every row of a key to one partition, so
+    one hot key (a crawl's top domain, a null-ish default id, a viral
+    user) serializes onto a single aggregator however many nodes exist.
+    Plan:
+
+    * right side under the broadcast cap → plain broadcast
+      :func:`lookup_join` (skew is irrelevant when nothing shuffles);
+    * otherwise detect hot left keys from bounded per-block count partials
+      (:func:`_hot_keys`); the right rows for those keys (≤ |hot keys|
+      rows — ``right_key`` is unique) are fetched with a semi filter,
+      broadcast once, and hot left rows join map-side with zero shuffle,
+      while the remaining keys — now guaranteed ≤ ``hot_key_fraction`` of
+      rows each — take the hash-partitioned ``Dataset.join``.  The union
+      of both branches is the exact inner-join result.
+    """
+    if max_broadcast_rows is None:
+        max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
+    if hot_key_fraction is None:
+        hot_key_fraction = 0.5 / num_partitions
+    if right_source_rows <= max_broadcast_rows:
+        return lookup_join(
+            left_ds, right_ds, left_key, right_key, value_cols,
+            right_source_rows=right_source_rows,
+            max_broadcast_rows=max_broadcast_rows,
+            num_partitions=num_partitions,
+        )
+
+    import ray
+
+    from .broadcast import get_cached
+
+    hot = _hot_keys(left_ds, left_key, frac=hot_key_fraction)
+    if len(hot) == 0:
+        return left_ds.join(
+            right_ds, join_type="inner", num_partitions=num_partitions,
+            on=(left_key,), right_on=(right_key,),
+        )
+    hot_ref = ray.put(hot)
+
+    # right rows for the hot keys: bounded at |hot| rows by key uniqueness
+    right_hot_tbl = _collect_arrow(
+        right_ds.map_batches(
+            lambda b: b.filter(
+                pc.fill_null(
+                    pc.is_in(b.column(right_key), value_set=get_cached(hot_ref)),
+                    False,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    side_ref = ray.put(right_hot_tbl)
+
+    def join_hot(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(
+            pc.is_in(batch.column(left_key), value_set=get_cached(hot_ref)), False
+        )
+        batch = batch.filter(mask)
+        side = get_cached(side_ref)
+        idx = pc.index_in(batch.column(left_key), value_set=side.column(right_key))
+        valid = pc.is_valid(idx)
+        batch = batch.filter(valid)
+        idx = pc.filter(idx, valid)
+        for col in value_cols:
+            batch = batch.append_column(col, pc.take(side.column(col), idx))
+        return batch
+
+    def keep_rest(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.fill_null(
+                pc.invert(
+                    pc.is_in(batch.column(left_key), value_set=get_cached(hot_ref))
+                ),
+                False,  # null left key never inner-joins — drop in either branch
+            )
+        )
+
+    hot_branch = left_ds.map_batches(join_hot, batch_format="pyarrow")
+    rest_branch = left_ds.map_batches(keep_rest, batch_format="pyarrow").join(
+        right_ds, join_type="inner", num_partitions=num_partitions,
+        on=(left_key,), right_on=(right_key,),
+    )
+    return hot_branch.union(rest_branch)
 
 
 def lookup_join(

@@ -2198,14 +2198,18 @@ def dedup_jaccard_pairs(sf_dir: str):
             names=["doc_id", "grams"],
         )
 
-    side = pa.concat_tables(
-        [
-            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
-            for t in ray.get(
-                sample.map_batches(gram_lists, batch_format="pyarrow").to_arrow_refs()
-            )
-        ]
-    ).combine_chunks()
+    # _collect_arrow drops the zero-column empties Ray emits for blocks the
+    # sample filter fully drained (the map UDF is skipped on empty blocks,
+    # so they reach the driver schema-less and would break concat_tables)
+    from .functions.joins import _collect_arrow
+
+    side = _collect_arrow(sample.map_batches(gram_lists, batch_format="pyarrow"))
+    if side.num_rows == 0 or "grams" not in side.column_names:
+        return pa.Table.from_arrays(
+            [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.float64())],
+            names=["doc_a", "doc_b", "jaccard"],
+        )
     # dictionary-encode ALL sample grams once → per-doc sorted id arrays
     grams_col = side.column("grams").combine_chunks()
     flat_ids = np.asarray(
@@ -3125,6 +3129,466 @@ FROM f, b GROUP BY decile ORDER BY decile
 
 
 # ---------------------------------------------------------------------------
+# Round-3 relational widening: multi-way joins, skew-aware join, set ops,
+# interpolated quantiles, distributed correlation, heavy-hitter sketch
+# ---------------------------------------------------------------------------
+
+
+def events_type_share(sf_dir: str, num_partitions: int = 8):
+    """Per-type engagement rollup whose enrichment join runs through the
+    SKEW-AWARE planner (``functions.joins.skew_join``): event_type is the
+    canonical hot key — a handful of values covering the whole fact table,
+    so a plain hash join would route 100 TB through ≤ |types| partitions.
+    ``skew_join`` detects the hot keys from bounded per-block count
+    partials and joins them map-side with a replicated right side (zero
+    shuffle for the hot rows); only the cold tail takes the partitioned
+    exchange.
+
+    Output: one row per event_type with its total row count (attached by
+    the join, then verified by the re-aggregation), event count and
+    distinct-user count — all integers, exactly oracle-comparable."""
+    from .functions.joins import skew_join
+    from .sources.tables import table_rows
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    stats = grouped_agg(
+        read_table(sf_dir, "events", columns=["event_type"]),
+        ["event_type"],
+        [(None, "count", "type_total")],
+    )
+    enriched = skew_join(
+        ev, stats, "event_type", "event_type", ["type_total"],
+        # provable bound: |type stats| ≤ |events| (footer rows); above the
+        # cap the planner goes hybrid — hot types replicated, tail hashed
+        right_source_rows=table_rows(sf_dir, "events"),
+        num_partitions=num_partitions,
+    )
+    # distinct users exactly: pre-reduce to (type, user) grain, then fold
+    per_user = grouped_agg(
+        enriched,
+        ["event_type", "user_id"],
+        [(None, "count", "n_rows"), ("type_total", "max", "type_total")],
+    )
+    out = grouped_agg(
+        per_user,
+        ["event_type"],
+        [
+            ("n_rows", "sum", "n_events"),
+            (None, "count", "n_users"),
+            ("type_total", "max", "type_total"),
+        ],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["event_type", "type_total", "n_events", "n_users"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_TYPE_SHARE_SQL = """
+WITH s AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type)
+SELECT e.event_type,
+       max(s.type_total)         AS type_total,
+       count(*)                  AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN s ON e.event_type = s.event_type
+GROUP BY e.event_type
+"""
+
+
+def q7_nation_pair_volume(sf_dir: str, num_partitions: int = 8):
+    """Cross-nation shipping volume (TPC-H Q7 shape): revenue by
+    (supplier nation, customer nation, ship year) over every distinct
+    nation pair, 1995-1996.  (TPC-H fixes one pair; all pairs keeps the
+    result non-degenerate at every scale factor — same join shape.)
+
+    Join shape — three size-gated ``lookup_join``s, each broadcast under
+    the cap and hash-partitioned above it: lineitem picks up
+    ``s_nationkey`` from supplier, orders picks up ``c_nationkey`` from
+    customer, and the lineitem partials (pre-aggregated per (orderkey,
+    supp-nation, year) inside the batch) pick up the customer nation from
+    the enriched orders.  The 25-row nation name map is a driver broadcast.
+    Nothing fact-table-sized is ever collected."""
+    import ray
+
+    from .functions.broadcast import get_cached
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    nation = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nation_ref = ray.put(nation.combine_chunks())
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-12-31"), type=pa.timestamp("us"))
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less_equal(batch.column("l_shipdate"), hi),
+        )
+        batch = batch.filter(keep)
+        # exact integer ten-thousandths: price has 2 decimal digits and
+        # discount 2, so price_cents × (100 − disc_pct) is the revenue in
+        # e-4 units with NO float error — group sums are then exact
+        # integers on both engines and the final 2-dp rounding can never
+        # flip on a summation-order boundary (which a double sum does:
+        # 615184.595… rounds differently per accumulation order)
+        rev_e4 = pc.multiply(
+            pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"),
+                                         pa.scalar(100.0))), pa.int64()),
+            pc.cast(
+                pc.round(
+                    pc.multiply(
+                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                        pa.scalar(100.0),
+                    )
+                ),
+                pa.int64(),
+            ),
+        )
+        year = pc.cast(pc.year(batch.column("l_shipdate")), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_suppkey"), rev_e4, year],
+            names=["l_orderkey", "l_suppkey", "rev_e4", "l_year"],
+        )
+
+    with_supp = lookup_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        "l_suppkey", "s_suppkey", ["s_nationkey"],
+        right_source_rows=table_rows(sf_dir, "supplier"),
+        num_partitions=num_partitions,
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_orderkey", "s_nationkey", "l_year", "rev_e4"])
+        out = t.group_by(
+            ["l_orderkey", "s_nationkey", "l_year"], use_threads=False
+        ).aggregate([("rev_e4", "sum")])
+        return out.rename_columns(["l_orderkey", "s_nationkey", "l_year", "rev_e4"])
+
+    orders_n = lookup_join(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        "o_custkey", "c_custkey", ["c_nationkey"],
+        right_source_rows=table_rows(sf_dir, "customer"),
+        num_partitions=num_partitions,
+    )
+    joined = lookup_join(
+        with_supp.map_batches(li_partial, batch_format="pyarrow"),
+        orders_n, "l_orderkey", "o_orderkey", ["c_nationkey"],
+        right_source_rows=table_rows(sf_dir, "orders"),
+        num_partitions=num_partitions,
+    )
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        nat = get_cached(nation_ref)
+        supp = pc.take(
+            nat.column("n_name"),
+            pc.index_in(batch.column("s_nationkey"), value_set=nat.column("n_nationkey")),
+        )
+        cust = pc.take(
+            nat.column("n_name"),
+            pc.index_in(batch.column("c_nationkey"), value_set=nat.column("n_nationkey")),
+        )
+        t = pa.Table.from_arrays(
+            [supp, cust, batch.column("l_year"), batch.column("rev_e4")],
+            names=["supp_nation", "cust_nation", "l_year", "rev_e4"],
+        )
+        return t.filter(
+            pc.not_equal(t.column("supp_nation"), t.column("cust_nation"))
+        )
+
+    out = grouped_agg(
+        joined.map_batches(to_pair, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        [("rev_e4", "sum", "rev_e4")],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = sql_round(b["rev_e4"] / 10_000.0, 2)
+        return b.drop(columns=["rev_e4"])
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q14_promo_revenue(sf_dir: str, num_partitions: int = 8):
+    """Promotion revenue share (TPC-H Q14 shape): % of September-1997
+    revenue from PROMO-type parts.  lineitem picks up ``p_type`` through
+    the size-gated lookup join; both sums are map-side partials (2 numbers
+    per block cross the exchange) folded on the driver into one row."""
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    lo = pa.scalar(pd.Timestamp("1997-09-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-10-01"), type=pa.timestamp("us"))
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi),
+        )
+        batch = batch.filter(keep)
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("l_partkey"), rev], names=["l_partkey", "revenue"]
+        )
+
+    joined = lookup_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        read_table(sf_dir, "part", columns=["p_partkey", "p_type"]),
+        "l_partkey", "p_partkey", ["p_type"],
+        right_source_rows=table_rows(sf_dir, "part"),
+        num_partitions=num_partitions,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        promo = pc.sum(
+            pc.if_else(
+                pc.equal(batch.column("p_type"), "PROMO"),
+                batch.column("revenue"),
+                pa.scalar(0.0),
+            )
+        ).as_py() or 0.0
+        total = pc.sum(batch.column("revenue")).as_py() or 0.0
+        return pa.Table.from_arrays(
+            [pa.array([promo]), pa.array([total])], names=["promo", "total"]
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo, total = float(parts["promo"].sum()), float(parts["total"].sum())
+    share = 100.0 * promo / total if total else 0.0
+    return pd.DataFrame([{"promo_revenue": float(sql_round([share], 2)[0])}])
+
+
+Q14_SQL = """
+SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+def q18_large_orders(sf_dir: str, min_qty: float = 300.0, num_partitions: int = 8):
+    """Large-volume orders (TPC-H Q18 shape): orders whose total lineitem
+    quantity exceeds ``min_qty``, with customer and order details.
+
+    Scale shape: per-batch (orderkey → Σqty) partials pre-reduce before
+    the one orderkey-grain exchange (high-cardinality uniform key — the
+    safe kind); the > cut happens on the aggregated rows, and only the
+    few surviving orders flow through the two size-gated lookup joins."""
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    qty = grouped_agg(
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]),
+        ["l_orderkey"],
+        [("l_quantity", "sum", "total_qty")],
+    )
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("total_qty"), pa.scalar(min_qty)))
+
+    big_orders = lookup_join(
+        qty.map_batches(big, batch_format="pyarrow"),
+        read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        ),
+        "l_orderkey", "o_orderkey", ["o_custkey", "o_orderdate", "o_totalprice"],
+        right_source_rows=table_rows(sf_dir, "orders"),
+        num_partitions=num_partitions,
+    )
+    out = lookup_join(
+        big_orders,
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        "o_custkey", "c_custkey", ["c_name"],
+        right_source_rows=table_rows(sf_dir, "customer"),
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"l_orderkey": "o_orderkey"})
+        b["total_qty"] = sql_round(b["total_qty"], 2)
+        b["o_totalprice"] = sql_round(b["o_totalprice"], 2)
+        return b[["o_orderkey", "c_name", "o_orderdate", "o_totalprice", "total_qty"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q18_SQL = """
+SELECT o_orderkey, c_name, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY o_orderkey, c_name, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 300.0
+"""
+
+
+def q19_bracket_revenue(sf_dir: str, num_partitions: int = 8):
+    """Discounted revenue under disjunctive brand/size/quantity brackets
+    (TPC-H Q19 shape).  lineitem picks up ``p_brand``/``p_size`` through
+    the size-gated lookup join; the three-way OR evaluates vectorized per
+    batch; one number per block crosses to the driver."""
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = lookup_join(
+        li,
+        read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]),
+        "l_partkey", "p_partkey", ["p_brand", "p_size"],
+        right_source_rows=table_rows(sf_dir, "part"),
+        num_partitions=num_partitions,
+    )
+
+    def bracket(brand, size_lo, size_hi, qty_lo, qty_hi):
+        def f(b: pa.Table):
+            return pc.and_(
+                pc.and_(
+                    pc.equal(b.column("p_brand"), brand),
+                    pc.and_(
+                        pc.greater_equal(b.column("p_size"), pa.scalar(size_lo)),
+                        pc.less_equal(b.column("p_size"), pa.scalar(size_hi)),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(b.column("l_quantity"), pa.scalar(float(qty_lo))),
+                    pc.less_equal(b.column("l_quantity"), pa.scalar(float(qty_hi))),
+                ),
+            )
+        return f
+
+    brackets = [
+        bracket("Brand#13", 1, 15, 1, 20),
+        bracket("Brand#20", 10, 30, 10, 30),
+        bracket("Brand#9", 20, 50, 20, 40),
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = brackets[0](batch)
+        for br in brackets[1:]:
+            keep = pc.or_(keep, br(batch))
+        batch = batch.filter(keep)
+        rev = pc.sum(
+            pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+        ).as_py() or 0.0
+        return pa.Table.from_arrays([pa.array([rev])], names=["revenue"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = float(parts["revenue"].sum())
+    return pd.DataFrame([{"revenue": float(sql_round([total], 2)[0])}])
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#9'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def purchase_error_user_overlap(sf_dir: str, num_partitions: int = 8):
+    """Set operations over derived row sets — INTERSECT / EXCEPT expressed
+    through the size-gated semi/anti planner: users who purchased vs users
+    who hit an error.  Each side pre-reduces to distinct (user) partials
+    per block before anything crosses an exchange; the semi/anti filters
+    are broadcast ``is_in`` under the cap and hash-partitioned joins above
+    it.  Output: one row of exact counts."""
+    from .functions.joins import anti_join, semi_join
+    from .sources.tables import table_rows
+
+    ev_rows = table_rows(sf_dir, "events")
+
+    def users_of(event_type: str):
+        ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+        def distinct_users(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(pc.equal(batch.column("event_type"), event_type))
+            return pa.Table.from_arrays(
+                [pc.unique(keep.column("user_id"))], names=["user_id"]
+            )
+
+        # block-level distinct partials, then one (user)-grain exchange to
+        # global distinct — |users| rows, never |events|
+        return grouped_agg(
+            ds.map_batches(distinct_users, batch_format="pyarrow"),
+            ["user_id"],
+            [(None, "count", "__n")],
+        ).drop_columns(["__n"])
+
+    buyers = users_of("purchase")
+    erroring = users_of("error")
+
+    n_both = semi_join(
+        buyers, erroring, "user_id", "user_id",
+        right_source_rows=ev_rows, num_partitions=num_partitions,
+    ).count()
+    n_buy_only = anti_join(
+        buyers, erroring, "user_id", "user_id",
+        right_source_rows=ev_rows, num_partitions=num_partitions,
+    ).count()
+    n_err_only = anti_join(
+        erroring, buyers, "user_id", "user_id",
+        right_source_rows=ev_rows, num_partitions=num_partitions,
+    ).count()
+    return pd.DataFrame(
+        [{"n_both": n_both, "n_purchase_only": n_buy_only, "n_error_only": n_err_only}]
+    )
+
+
+USER_OVERLAP_SQL = """
+WITH b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT (SELECT count(*) FROM (SELECT user_id FROM b INTERSECT SELECT user_id FROM e)) AS n_both,
+       (SELECT count(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM e))    AS n_purchase_only,
+       (SELECT count(*) FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM b))    AS n_error_only
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3196,6 +3660,12 @@ QUERIES: Dict[str, Callable] = {
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_cluster_docs": dedup_cluster_docs,
     "dedup_near_keep": dedup_near_keep,
+    "events_type_share": events_type_share,
+    "q7_nation_pair_volume": q7_nation_pair_volume,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "purchase_error_user_overlap": purchase_error_user_overlap,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -3256,6 +3726,12 @@ ORACLE_SQL: Dict[str, str] = {
     "orders_price_decile_counts": ORDERS_DECILE_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
+    "events_type_share": EVENTS_TYPE_SHARE_SQL,
+    "q7_nation_pair_volume": Q7_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "q19_bracket_revenue": Q19_SQL,
+    "purchase_error_user_overlap": USER_OVERLAP_SQL,
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
     # pinned against union-find ground truth in tests/test_components.py
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /

@@ -93,9 +93,18 @@ def salted_partitions(
 
 def table_rows(sf_dir: str, name: str) -> int:
     """Exact row count from parquet footer metadata — no data read, no Ray.
-    The size-gated join planner's input (functions/joins.py)."""
+    The size-gated join planner's input (functions/joins.py).  Accepts the
+    table as a single file or as a directory of fragment files (the
+    production layout — one fragment per input shard)."""
     import pyarrow.parquet as pq
 
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}")
-    return pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows

@@ -317,3 +317,52 @@ def test_ivf_partitioned_search_prunes_to_probe_dirs(ray_session, tmp_path):
         index.search_partitioned(index_dir, q, k=10, nprobe=3).to_pandas()["vec_id"]
     )
     assert len(brute & approx) / 10 >= 0.8
+
+
+def test_jaccard_pairs_survive_fully_filtered_blocks(ray_session, tmp_path):
+    """A parquet fragment whose doc_ids all miss the sample (doc_id % MOD
+    != 0) reaches the driver as a schema-less empty block (Ray skips map
+    UDFs on empties) — the collection must drop those instead of crashing
+    concat_tables, and an entirely-missed corpus must return the empty
+    pairs table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import (
+        JACCARD_SAMPLE_MOD,
+        dedup_cluster_docs,
+        dedup_jaccard_pairs,
+    )
+
+    d = tmp_path / "documents.parquet"
+    os.makedirs(d)
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    # fragment 0: no sampled ids at all; fragment 1: two near-identical
+    # sampled docs (both % MOD == 0)
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": [text + "one", text + "two", text]}),
+        d / "part0.parquet",
+    )
+    m = JACCARD_SAMPLE_MOD
+    pq.write_table(
+        pa.table({"doc_id": [m, 2 * m], "text": [text, text + " tail"]}),
+        d / "part1.parquet",
+    )
+    pairs = dedup_jaccard_pairs(str(tmp_path))
+    got = pairs.to_pandas() if not hasattr(pairs, "to_pandas") else pairs.to_pandas()
+    assert {(a, b) for a, b in zip(got["doc_a"], got["doc_b"])} == {(m, 2 * m)}
+
+    clusters = dedup_cluster_docs(str(tmp_path)).to_pandas()
+    assert sorted(clusters["doc_id"]) == [m, 2 * m]
+    assert set(clusters["cluster_size"]) == {2}
+
+    # corpus with zero sampled docs: empty result, not a crash
+    d2 = tmp_path / "empty_case"
+    os.makedirs(d2)
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [text, text]}),
+        d2 / "documents.parquet",
+    )
+    assert dedup_jaccard_pairs(str(d2)).num_rows == 0

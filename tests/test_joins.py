@@ -68,7 +68,9 @@ def test_lookup_join_both_plans_agree(sides):
 
 @pytest.mark.parametrize(
     "name", ["q3_top_revenue_orders", "q4_order_priority",
-             "customers_without_orders", "q5_nation_revenue"]
+             "customers_without_orders", "q5_nation_revenue",
+             "q7_nation_pair_volume", "q18_large_orders",
+             "events_type_share", "purchase_error_user_overlap"]
 )
 def test_gated_queries_identical_on_hash_plan(ray_session, ddb_sf, name, monkeypatch):
     """Force the hash plan (cap=0) on the real catalog queries: results must
@@ -217,3 +219,114 @@ def test_empty_key_side_broadcast_plan(ray_session):
         ).count()
         == 0
     )
+
+
+def test_skew_join_plans_agree_and_match_duckdb(ray_session):
+    """skew_join's three plans (broadcast-right, plain hash, hot-key
+    hybrid) must all equal the DuckDB inner join on a corpus where one key
+    owns 60% of the left rows."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from b_pdf_parser_ray.functions.joins import _hot_keys, skew_join
+
+    rng = np.random.default_rng(7)
+    keys = np.where(
+        rng.random(20_000) < 0.6, 7, rng.integers(100, 1100, 20_000)
+    ).astype(np.int64)
+    ltbl = pa.table({"k": keys, "v": np.arange(20_000, dtype=np.int64)})
+    rtbl = pa.table(
+        {"rk": pa.array(np.arange(1200), type=pa.int64()),
+         "name": [f"n{i}" for i in range(1200)]}
+    )
+    left = ray.data.from_arrow(ltbl).repartition(8)
+    right = ray.data.from_arrow(rtbl).repartition(4)
+
+    # detection: the planted hot key and only plausible hot keys
+    hot = set(_hot_keys(left, "k", frac=0.5 / 8).to_pylist())
+    assert 7 in hot and len(hot) <= 4
+
+    ldf, rdf = ltbl.to_pandas(), rtbl.to_pandas()
+    want = duckdb.sql(
+        "SELECT k, v, name FROM ldf JOIN rdf ON k = rk ORDER BY v"
+    ).df()
+
+    def run(**kw):
+        out = skew_join(
+            left, right, "k", "rk", ["name"], right_source_rows=1200, **kw
+        )
+        return (
+            out.to_pandas()[["k", "v", "name"]]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+
+    bcast = run()  # right under the cap → broadcast lookup plan
+    hybrid = run(max_broadcast_rows=0)  # forced → hot-key hybrid
+    nohot = run(max_broadcast_rows=0, hot_key_fraction=2.0)  # forced → plain hash
+    for got in (bcast, hybrid, nohot):
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_skew_join_null_keys_dropped_both_branches(ray_session):
+    """Null left keys never inner-join — both the hot branch and the rest
+    branch must drop them (a null sneaking into either side's is_in mask
+    would leak rows)."""
+    import ray.data
+
+    from b_pdf_parser_ray.functions.joins import skew_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 1, 1, 2, None], type=pa.int64()),
+                  "v": list(range(6))})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1, 2], type=pa.int64()), "name": ["a", "b"]})
+    )
+    out = skew_join(
+        left, right, "k", "rk", ["name"], right_source_rows=2,
+        max_broadcast_rows=0, hot_key_fraction=0.3,
+    ).to_pandas()
+    assert len(out) == 5 and set(out["name"]) == {"a", "b"}
+
+
+def test_hash_join_survives_empty_first_blocks(ray_session):
+    """Ray 2.49's hash shuffle drops the schema broadcast when the first
+    shuffled block is empty (rayfix.py) — a selective filter ahead of a
+    hash join makes most blocks empty and the failure arrival-order
+    dependent.  Repeat a q18-shaped join (3 surviving keys out of 1.5k,
+    12/16 left blocks empty) to pin the fix."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from b_pdf_parser_ray.functions.agg import grouped_agg
+    from b_pdf_parser_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    for _ in range(3):
+        qty = grouped_agg(
+            read_table(sf, "lineitem", columns=["l_orderkey", "l_quantity"]),
+            ["l_orderkey"],
+            [("l_quantity", "sum", "total_qty")],
+        )
+        left = qty.map_batches(
+            lambda b: b.filter(pc.greater(b.column("total_qty"), pa.scalar(300.0))),
+            batch_format="pyarrow",
+        )
+        right = read_table(sf, "orders", columns=["o_orderkey", "o_custkey"])
+        j = left.join(
+            right, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        got = j.to_pandas()
+        import duckdb
+
+        want = duckdb.sql(
+            f"SELECT count(*) AS n FROM (SELECT l_orderkey FROM "
+            f"read_parquet('{sf}/lineitem.parquet') GROUP BY l_orderkey "
+            f"HAVING sum(l_quantity) > 300.0)"
+        ).df()["n"].iloc[0]
+        assert len(got) == want > 0 and set(got.columns) == {
+            "l_orderkey", "total_qty", "o_custkey"
+        }
