@@ -3588,6 +3588,222 @@ SELECT (SELECT count(*) FROM (SELECT user_id FROM b INTERSECT SELECT user_id FRO
 """
 
 
+def doc_length_quantiles_cont(sf_dir: str):
+    """Interpolated corpus quantiles of document token length — DuckDB
+    ``quantile_cont`` semantics (rank ``(n-1)·q`` 0-based, linear
+    interpolation between the two neighboring order statistics), computed
+    from the same distributed value histogram as ``doc_length_quantiles``:
+    per-block (length, count) partials, one small exchange, driver folds
+    |distinct lengths| rows.  Ranks use exact rational arithmetic; only
+    the final interpolation is float (both engines interpolate doubles
+    from identical integer order statistics, so 6-dp rounding matches)."""
+    from fractions import Fraction
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        t = pa.Table.from_arrays([pc.cast(n_tokens, pa.int64())], names=["n_tokens"])
+        out = t.group_by(["n_tokens"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["n_tokens", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("n_tokens", ignore_index=True)
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    values = hist["n_tokens"].to_numpy()
+
+    def order_stat(rank_1based: int) -> int:
+        return int(values[int(np.searchsorted(cum, rank_1based, side="left"))])
+
+    row = {}
+    for name, q in [("p25", "0.25"), ("p50", "0.5"), ("p75", "0.75"),
+                    ("p90", "0.9"), ("p99", "0.99")]:
+        h = Fraction(q) * (total - 1)  # 0-based interpolation position
+        lo_idx = int(h)  # floor for non-negative
+        frac = h - lo_idx
+        v_lo = order_stat(lo_idx + 1)
+        if frac == 0:
+            val = float(v_lo)
+        else:
+            v_hi = order_stat(lo_idx + 2)
+            val = v_lo + float(frac) * (v_hi - v_lo)
+        row[name] = float(sql_round([val], 6)[0])
+    return pd.DataFrame([row])
+
+
+DOC_LENGTH_QUANTILES_CONT_SQL = """
+SELECT round(quantile_cont(n, 0.25), 6) AS p25,
+       round(quantile_cont(n, 0.5),  6) AS p50,
+       round(quantile_cont(n, 0.75), 6) AS p75,
+       round(quantile_cont(n, 0.9),  6) AS p90,
+       round(quantile_cont(n, 0.99), 6) AS p99
+FROM (SELECT len(string_split(text, ' ')) AS n FROM documents)
+"""
+
+
+def events_value_hour_corr(sf_dir: str):
+    """Distributed Pearson correlation and sample covariance between event
+    value and hour-of-day — the moment-sketch pattern: each block emits
+    the six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²), one tiny
+    row per block crosses to the driver, and the closed forms fold there.
+    Nothing row-shaped leaves the workers."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = (
+            pc.cast(pc.hour(batch.column("ts")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return pa.Table.from_pydict(
+            {
+                "n": [float(len(x))],
+                "sx": [float(x.sum())],
+                "sy": [float(y.sum())],
+                "sxy": [float((x * y).sum())],
+                "sxx": [float((x * x).sum())],
+                "syy": [float((y * y).sum())],
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, sx, sy, sxy, sxx, syy = (
+        p["n"], p["sx"], p["sy"], p["sxy"], p["sxx"], p["syy"]
+    )
+    cov = (sxy - sx * sy / n) / (n - 1)
+    denom = ((sxx - sx * sx / n) * (syy - sy * sy / n)) ** 0.5
+    corr = (sxy - sx * sy / n) / denom if denom else float("nan")
+    return pd.DataFrame(
+        [{
+            "n": int(n),
+            "corr_value_hour": float(sql_round([corr], 6)[0]),
+            "covar_value_hour": float(sql_round([cov], 6)[0]),
+        }]
+    )
+
+
+EVENTS_CORR_SQL = """
+SELECT count(*) AS n,
+       round(corr(value, EXTRACT(hour FROM ts)), 6)       AS corr_value_hour,
+       round(covar_samp(value, EXTRACT(hour FROM ts)), 6) AS covar_value_hour
+FROM events
+"""
+
+
+def corpus_heavy_hitters(sf_dir: str, k: int = 64):
+    """Approximate top terms via a distributed Misra-Gries summary — the
+    bounded-memory heavy-hitters sketch (Misra & Gries 1982; merge rule
+    from Agarwal et al., "Mergeable Summaries", PODS'12).
+
+    Per block: exact in-batch term counts (Arrow C group-by), compressed
+    to ≤k counters by subtracting the (k+1)-th largest count (the merge
+    rule).  The exchange then carries ≤k rows per block; a term-keyed sum
+    merges the partials, and the driver folds the surviving counters with
+    one final compression.  Guarantee (asserted in pytest, not assumed):
+    every term with true frequency > 2·N/(k+1) survives, and each
+    estimate undercounts by at most 2·N/(k+1).  Unlike the exact
+    ``doc_top_terms``, worker and driver memory are O(k·langs) however
+    large the vocabulary grows."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        t = pa.Table.from_arrays([toks], names=["term"])
+        counts = t.group_by(["term"], use_threads=False).aggregate([([], "count_all")])
+        c = counts.column("count_all").to_numpy(zero_copy_only=False)
+        order = np.argsort(-c, kind="stable")
+        # MG compression: subtract the (k+1)-th largest, keep positives
+        sub = int(c[order[k]]) if len(order) > k else 0
+        keep = order[:k]
+        est = c[keep] - sub
+        mask = est > 0
+        return pa.Table.from_arrays(
+            [
+                pc.take(counts.column("term"), pa.array(keep[mask])),
+                pa.array(est[mask].astype(np.int64)),
+            ],
+            names=["term", "est"],
+        )
+
+    def mg_compress(batch: pa.Table) -> pa.Table:
+        # tree-combine level: fold many per-term partial sums into one ≤k
+        # MG summary each, so the driver never sees k×blocks rows
+        df = batch.to_pandas().sort_values("est", ascending=False, ignore_index=True)
+        if len(df) > k:
+            sub = int(df["est"].iloc[k])
+            df = df.iloc[:k].copy()
+            df["est"] = df["est"] - sub
+            df = df[df["est"] > 0]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("est", alias_name="est"))
+        .map_batches(mg_compress, batch_format="pyarrow", batch_size=32 * k)
+        .to_pandas()
+    )
+    est = merged.sort_values("est", ascending=False, ignore_index=True)
+    if len(est) > k:
+        sub = int(est["est"].iloc[k])
+        est = est.iloc[:k].copy()
+        est["est"] = est["est"] - sub
+        est = est[est["est"] > 0]
+    out = est[["term", "est"]].rename(columns={"est": "est_count"})
+    return out.reset_index(drop=True)
+
+
+def lang_first_docs(sf_dir: str, n_first: int = 10):
+    """Per-language ordered string aggregation, bounded: the ``n_first``
+    smallest doc_ids per language joined into one comma string (the
+    scale-safe form of ``string_agg`` — an unbounded per-group concat of a
+    100 TB corpus is not a queryable result).  Per-block partials keep ≤
+    ``n_first`` ids per language, the language-keyed exchange moves only
+    those, and the per-language fold re-selects the global smallest
+    ``n_first`` before the join — associative, so block boundaries never
+    change the answer."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by([("lang", "ascending"), ("doc_id", "ascending")])
+        df = t.to_pandas().groupby("lang", sort=False).head(n_first)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())[:n_first]
+        return pd.DataFrame(
+            [{"lang": g["lang"].iloc[0],
+              "first_docs": ",".join(str(i) for i in ids)}]
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+LANG_FIRST_DOCS_SQL = """
+SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS first_docs
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
+GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3666,6 +3882,10 @@ QUERIES: Dict[str, Callable] = {
     "q18_large_orders": q18_large_orders,
     "q19_bracket_revenue": q19_bracket_revenue,
     "purchase_error_user_overlap": purchase_error_user_overlap,
+    "doc_length_quantiles_cont": doc_length_quantiles_cont,
+    "events_value_hour_corr": events_value_hour_corr,
+    "corpus_heavy_hitters": corpus_heavy_hitters,
+    "lang_first_docs": lang_first_docs,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -3732,6 +3952,11 @@ ORACLE_SQL: Dict[str, str] = {
     "q18_large_orders": Q18_SQL,
     "q19_bracket_revenue": Q19_SQL,
     "purchase_error_user_overlap": USER_OVERLAP_SQL,
+    "doc_length_quantiles_cont": DOC_LENGTH_QUANTILES_CONT_SQL,
+    "events_value_hour_corr": EVENTS_CORR_SQL,
+    "lang_first_docs": LANG_FIRST_DOCS_SQL,
+    # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
+    # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
     # pinned against union-find ground truth in tests/test_components.py
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /

@@ -159,3 +159,28 @@ def test_pii_scrub_redacts_planted_pii(ray_session, tmp_path):
     assert not any(ch.isdigit() for ch in out[2]["clean_text"])
     assert out[3]["n_emails"] == 1 and out[3]["n_phones"] == 1
     assert out[3]["clean_text"] == "email <EMAIL> then call <PHONE> done"
+
+
+def test_heavy_hitters_misra_gries_guarantee(ray_session, ddb):
+    """MG sketch invariants vs DuckDB's exact term counts: every term with
+    true frequency > 2N/(k+1) must survive, and every surviving estimate
+    undercounts by at most 2N/(k+1) (and never overcounts)."""
+    from b_pdf_parser_ray.queries import corpus_heavy_hitters
+
+    k = 64
+    got = corpus_heavy_hitters(SF_DIR, k=k)
+    est = dict(zip(got["term"], got["est_count"]))
+    exact = ddb.sql(
+        "SELECT term, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) "
+        "AS term FROM documents) GROUP BY term"
+    ).df()
+    n_total = int(exact["n"].sum())
+    bound = 2 * n_total / (k + 1)
+    truth = dict(zip(exact["term"], exact["n"]))
+    for term, n in truth.items():
+        if n > bound:
+            assert term in est, f"heavy term {term!r} (n={n}) missing"
+    for term, e in est.items():
+        t = truth.get(term, 0)
+        assert e <= t, f"{term!r} overcounted: est {e} > true {t}"
+        assert t - e <= bound, f"{term!r} undercounted beyond bound"
