@@ -75,6 +75,108 @@ def _collect_keys(keys_ds, key: str) -> pa.Array:
     return pc.drop_null(pc.unique(tbl.column(key).combine_chunks()))
 
 
+# bloom prefilter sizing: ~10 bits/key ≈ 1% false positives at 7 probes;
+# the bitmap is capped so the broadcast side never exceeds 128 MiB however
+# large the key side's footer count is (fp rate degrades gracefully past
+# the cap instead of memory exploding)
+BLOOM_BITS_PER_KEY = 10
+BLOOM_MAX_BITS = 1 << 30
+BLOOM_PROBES = 7
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = x * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _bloom_positions(keys: "np.ndarray", m_bits: int):
+    """k double-hashed bit positions per key (Kirsch-Mitzenmacher): one
+    64-bit hash split into h1/h2, positions h1 + i·h2 mod m."""
+    import numpy as np
+
+    h = _splitmix64(keys.astype(np.uint64))
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd → cycles the full ring
+    mask = np.uint64(m_bits - 1)  # m is a power of two
+    for i in range(BLOOM_PROBES):
+        with np.errstate(over="ignore"):
+            yield (h1 + np.uint64(i) * h2) & mask
+
+
+def _bloom_bits(source_rows: int) -> int:
+    import math
+
+    want = max(1 << 13, source_rows * BLOOM_BITS_PER_KEY)
+    return min(BLOOM_MAX_BITS, 1 << math.ceil(math.log2(want)))
+
+
+def build_bloom(keys_ds, key: str, *, source_rows: int):
+    """Distributed bloom filter of a Dataset's key column.
+
+    Per-block partials each carry one m-bit bitmap (one binary row); a
+    tree-combine ``map_batches`` level ORs 32 partials at a time so the
+    driver folds only ~blocks/32 rows.  Returns ``(bitmap_uint64, m_bits)``
+    — ship with ``ray.put`` and probe with :func:`bloom_probe_mask`."""
+    import numpy as np
+    import pyarrow as pa
+
+    m_bits = _bloom_bits(source_rows)
+    words = m_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # drop_null BEFORE to_numpy: a nullable int column converts to
+        # float+NaN, which silently corrupts the hash of keys > 2^53
+        ks = pc.drop_null(batch.column(key)).to_numpy(zero_copy_only=False)
+        bitmap = np.zeros(words, dtype=np.uint64)
+        for pos in _bloom_positions(ks.astype(np.uint64), m_bits):
+            np.bitwise_or.at(
+                bitmap, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.Table.from_arrays(
+            [pa.array([bitmap.tobytes()], type=pa.binary())], names=["bloom"]
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for buf in batch.column("bloom").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.Table.from_arrays(
+            [pa.array([acc.tobytes()], type=pa.binary())], names=["bloom"]
+        )
+
+    parts = (
+        keys_ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=32)
+        .to_pandas()
+    )
+    acc = np.zeros(words, dtype=np.uint64)
+    for buf in parts["bloom"]:
+        acc |= np.frombuffer(buf, dtype=np.uint64)
+    return acc, m_bits
+
+
+def bloom_probe_mask(keys: "np.ndarray", bitmap: "np.ndarray", m_bits: int):
+    """Vectorized membership test: True = possibly present (exact join
+    still required), False = definitely absent (safe to drop)."""
+    import numpy as np
+
+    hit = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_positions(keys.astype(np.uint64), m_bits):
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        hit &= (bitmap[word] & bit) != 0
+    return hit
+
+
 def semi_join(
     left_ds,
     keys_ds,
@@ -84,8 +186,18 @@ def semi_join(
     right_source_rows: int,
     max_broadcast_rows: int = None,
     num_partitions: int = 8,
+    bloom_prefilter: bool = False,
 ):
-    """Rows of ``left_ds`` whose ``left_key`` appears in ``keys_ds[right_key]``."""
+    """Rows of ``left_ds`` whose ``left_key`` appears in ``keys_ds[right_key]``.
+
+    ``bloom_prefilter=True`` adds a bloom stage ahead of the HASH plan:
+    the key side is summarized into an m-bit filter (~10 bits/key, built
+    distributed, broadcast once), the big side drops definite non-matches
+    map-side, and only probable matches pay the partitioned exchange —
+    at 1% fp that cuts a low-selectivity semi-join's shuffle volume by
+    ~the selectivity factor while staying EXACT (the hash join still
+    verifies the survivors).  No-op on the broadcast plan, which already
+    filters map-side with the exact key set."""
     if max_broadcast_rows is None:
         max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
     if right_source_rows <= max_broadcast_rows:
@@ -107,6 +219,27 @@ def semi_join(
             return batch.filter(mask)
 
         return left_ds.map_batches(filt, batch_format="pyarrow")
+    if bloom_prefilter:
+        import numpy as np
+        import ray
+
+        from .broadcast import get_cached
+
+        bitmap, m_bits = build_bloom(keys_ds, right_key, source_rows=right_source_rows)
+        bloom_ref = ray.put(bitmap)
+
+        def prefilter(batch: pa.Table) -> pa.Table:
+            col = batch.column(left_key)
+            # fill_null keeps the column integral (a nullable int column
+            # would otherwise convert to float+NaN and corrupt the hash of
+            # keys > 2^53); filled rows are masked back out below
+            ks = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+            hit = bloom_probe_mask(ks, get_cached(bloom_ref), m_bits)
+            if col.null_count:  # null keys never semi-match
+                hit &= ~pc.is_null(col).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(hit))
+
+        left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
     return left_ds.join(
         keys_ds,
         join_type="left_semi",

@@ -330,3 +330,46 @@ def test_hash_join_survives_empty_first_blocks(ray_session):
         assert len(got) == want > 0 and set(got.columns) == {
             "l_orderkey", "total_qty", "o_custkey"
         }
+
+
+def test_bloom_prefiltered_semi_join_exact_and_prunes(ray_session):
+    """bloom_prefilter=True on the hash plan must stay EXACT (the join
+    verifies survivors) and the filter itself must prune definite
+    non-matches at roughly its design false-positive rate."""
+    import numpy as np
+    import ray.data
+
+    from b_pdf_parser_ray.functions.joins import (
+        _bloom_bits,
+        bloom_probe_mask,
+        build_bloom,
+        semi_join,
+    )
+
+    rng = np.random.RandomState(3)
+    lk = pa.array(
+        [None if rng.random() < 0.05 else int(v)
+         for v in rng.randint(0, 5000, 400)],
+        type=pa.int64(),
+    )
+    left = ray.data.from_arrow(pa.table({"k": lk, "v": list(range(400))}))
+    right_keys = pa.array(sorted(set(rng.randint(0, 5000, 120).tolist())),
+                          type=pa.int64())
+    right = ray.data.from_arrow(pa.table({"rk": right_keys}))
+
+    plain = sorted(
+        semi_join(left, right, "k", "rk", right_source_rows=len(right_keys),
+                  max_broadcast_rows=0).to_pandas()["v"]
+    )
+    bloomed = sorted(
+        semi_join(left, right, "k", "rk", right_source_rows=len(right_keys),
+                  max_broadcast_rows=0, bloom_prefilter=True).to_pandas()["v"]
+    )
+    assert bloomed == plain and len(plain) > 0
+
+    # direct fp-rate check: disjoint probe keys must almost all miss
+    bitmap, m = build_bloom(right, "rk", source_rows=len(right_keys))
+    probes = np.arange(10_000, 20_000, dtype=np.int64)  # disjoint from [0,5000)
+    fp = bloom_probe_mask(probes, bitmap, m).mean()
+    assert fp < 0.05, f"false-positive rate {fp:.3f} too high for m={m}"
+    assert m == _bloom_bits(len(right_keys))
