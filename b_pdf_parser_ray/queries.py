@@ -3804,6 +3804,64 @@ GROUP BY lang
 """
 
 
+WEIGHTED_SAMPLE_N = 100
+
+
+def orders_weighted_sample(sf_dir: str, n: int = None):
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis-Spirakis A-ES scheme: each row gets key −ln(u)/w with
+    u ∈ (0,1) hash-derived and w = o_totalprice; the n smallest keys are
+    the weighted sample.  Coordination-free and stable (same rows at any
+    cluster size / block layout), the weighted analogue of
+    ``doc_sample_hash``.
+
+    Scale shape: each block keeps its local n smallest keys, a single tiny
+    sort+limit over the n×blocks candidates finishes — row data never
+    leaves the block unless it is a local winner.  The oracle reproduces
+    the uint64 hash in HUGEINT and the same u=(h+0.5)/2⁶⁴ mapping, so
+    both engines rank identical doubles."""
+    if n is None:
+        n = WEIGHTED_SAMPLE_N
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(_SAMPLE_A) + np.uint64(_SAMPLE_B)
+        u = (h.astype(np.float64) + 0.5) / float(1 << 64)
+        w = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        key = -np.log(u) / w
+        keep = np.argsort(key, kind="stable")[:n]
+        out = batch.take(pa.array(np.sort(keep)))
+        return out.append_column(
+            "es_key", pa.array(key[np.sort(keep)], type=pa.float64())
+        )
+
+    top = (
+        ds.map_batches(local_top, batch_format="pyarrow")
+        .sort("es_key")
+        .limit(n)
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["o_totalprice"] = sql_round(b["o_totalprice"], 2)
+        return b[["o_orderkey", "o_totalprice"]]
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         -ln((((CAST(o_orderkey AS HUGEINT) * {_SAMPLE_A} + {_SAMPLE_B})
+               % 18446744073709551616) + 0.5) / 18446744073709551616.0)
+         / o_totalprice AS es_key
+  FROM orders
+  ORDER BY es_key
+  LIMIT {WEIGHTED_SAMPLE_N})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3886,6 +3944,7 @@ QUERIES: Dict[str, Callable] = {
     "events_value_hour_corr": events_value_hour_corr,
     "corpus_heavy_hitters": corpus_heavy_hitters,
     "lang_first_docs": lang_first_docs,
+    "orders_weighted_sample": orders_weighted_sample,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -3955,6 +4014,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_length_quantiles_cont": DOC_LENGTH_QUANTILES_CONT_SQL,
     "events_value_hour_corr": EVENTS_CORR_SQL,
     "lang_first_docs": LANG_FIRST_DOCS_SQL,
+    "orders_weighted_sample": WEIGHTED_SAMPLE_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
