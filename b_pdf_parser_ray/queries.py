@@ -3862,6 +3862,155 @@ SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
 """
 
 
+def events_cohort_retention(sf_dir: str, num_partitions: int = 8):
+    """Cohort retention matrix — the classic product-analytics rollup:
+    users bucketed by first-activity WEEK (epoch-day // 7; the synthetic
+    corpus spans one month, so weeks give a real matrix), counted in each
+    later week they were active.
+
+    Scale shape: one pass builds per-block distinct (user, week) partials
+    (Arrow C group-by), a user/week-grain exchange dedups them globally;
+    per-user cohorts come from a map-side min over those SAME partials
+    (no second scan of the corpus), and the activity→cohort attachment is
+    the size-gated ``lookup_join`` keyed on user.  Everything that crosses
+    an exchange is user-grain or smaller; the |cohorts|×|offsets| result
+    folds at the end."""
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.cast(batch.column("ts"), pa.date32()).cast(pa.int32()), pa.int64()
+        )
+        w = pc.divide(days, pa.scalar(7))  # integer division on int64
+        t = pa.Table.from_arrays(
+            [batch.column("user_id"), w], names=["user_id", "week_idx"]
+        )
+        return (
+            t.group_by(["user_id", "week_idx"], use_threads=False)
+            .aggregate([])
+        )
+
+    pairs = grouped_agg(
+        ev.map_batches(pair_partial, batch_format="pyarrow"),
+        ["user_id", "week_idx"],
+        [(None, "count", "__n")],
+    ).drop_columns(["__n"])
+
+    cohorts = grouped_agg(pairs, ["user_id"], [("week_idx", "min", "cohort_idx")])
+
+    joined = lookup_join(
+        pairs, cohorts, "user_id", "user_id", ["cohort_idx"],
+        # provable bound: |users| ≤ |events| (footer rows)
+        right_source_rows=table_rows(sf_dir, "events"),
+        num_partitions=num_partitions,
+    )
+
+    def offset(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("cohort_idx"),
+                pc.subtract(batch.column("week_idx"), batch.column("cohort_idx")),
+            ],
+            names=["cohort_idx", "week_offset"],
+        )
+
+    out = grouped_agg(
+        joined.map_batches(offset, batch_format="pyarrow"),
+        ["cohort_idx", "week_offset"],
+        [(None, "count", "n_users")],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        start = pd.to_datetime(b["cohort_idx"] * 7, unit="D")
+        b["cohort_week"] = start.dt.strftime("%Y-%m-%d")
+        return b[["cohort_week", "week_offset", "n_users"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_COHORT_SQL = """
+WITH act AS (SELECT DISTINCT user_id,
+                    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week_idx
+             FROM events),
+fm AS (SELECT user_id, min(week_idx) AS cohort_idx FROM act GROUP BY user_id)
+SELECT strftime(DATE '1970-01-01' + INTERVAL (fm.cohort_idx * 7) DAY, '%Y-%m-%d')
+         AS cohort_week,
+       act.week_idx - fm.cohort_idx AS week_offset,
+       count(*) AS n_users
+FROM act JOIN fm ON act.user_id = fm.user_id
+GROUP BY cohort_week, week_offset
+"""
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label embedding centroids — the grouped vector mean every
+    clustering / class-prototype / IVF-training pipeline needs.
+
+    Scale shape: each block contributes ONE (Σvectors, count) partial per
+    label (numpy matmul-free: ``np.add.reduceat`` over the label-sorted
+    flat matrix), so the exchange carries |labels| × dims floats per
+    block, never a row per vector.  The centroid itself is derived on the
+    driver from the folded exact sums; the comparable outputs are scalar
+    projections (count, centroid L2 norm, grand mean of components) so
+    the oracle hash is float-list-free."""
+    from .functions.ann import embedding_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        mat = embedding_matrix(batch.column("embedding"))
+        order = np.argsort(labels, kind="stable")
+        sl, sm = labels[order], mat[order]
+        uniq, starts = np.unique(sl, return_index=True)
+        sums = np.add.reduceat(sm, starts, axis=0)
+        counts = np.diff(np.append(starts, len(sl)))
+        dim = mat.shape[1]
+        return pa.Table.from_arrays(
+            [
+                pa.array(uniq.astype(np.int64)),
+                pa.array(counts.astype(np.int64)),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), type=pa.float64()), dim
+                ),
+            ],
+            names=["label", "n", "vec_sum"],
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # driver fold: |labels| × blocks partial rows (labels are few)
+    rows = []
+    for label, g in parts.groupby("label"):
+        total = int(g["n"].sum())
+        vec = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0) / total
+        rows.append(
+            {
+                "label": int(label),
+                "n_vectors": total,
+                "centroid_norm": float(sql_round([np.linalg.norm(vec)], 5)[0]),
+                "mean_component": float(sql_round([vec.mean()], 6)[0]),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("label", ignore_index=True)
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+c AS (SELECT label, pos, sum(v) AS sv FROM u GROUP BY label, pos),
+n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT c.label, max(n.n_vectors) AS n_vectors,
+       round(sqrt(sum((c.sv / n.n_vectors) * (c.sv / n.n_vectors))), 5) AS centroid_norm,
+       round(avg(c.sv / n.n_vectors), 6) AS mean_component
+FROM c JOIN n ON c.label = n.label
+GROUP BY c.label
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3945,6 +4094,8 @@ QUERIES: Dict[str, Callable] = {
     "corpus_heavy_hitters": corpus_heavy_hitters,
     "lang_first_docs": lang_first_docs,
     "orders_weighted_sample": orders_weighted_sample,
+    "events_cohort_retention": events_cohort_retention,
+    "embedding_label_centroids": embedding_label_centroids,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -4015,6 +4166,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_value_hour_corr": EVENTS_CORR_SQL,
     "lang_first_docs": LANG_FIRST_DOCS_SQL,
     "orders_weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "events_cohort_retention": EVENTS_COHORT_SQL,
+    "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
