@@ -359,6 +359,7 @@ def skew_join(
     max_broadcast_rows: int = None,
     num_partitions: int = 8,
     hot_key_fraction: float = None,
+    hot_keys=None,
 ):
     """Skew-aware inner equi-join appending ``value_cols`` (``right_key``
     unique on the right, as in :func:`lookup_join`).
@@ -377,6 +378,11 @@ def skew_join(
       while the remaining keys — now guaranteed ≤ ``hot_key_fraction`` of
       rows each — take the hash-partitioned ``Dataset.join``.  The union
       of both branches is the exact inner-join result.
+
+    ``hot_keys`` (a pyarrow Array) skips the detection pass — callers
+    that already aggregated per-key counts (e.g. the right side IS the
+    count table) can derive the hot set for free and save one scan of
+    the left input.
     """
     if max_broadcast_rows is None:
         max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
@@ -394,7 +400,11 @@ def skew_join(
 
     from .broadcast import get_cached
 
-    hot = _hot_keys(left_ds, left_key, frac=hot_key_fraction)
+    hot = (
+        hot_keys
+        if hot_keys is not None
+        else _hot_keys(left_ds, left_key, frac=hot_key_fraction)
+    )
     if len(hot) == 0:
         return left_ds.join(
             right_ds, join_type="inner", num_partitions=num_partitions,

@@ -3147,14 +3147,38 @@ def events_type_share(sf_dir: str, num_partitions: int = 8):
     Output: one row per event_type with its total row count (attached by
     the join, then verified by the re-aggregation), event count and
     distinct-user count — all integers, exactly oracle-comparable."""
-    from .functions.joins import skew_join
+    from .functions.joins import _collect_arrow, skew_join
     from .sources.tables import table_rows
 
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    # materialize: the per-type counts feed BOTH the join's right side and
+    # the hot-key derivation — one aggregation pass, |types| rows held
     stats = grouped_agg(
         read_table(sf_dir, "events", columns=["event_type"]),
         ["event_type"],
         [(None, "count", "type_total")],
+    ).materialize()
+    # hot keys for free from the count table itself: at most
+    # 2·num_partitions keys can each exceed total/(2·num_partitions), so
+    # this driver collection is bounded by construction — no extra scan of
+    # the fact table for detection
+    total = table_rows(sf_dir, "events")
+    frac = 0.5 / num_partitions
+    hot_tbl = _collect_arrow(
+        stats.map_batches(
+            lambda b: b.filter(
+                pc.greater(
+                    pc.cast(b.column("type_total"), pa.float64()),
+                    pa.scalar(frac * total),
+                )
+            ).select(["event_type"]),
+            batch_format="pyarrow",
+        )
+    )
+    hot = (
+        hot_tbl.column("event_type").combine_chunks()
+        if "event_type" in hot_tbl.column_names
+        else pa.array([], type=pa.string())
     )
     enriched = skew_join(
         ev, stats, "event_type", "event_type", ["type_total"],
@@ -3162,6 +3186,7 @@ def events_type_share(sf_dir: str, num_partitions: int = 8):
         # cap the planner goes hybrid — hot types replicated, tail hashed
         right_source_rows=table_rows(sf_dir, "events"),
         num_partitions=num_partitions,
+        hot_keys=hot,
     )
     # distinct users exactly: pre-reduce to (type, user) grain, then fold
     per_user = grouped_agg(
@@ -3552,12 +3577,14 @@ def purchase_error_user_overlap(sf_dir: str, num_partitions: int = 8):
             )
 
         # block-level distinct partials, then one (user)-grain exchange to
-        # global distinct — |users| rows, never |events|
+        # global distinct — |users| rows, never |events|.  Materialized:
+        # each side is consumed by three joins below, and without it every
+        # consumption re-scans the events table (6 scans → 2)
         return grouped_agg(
             ds.map_batches(distinct_users, batch_format="pyarrow"),
             ["user_id"],
             [(None, "count", "__n")],
-        ).drop_columns(["__n"])
+        ).drop_columns(["__n"]).materialize()
 
     buyers = users_of("purchase")
     erroring = users_of("error")
