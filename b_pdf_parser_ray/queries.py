@@ -4038,6 +4038,128 @@ GROUP BY c.label
 """
 
 
+def q10_returned_items(sf_dir: str, num_partitions: int = 8):
+    """Top-20 customers by returned-item revenue (TPC-H Q10 shape):
+    lineitem (returnflag = R) revenue per order, orders filtered to one
+    quarter pick up the customer key, customer-grain sums rank globally.
+
+    Scale shape: per-batch (orderkey → Σ rev_e4) partials (exact integer
+    ten-thousandths — see q7) pre-reduce before the gated orders lookup;
+    custkey partials pre-reduce again before the customer-grain exchange;
+    the global top-20 sorts ONLY the customer-grain aggregate (≪ fact
+    table), with (revenue, custkey) as a total order so ties can't make
+    LIMIT nondeterministic.  Customer details and the 25-row nation name
+    map attach after the limit — 20 rows, driver-side."""
+    import ray
+
+    from .functions.broadcast import get_cached
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    lo = pa.scalar(pd.Timestamp("1995-10-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        rev_e4 = pc.multiply(
+            pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"),
+                                         pa.scalar(100.0))), pa.int64()),
+            pc.cast(
+                pc.round(
+                    pc.multiply(
+                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                        pa.scalar(100.0),
+                    )
+                ),
+                pa.int64(),
+            ),
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), rev_e4], names=["l_orderkey", "rev_e4"]
+        )
+        out = t.group_by(["l_orderkey"], use_threads=False).aggregate([("rev_e4", "sum")])
+        return out.rename_columns(["l_orderkey", "rev_e4"])
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = lookup_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders, "l_orderkey", "o_orderkey", ["o_custkey"],
+        right_source_rows=table_rows(sf_dir, "orders"),
+        num_partitions=num_partitions,
+    )
+
+    per_cust = grouped_agg(joined, ["o_custkey"], [("rev_e4", "sum", "rev_e4")])
+    top = per_cust.sort(["rev_e4", "o_custkey"], descending=[True, False]).limit(20)
+
+    cust = read_arrow(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).combine_chunks()
+    nation = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"]).combine_chunks()
+    cust_ref, nation_ref = ray.put(cust), ray.put(nation)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        c = get_cached(cust_ref)
+        n = get_cached(nation_ref)
+        idx = pc.index_in(batch.column("o_custkey"), value_set=c.column("c_custkey"))
+        names = pc.take(c.column("c_name"), idx)
+        acct = pc.take(c.column("c_acctbal"), idx)
+        nidx = pc.index_in(pc.take(c.column("c_nationkey"), idx),
+                           value_set=n.column("n_nationkey"))
+        return pa.Table.from_arrays(
+            [
+                batch.column("o_custkey"),
+                names,
+                pa.array(
+                    sql_round(
+                        batch.column("rev_e4").to_numpy(zero_copy_only=False) / 10_000.0,
+                        2,
+                    )
+                ),
+                pa.array(sql_round(acct.to_numpy(zero_copy_only=False), 2)),
+                pc.take(n.column("n_name"), nidx),
+            ],
+            names=["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"],
+        )
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             / 10000.0, 2) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) DESC,
+         c_custkey
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4123,6 +4245,7 @@ QUERIES: Dict[str, Callable] = {
     "orders_weighted_sample": orders_weighted_sample,
     "events_cohort_retention": events_cohort_retention,
     "embedding_label_centroids": embedding_label_centroids,
+    "q10_returned_items": q10_returned_items,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -4195,6 +4318,7 @@ ORACLE_SQL: Dict[str, str] = {
     "orders_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
+    "q10_returned_items": Q10_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition

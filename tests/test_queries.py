@@ -184,3 +184,52 @@ def test_heavy_hitters_misra_gries_guarantee(ray_session, ddb):
         t = truth.get(term, 0)
         assert e <= t, f"{term!r} overcounted: est {e} > true {t}"
         assert t - e <= bound, f"{term!r} undercounted beyond bound"
+
+
+def test_layout_invariance_weighted_sample_and_first_docs(ray_session, tmp_path):
+    """Operators with per-block partials must be block-layout invariant:
+    the same table written as one file vs four fragments must produce
+    identical results (the associativity claim, tested directly)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import lang_first_docs, orders_weighted_sample
+
+    rng = __import__("numpy").random.RandomState(11)
+    n = 2000
+    orders = pa.table({
+        "o_orderkey": pa.array(range(1, n + 1), type=pa.int64()),
+        "o_totalprice": pa.array(rng.uniform(10, 500000, n).round(2)),
+    })
+    docs = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(n)]),
+    })
+
+    one = tmp_path / "one"
+    four = tmp_path / "four"
+    for d in (one, four):
+        os.makedirs(d / "orders.parquet")
+        os.makedirs(d / "documents.parquet")
+    pq.write_table(orders, one / "orders.parquet" / "part0.parquet")
+    pq.write_table(docs, one / "documents.parquet" / "part0.parquet")
+    for i in range(4):
+        sl = slice(i * n // 4, (i + 1) * n // 4)
+        pq.write_table(orders.slice(sl.start, sl.stop - sl.start),
+                       four / "orders.parquet" / f"part{i}.parquet")
+        pq.write_table(docs.slice(sl.start, sl.stop - sl.start),
+                       four / "documents.parquet" / f"part{i}.parquet")
+
+    def run(fn, sf):
+        out = fn(str(sf))
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    pd.testing.assert_frame_equal(
+        run(orders_weighted_sample, one), run(orders_weighted_sample, four)
+    )
+    pd.testing.assert_frame_equal(
+        run(lang_first_docs, one), run(lang_first_docs, four)
+    )
