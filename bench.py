@@ -146,6 +146,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="N vs 4N CPU scaling run")
     ap.add_argument("--flagship-only", action="store_true", help="(child mode) flagship only")
+    ap.add_argument("--stats", action="store_true",
+                    help="print Ray Data per-stage execution stats for the flagship")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
@@ -216,6 +218,24 @@ def main() -> None:
             "scaling_efficiency_4_to_16": round(eff_4_16, 3),
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
         }))
+        return
+
+    if args.stats:
+        # Per-stage evidence: materialize the flagship extraction once and
+        # print Ray Data's execution stats (stage wall times, block counts,
+        # memory) — the tuning feedback loop BASELINE.md's stage notes are
+        # derived from.
+        _init_ray(args.num_cpus)
+        import ray.data
+
+        from b_pdf_parser_ray.pipelines.flagship import extract_documents
+
+        path = _ensure_corpus(n_docs)
+        ext = extract_documents(ray.data.read_parquet(path)).materialize()
+        print(ext.stats())
+        import ray
+
+        ray.shutdown()
         return
 
     _init_ray(args.num_cpus)
