@@ -4160,6 +4160,57 @@ LIMIT 20
 """
 
 
+def embedding_quantize_int8(sf_dir: str):
+    """Symmetric int8 quantization audit — the storage/serving compression
+    step of an embedding pipeline (4× smaller, matmul-friendly): per
+    vector, scale = max|v|/127, q = round(v/scale), and the
+    reconstruction error that decides whether int8 is safe for retrieval.
+
+    Scale shape: pure per-row arithmetic on the flat (n, dim) matrix —
+    one vectorized numpy pass per batch, nothing crosses an exchange but
+    the per-vector audit rows.  The oracle reproduces the same doubles
+    with DuckDB list kernels, so the audit is hash-checked, not just
+    spot-tested."""
+    from .functions.ann import embedding_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        mat = embedding_matrix(batch.column("embedding"))
+        scale = np.abs(mat).max(axis=1) / 127.0
+        s = np.where(scale == 0, 1.0, scale)[:, None]
+        q = np.round(mat / s)
+        err = np.abs(q * s - mat).mean(axis=1)
+        return pa.Table.from_arrays(
+            [
+                batch.column("vec_id"),
+                pa.array(sql_round(scale, 6)),
+                pa.array(sql_round(err, 6)),
+                pa.array(np.abs(q).max(axis=1).astype(np.int64)),
+            ],
+            names=["vec_id", "scale", "mean_abs_err", "max_q"],
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+                    AS scale
+           FROM embeddings)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_avg(list_transform(e, x ->
+             abs(round(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END))
+                 * (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) - x))), 6)
+         AS mean_abs_err,
+       CAST(list_max(list_transform(e, x ->
+             abs(round(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END))))) AS BIGINT)
+         AS max_q
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4246,6 +4297,7 @@ QUERIES: Dict[str, Callable] = {
     "events_cohort_retention": events_cohort_retention,
     "embedding_label_centroids": embedding_label_centroids,
     "q10_returned_items": q10_returned_items,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -4319,6 +4371,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_cohort_retention": EVENTS_COHORT_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "q10_returned_items": Q10_SQL,
+    "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
