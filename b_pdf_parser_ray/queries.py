@@ -4007,8 +4007,36 @@ def embedding_label_centroids(sf_dir: str):
             names=["label", "n", "vec_sum"],
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    # driver fold: |labels| × blocks partial rows (labels are few)
+    def combine(batch: pa.Table) -> pa.Table:
+        # tree-combine level: merge ~1024 block partials per task so the
+        # driver folds |labels| × (blocks/1024) rows, not |labels| × blocks
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        sums = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("vec_sum").to_pylist()]
+        )
+        order = np.argsort(labels, kind="stable")
+        sl = labels[order]
+        uniq, starts = np.unique(sl, return_index=True)
+        merged = np.add.reduceat(sums[order], starts, axis=0)
+        counts = np.add.reduceat(ns[order], starts)
+        dim = sums.shape[1]
+        return pa.Table.from_arrays(
+            [
+                pa.array(uniq.astype(np.int64)),
+                pa.array(counts.astype(np.int64)),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(merged.ravel(), type=pa.float64()), dim
+                ),
+            ],
+            names=["label", "n", "vec_sum"],
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=1024)
+        .to_pandas()
+    )
     rows = []
     for label, g in parts.groupby("label"):
         total = int(g["n"].sum())
