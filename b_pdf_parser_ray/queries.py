@@ -4239,6 +4239,32 @@ FROM s
 """
 
 
+def dedup_streaming_index(sf_dir: str, n_shards: int = 8):
+    """Online exact dedup through the sharded mutable index
+    (``state/dedup_index.py``) — the raw-actor pattern for state the
+    Dataset API can't express: rows are marked first-seen/duplicate in
+    ONE streaming pass with no shuffle barrier.  Output is the
+    deterministic summary (doc count, distinct-content count, index
+    size); which duplicate survives is arrival-order dependent by design
+    and therefore not part of the contract."""
+    from .state.dedup_index import streaming_dedup_counts
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    r = streaming_dedup_counts(ds, n_shards=n_shards)
+    return pd.DataFrame(
+        [{"n_docs": r["n_docs"], "n_unique": r["n_unique"],
+          "index_size": r["index_size"]}]
+    )
+
+
+DEDUP_STREAMING_SQL = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT text) AS n_unique,
+       count(DISTINCT text) AS index_size
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4326,6 +4352,7 @@ QUERIES: Dict[str, Callable] = {
     "embedding_label_centroids": embedding_label_centroids,
     "q10_returned_items": q10_returned_items,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "dedup_streaming_index": dedup_streaming_index,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -4400,6 +4427,7 @@ ORACLE_SQL: Dict[str, str] = {
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "q10_returned_items": Q10_SQL,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
+    "dedup_streaming_index": DEDUP_STREAMING_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition

@@ -140,3 +140,34 @@ def test_near_keep_composition_on_planted_corpus(ray_session):
     assert {100, 101, 200}.isdisjoint(kept_ids)
     assert set(range(2, 40)) <= kept_ids
     assert len(kept_ids) == 40
+
+
+def test_streaming_dedup_index_marks_exactly_one_per_group(ray_session):
+    """The sharded mutable index must keep exactly ONE representative per
+    distinct content (which one is arrival-order dependent; the count and
+    the marking invariants are not)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from b_pdf_parser_ray.state.dedup_index import (
+        StreamingDedupMarker,
+        make_shards,
+        streaming_dedup_counts,
+    )
+
+    texts = [f"document body {i % 40}" for i in range(400)]  # 10 copies each
+    ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(8)
+
+    shards = make_shards(4)
+    marked = ds.map_batches(
+        StreamingDedupMarker(shards, text_col="text"), batch_format="pyarrow"
+    ).to_pandas()
+    assert len(marked) == 400
+    per_hash = marked.groupby("content_hash")["is_first"].sum()
+    assert len(per_hash) == 40 and (per_hash == 1).all()
+
+    r = streaming_dedup_counts(
+        ray.data.from_arrow(pa.table({"text": texts})).repartition(8), n_shards=4
+    )
+    assert r == {"n_docs": 400, "n_unique": 40, "index_size": 40}
