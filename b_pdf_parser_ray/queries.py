@@ -4265,6 +4265,57 @@ FROM documents
 """
 
 
+def orders_price_quantiles_approx(sf_dir: str, k: int = 4096):
+    """Approximate quantiles of a CONTINUOUS column (o_totalprice) via a
+    deterministic mergeable hash-sample sketch — the companion to
+    ``doc_length_quantiles``, whose exact value-histogram only works on
+    bounded integer domains.
+
+    Sketch: keep the values of the k smallest key hashes (the KMV trick
+    pointed at sampling) — a uniform size-k sample without replacement
+    that is deterministic, order/layout independent, and mergeable by
+    'union then keep k smallest' exactly like KMV.  Per-block ≤k-row
+    partials, one tree-combine level, driver folds k rows; quantiles read
+    off the sample's empirical CDF with rank error O(1/√k) (Chernoff) —
+    the tolerance pytest asserts ≤ 3/√k against DuckDB's exact ranks."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(_SAMPLE_A) + np.uint64(_SAMPLE_B)
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keep = np.argsort(h, kind="stable")[:k]
+        return pa.Table.from_arrays(
+            [pa.array(h[keep].view(np.int64)), pa.array(v[keep])],
+            names=["hkey", "value"],
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        h = batch.column("hkey").to_numpy(zero_copy_only=False).view(np.uint64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        keep = np.argsort(h, kind="stable")[:k]
+        return pa.Table.from_arrays(
+            [pa.array(h[keep].view(np.int64)), pa.array(v[keep])],
+            names=["hkey", "value"],
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=32 * k)
+        .to_pandas()
+    )
+    h = parts["hkey"].to_numpy().view(np.uint64)
+    v = parts["value"].to_numpy()
+    sample = np.sort(v[np.argsort(h, kind="stable")[:k]])
+    row = {"sample_k": int(len(sample))}
+    for name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75),
+                    ("p90", 0.9), ("p99", 0.99)]:
+        idx = min(len(sample) - 1, int(np.ceil(q * len(sample))) - 1)
+        row[name] = float(sql_round([sample[max(idx, 0)]], 2)[0])
+    return pd.DataFrame([row])
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4353,6 +4404,7 @@ QUERIES: Dict[str, Callable] = {
     "q10_returned_items": q10_returned_items,
     "embedding_quantize_int8": embedding_quantize_int8,
     "dedup_streaming_index": dedup_streaming_index,
+    "orders_price_quantiles_approx": orders_price_quantiles_approx,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -4430,6 +4482,8 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_streaming_index": DEDUP_STREAMING_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
+    # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
+    # rank error ≤ 3/√k asserted vs DuckDB exact CDF in pytest
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
     # pinned against union-find ground truth in tests/test_components.py
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /

@@ -260,3 +260,22 @@ def test_int8_quantization_preserves_retrieval(ray_session):
         q = mat[qi]
         recalls.append(len(topk(mat, q) & topk(recon, q)) / 10)
     assert np.mean(recalls) >= 0.8, f"mean recall {np.mean(recalls):.2f}"
+
+
+def test_approx_quantile_sketch_rank_error(ray_session, ddb):
+    """Hash-sample quantile sketch: each estimate's TRUE rank (from the
+    exact CDF) must sit within 3/√k of the target quantile."""
+    from b_pdf_parser_ray.queries import orders_price_quantiles_approx
+
+    k = 1024
+    got = orders_price_quantiles_approx(SF_DIR, k=k).iloc[0]
+    n = ddb.sql("SELECT count(*) AS n FROM orders").df()["n"].iloc[0]
+    tol = 3 / k**0.5
+    assert got["sample_k"] == min(k, n)
+    for name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75),
+                    ("p90", 0.9), ("p99", 0.99)]:
+        true_rank = ddb.sql(
+            f"SELECT count(*) / CAST({n} AS DOUBLE) AS r FROM orders "
+            f"WHERE o_totalprice <= {got[name]}"
+        ).df()["r"].iloc[0]
+        assert abs(true_rank - q) <= tol, f"{name}: rank {true_rank} vs {q}"
