@@ -476,7 +476,16 @@ def lookup_join(
     vectorized ``pc.index_in`` + ``take`` per batch (rows with no match are
     dropped, matching inner-join semantics).  Large right side → a
     hash-partitioned ``Dataset.join``.
-    """
+
+    CONTRACT: ``right_ds`` must be projected to exactly
+    ``[right_key] + value_cols`` — the hash plan's ``Dataset.join`` keeps
+    every right column (it has no projection), so an unprojected right
+    side would make the two plans' output schemas diverge.  Every catalog
+    call site reads the right side with ``columns=[key, *values]``; the
+    same applies to :func:`skew_join`, whose hot branch additionally
+    appends ``value_cols`` in argument order and relies on that matching
+    the right table's column order for the ``union`` with the hash
+    branch."""
     if max_broadcast_rows is None:
         max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
     if right_source_rows <= max_broadcast_rows:

@@ -3920,11 +3920,14 @@ def events_cohort_retention(sf_dir: str, num_partitions: int = 8):
             .aggregate([])
         )
 
+    # materialized: consumed three times below (cohort aggregation, the
+    # join's left side, and the gated join's key collection) — without it
+    # each consumption re-scans the events table
     pairs = grouped_agg(
         ev.map_batches(pair_partial, batch_format="pyarrow"),
         ["user_id", "week_idx"],
         [(None, "count", "__n")],
-    ).drop_columns(["__n"])
+    ).drop_columns(["__n"]).materialize()
 
     cohorts = grouped_agg(pairs, ["user_id"], [("week_idx", "min", "cohort_idx")])
 
