@@ -225,6 +225,15 @@ def semi_join(
 
         from .broadcast import get_cached
 
+        # fail fast on the driver: the bloom hash is integer-key only
+        # (string keys would need a byte-level digest path); schema() is
+        # metadata-cheap
+        key_type = left_ds.schema().base_schema.field(left_key).type
+        if not (pa.types.is_integer(key_type)):
+            raise ValueError(
+                f"bloom_prefilter requires an integer join key; "
+                f"{left_key!r} is {key_type}"
+            )
         bitmap, m_bits = build_bloom(keys_ds, right_key, source_rows=right_source_rows)
         bloom_ref = ray.put(bitmap)
 
@@ -383,6 +392,14 @@ def skew_join(
     that already aggregated per-key counts (e.g. the right side IS the
     count table) can derive the hot set for free and save one scan of
     the left input.
+
+    COST NOTE: the hybrid plan executes ``left_ds``'s lineage twice (hot
+    branch + rest branch; three times if detection runs) — the price paid
+    for splitting a lazy Dataset without a materialization barrier.  That
+    trade wins when the avoided single-partition hot-key shuffle is the
+    bottleneck (its alternative is a straggler holding 100 TB/|types| on
+    one aggregator); callers for whom re-reading dominates should pass a
+    ``.materialize()``d left (object-store-backed, spillable) instead.
     """
     if max_broadcast_rows is None:
         max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS

@@ -979,6 +979,44 @@ SELECT day, user_id, total_value FROM (
 """
 
 
+def _sample_hash_u64(ids: np.ndarray) -> np.ndarray:
+    """THE engine-wide key hash: (id·A + B) mod 2⁶⁴ as uint64.
+
+    Single definition — the HUGEINT oracle twin `(CAST(id AS HUGEINT) *
+    {_SAMPLE_A} + {_SAMPLE_B}) % 18446744073709551616` must mirror this
+    arithmetic exactly, so every sampling/sketch operator hashes through
+    here rather than re-rolling the constants."""
+    with np.errstate(over="ignore"):
+        return ids.astype(np.uint64) * np.uint64(_SAMPLE_A) + np.uint64(_SAMPLE_B)
+
+
+def _rev_e4(batch: pa.Table) -> "pa.Array":
+    """Lineitem revenue in EXACT integer ten-thousandths: price has 2
+    decimal digits and discount 2, so price_cents × (100 − disc_pct)
+    carries no float error — group sums are exact integers on both
+    engines and 2-dp rounding can never flip on a summation-order
+    half-cent boundary (a double sum does: 615184.595… rounds differently
+    per accumulation order).  SQL twin:
+    ``CAST(round(l_extendedprice*100) AS BIGINT) *
+    CAST(round((1-l_discount)*100) AS BIGINT)`` summed as BIGINT, then
+    ``/10000.0``."""
+    return pc.multiply(
+        pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64(),
+        ),
+        pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                    pa.scalar(100.0),
+                )
+            ),
+            pa.int64(),
+        ),
+    )
+
+
 _SAMPLE_A = 0x9E3779B97F4A7C15  # 64-bit golden-ratio multiplier (Weyl sequence)
 _SAMPLE_B = 1442695040888963407
 
@@ -993,9 +1031,8 @@ def doc_sample_hash(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = ids * np.uint64(_SAMPLE_A) + np.uint64(_SAMPLE_B)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _sample_hash_u64(ids)
         return batch.filter(pa.array(h < np.uint64(1 << 62)))
 
     return ds.map_batches(pick, batch_format="pyarrow")
@@ -2479,9 +2516,8 @@ def customer_sample_per_segment(sf_dir: str, n: int = 10):
         ]
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = keys * np.uint64(_SAMPLE_A) + np.uint64(_SAMPLE_B)
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        h = _sample_hash_u64(keys)
         df = pd.DataFrame(
             {
                 "c_mktsegment": batch.column("c_mktsegment").to_pandas(),
@@ -2685,7 +2721,10 @@ def doc_length_quantiles(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        n_tokens = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        # drop_null: a null text row would inject a NaN histogram bin that
+        # pandas sorts last, corrupting every cumulative rank
+        texts = pc.drop_null(batch.column("text"))
+        n_tokens = pc.add(pc.count_substring(texts, " "), 1)
         t = pa.Table.from_arrays([pc.cast(n_tokens, pa.int64())], names=["n_tokens"])
         out = t.group_by(["n_tokens"], use_threads=False).aggregate([([], "count_all")])
         return out.rename_columns(["n_tokens", "n"])
@@ -2698,6 +2737,10 @@ def doc_length_quantiles(sf_dir: str):
         .sort_values("n_tokens", ignore_index=True)
     )
     total = int(hist["n"].sum())
+    if total == 0:  # empty corpus: match DuckDB's row of NULLs
+        return pd.DataFrame(
+            [{k: None for k in ("p25", "p50", "p75", "p90", "p99")}]
+        )
     cum = hist["n"].cumsum().to_numpy()
     values = hist["n_tokens"].to_numpy()
     row = {}
@@ -3263,19 +3306,7 @@ def q7_nation_pair_volume(sf_dir: str, num_partitions: int = 8):
         # integers on both engines and the final 2-dp rounding can never
         # flip on a summation-order boundary (which a double sum does:
         # 615184.595… rounds differently per accumulation order)
-        rev_e4 = pc.multiply(
-            pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"),
-                                         pa.scalar(100.0))), pa.int64()),
-            pc.cast(
-                pc.round(
-                    pc.multiply(
-                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-                        pa.scalar(100.0),
-                    )
-                ),
-                pa.int64(),
-            ),
-        )
+        rev_e4 = _rev_e4(batch)
         year = pc.cast(pc.year(batch.column("l_shipdate")), pa.int64())
         return pa.Table.from_arrays(
             [batch.column("l_orderkey"), batch.column("l_suppkey"), rev_e4, year],
@@ -3297,17 +3328,31 @@ def q7_nation_pair_volume(sf_dir: str, num_partitions: int = 8):
         ).aggregate([("rev_e4", "sum")])
         return out.rename_columns(["l_orderkey", "s_nationkey", "l_year", "rev_e4"])
 
-    orders_n = lookup_join(
+    # chain the gated joins so every RIGHT side is a base-table projection
+    # of exactly [key] + value_cols (lookup_join's contract) — never a
+    # join output carrying extra columns: partials pick up o_custkey from
+    # orders, pre-reduce to (custkey, supp-nation, year) grain, then pick
+    # up c_nationkey from customer
+    with_cust = lookup_join(
+        with_supp.map_batches(li_partial, batch_format="pyarrow"),
         read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        "l_orderkey", "o_orderkey", ["o_custkey"],
+        right_source_rows=table_rows(sf_dir, "orders"),
+        num_partitions=num_partitions,
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["o_custkey", "s_nationkey", "l_year", "rev_e4"])
+        out = t.group_by(
+            ["o_custkey", "s_nationkey", "l_year"], use_threads=False
+        ).aggregate([("rev_e4", "sum")])
+        return out.rename_columns(["o_custkey", "s_nationkey", "l_year", "rev_e4"])
+
+    joined = lookup_join(
+        with_cust.map_batches(cust_partial, batch_format="pyarrow"),
         read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
         "o_custkey", "c_custkey", ["c_nationkey"],
         right_source_rows=table_rows(sf_dir, "customer"),
-        num_partitions=num_partitions,
-    )
-    joined = lookup_join(
-        with_supp.map_batches(li_partial, batch_format="pyarrow"),
-        orders_n, "l_orderkey", "o_orderkey", ["c_nationkey"],
-        right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
     )
 
@@ -3381,12 +3426,11 @@ def q14_promo_revenue(sf_dir: str, num_partitions: int = 8):
             pc.less(batch.column("l_shipdate"), hi),
         )
         batch = batch.filter(keep)
-        rev = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
+        # exact integer e-4 revenue (see _rev_e4): the ratio divides two
+        # exact integers, so the 2-dp rounding is summation-order-proof
         return pa.Table.from_arrays(
-            [batch.column("l_partkey"), rev], names=["l_partkey", "revenue"]
+            [batch.column("l_partkey"), _rev_e4(batch)],
+            names=["l_partkey", "rev_e4"],
         )
 
     joined = lookup_join(
@@ -3401,26 +3445,30 @@ def q14_promo_revenue(sf_dir: str, num_partitions: int = 8):
         promo = pc.sum(
             pc.if_else(
                 pc.equal(batch.column("p_type"), "PROMO"),
-                batch.column("revenue"),
-                pa.scalar(0.0),
+                batch.column("rev_e4"),
+                pa.scalar(0, type=pa.int64()),
             )
-        ).as_py() or 0.0
-        total = pc.sum(batch.column("revenue")).as_py() or 0.0
+        ).as_py() or 0
+        total = pc.sum(batch.column("rev_e4")).as_py() or 0
         return pa.Table.from_arrays(
-            [pa.array([promo]), pa.array([total])], names=["promo", "total"]
+            [pa.array([promo], type=pa.int64()), pa.array([total], type=pa.int64())],
+            names=["promo", "total"],
         )
 
     parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
-    promo, total = float(parts["promo"].sum()), float(parts["total"].sum())
+    promo, total = int(parts["promo"].sum()), int(parts["total"].sum())
     share = 100.0 * promo / total if total else 0.0
     return pd.DataFrame([{"promo_revenue": float(sql_round([share], 2)[0])}])
 
 
 Q14_SQL = """
-SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
-                               THEN l_extendedprice * (1 - l_discount)
-                               ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+SELECT round(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT)
+             / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT),
+             2) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01'
   AND l_shipdate <  TIMESTAMP '1997-10-01'
@@ -3533,21 +3581,21 @@ def q19_bracket_revenue(sf_dir: str, num_partitions: int = 8):
         for br in brackets[1:]:
             keep = pc.or_(keep, br(batch))
         batch = batch.filter(keep)
-        rev = pc.sum(
-            pc.multiply(
-                batch.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-            )
-        ).as_py() or 0.0
-        return pa.Table.from_arrays([pa.array([rev])], names=["revenue"])
+        # exact integer e-4 revenue (see _rev_e4) — boundary-proof rounding
+        rev = pc.sum(_rev_e4(batch)).as_py() or 0
+        return pa.Table.from_arrays(
+            [pa.array([rev], type=pa.int64())], names=["rev_e4"]
+        )
 
     parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
-    total = float(parts["revenue"].sum())
-    return pd.DataFrame([{"revenue": float(sql_round([total], 2)[0])}])
+    total = int(parts["rev_e4"].sum())
+    return pd.DataFrame([{"revenue": float(sql_round([total / 10_000.0], 2)[0])}])
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             / 10000.0, 2) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
@@ -3631,7 +3679,10 @@ def doc_length_quantiles_cont(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        n_tokens = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        # drop_null: a null text row would inject a NaN histogram bin that
+        # pandas sorts last, corrupting every cumulative rank
+        texts = pc.drop_null(batch.column("text"))
+        n_tokens = pc.add(pc.count_substring(texts, " "), 1)
         t = pa.Table.from_arrays([pc.cast(n_tokens, pa.int64())], names=["n_tokens"])
         out = t.group_by(["n_tokens"], use_threads=False).aggregate([([], "count_all")])
         return out.rename_columns(["n_tokens", "n"])
@@ -3644,6 +3695,10 @@ def doc_length_quantiles_cont(sf_dir: str):
         .sort_values("n_tokens", ignore_index=True)
     )
     total = int(hist["n"].sum())
+    if total == 0:  # empty corpus: match DuckDB's row of NULLs
+        return pd.DataFrame(
+            [{k: None for k in ("p25", "p50", "p75", "p90", "p99")}]
+        )
     cum = hist["n"].cumsum().to_numpy()
     values = hist["n_tokens"].to_numpy()
 
@@ -3763,16 +3818,22 @@ def corpus_heavy_hitters(sf_dir: str, k: int = 64):
             names=["term", "est"],
         )
 
-    def mg_compress(batch: pa.Table) -> pa.Table:
-        # tree-combine level: fold many per-term partial sums into one ≤k
-        # MG summary each, so the driver never sees k×blocks rows
-        df = batch.to_pandas().sort_values("est", ascending=False, ignore_index=True)
+    def _mg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # the ONE Misra-Gries compression rule (subtract the (k+1)-th
+        # largest, keep positives) — shared by the tree-combine level and
+        # the driver's final fold so the two can never diverge
+        df = df.sort_values("est", ascending=False, ignore_index=True)
         if len(df) > k:
             sub = int(df["est"].iloc[k])
             df = df.iloc[:k].copy()
             df["est"] = df["est"] - sub
             df = df[df["est"] > 0]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return df
+
+    def mg_compress(batch: pa.Table) -> pa.Table:
+        # tree-combine level: fold many per-term partial sums into one ≤k
+        # MG summary each, so the driver never sees k×blocks rows
+        return pa.Table.from_pandas(_mg_fold(batch.to_pandas()), preserve_index=False)
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -3781,12 +3842,7 @@ def corpus_heavy_hitters(sf_dir: str, k: int = 64):
         .map_batches(mg_compress, batch_format="pyarrow", batch_size=32 * k)
         .to_pandas()
     )
-    est = merged.sort_values("est", ascending=False, ignore_index=True)
-    if len(est) > k:
-        sub = int(est["est"].iloc[k])
-        est = est.iloc[:k].copy()
-        est["est"] = est["est"] - sub
-        est = est[est["est"] > 0]
+    est = _mg_fold(merged)
     out = est[["term", "est"]].rename(columns={"est": "est_count"})
     return out.reset_index(drop=True)
 
@@ -3852,9 +3908,8 @@ def orders_weighted_sample(sf_dir: str, n: int = None):
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def local_top(batch: pa.Table) -> pa.Table:
-        ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = ids * np.uint64(_SAMPLE_A) + np.uint64(_SAMPLE_B)
+        ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        h = _sample_hash_u64(ids)
         u = (h.astype(np.float64) + 0.5) / float(1 << 64)
         w = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
         key = -np.log(u) / w
@@ -4097,19 +4152,7 @@ def q10_returned_items(sf_dir: str, num_partitions: int = 8):
 
     def li_prep(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
-        rev_e4 = pc.multiply(
-            pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"),
-                                         pa.scalar(100.0))), pa.int64()),
-            pc.cast(
-                pc.round(
-                    pc.multiply(
-                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-                        pa.scalar(100.0),
-                    )
-                ),
-                pa.int64(),
-            ),
-        )
+        rev_e4 = _rev_e4(batch)
         t = pa.Table.from_arrays(
             [batch.column("l_orderkey"), rev_e4], names=["l_orderkey", "rev_e4"]
         )
@@ -4252,7 +4295,7 @@ def dedup_streaming_index(sf_dir: str, n_shards: int = 8):
     and therefore not part of the contract."""
     from .state.dedup_index import streaming_dedup_counts
 
-    ds = read_table(sf_dir, "documents", columns=["text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     r = streaming_dedup_counts(ds, n_shards=n_shards)
     return pd.DataFrame(
         [{"n_docs": r["n_docs"], "n_unique": r["n_unique"],
@@ -4284,9 +4327,8 @@ def orders_price_quantiles_approx(sf_dir: str, k: int = 4096):
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = ids * np.uint64(_SAMPLE_A) + np.uint64(_SAMPLE_B)
+        ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        h = _sample_hash_u64(ids)
         v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
         keep = np.argsort(h, kind="stable")[:k]
         return pa.Table.from_arrays(

@@ -127,7 +127,17 @@ def _build_safe_join_aggregation():
     aggregation-factory lambda captures the class, cloudpickle serializes
     captured classes by reference, and Ray workers resolve that reference
     by importing ``b_pdf_parser_ray.rayfix`` — so the module attribute
-    must be the real class in every process."""
+    must be the real class in every process.
+
+    Known residual (best-effort, strictly better than crashing): when the
+    guard fires because the RIGHT schema never arrived, the empty block
+    it returns carries only left columns, while partitions that did
+    receive right rows emit left+right columns — a downstream
+    schema-sensitive consumer can still see mixed 0-row schemas.  The
+    missing columns are unknowable here; eliminating the case entirely
+    requires the caller to never feed a join a side whose first block can
+    be a ZERO-COLUMN empty (see ``queries.dedup_ngram_verify.pair_proj``
+    for the normalization pattern)."""
     import pyarrow as pa
 
     from ray.data._internal.execution.operators import join as join_op

@@ -1,6 +1,7 @@
 """Distributed connected components vs a driver-side union-find oracle."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -157,17 +158,25 @@ def test_streaming_dedup_index_marks_exactly_one_per_group(ray_session):
     )
 
     texts = [f"document body {i % 40}" for i in range(400)]  # 10 copies each
-    ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(8)
+    tbl = pa.table({"doc_id": pa.array(range(400), type=pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(tbl).repartition(8)
 
     shards = make_shards(4)
-    marked = ds.map_batches(
-        StreamingDedupMarker(shards, text_col="text"), batch_format="pyarrow"
-    ).to_pandas()
+    marker = StreamingDedupMarker(shards, text_col="text")
+    marked = ds.map_batches(marker, batch_format="pyarrow").to_pandas()
     assert len(marked) == 400
     per_hash = marked.groupby("content_hash")["is_first"].sum()
     assert len(per_hash) == 40 and (per_hash == 1).all()
 
+    # retry idempotency: re-marking the SAME rows against the already-
+    # populated index must reproduce is_first exactly (a membership-set
+    # index would flip every row to False — the lost-representative bug)
+    remarked = ds.map_batches(marker, batch_format="pyarrow").to_pandas()
+    a = marked.sort_values("doc_id", ignore_index=True)
+    b = remarked.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
     r = streaming_dedup_counts(
-        ray.data.from_arrow(pa.table({"text": texts})).repartition(8), n_shards=4
+        ray.data.from_arrow(tbl).repartition(8), n_shards=4
     )
     assert r == {"n_docs": 400, "n_unique": 40, "index_size": 40}

@@ -350,8 +350,7 @@ def test_jaccard_pairs_survive_fully_filtered_blocks(ray_session, tmp_path):
         pa.table({"doc_id": [m, 2 * m], "text": [text, text + " tail"]}),
         d / "part1.parquet",
     )
-    pairs = dedup_jaccard_pairs(str(tmp_path))
-    got = pairs.to_pandas() if not hasattr(pairs, "to_pandas") else pairs.to_pandas()
+    got = dedup_jaccard_pairs(str(tmp_path)).to_pandas()
     assert {(a, b) for a, b in zip(got["doc_a"], got["doc_b"])} == {(m, 2 * m)}
 
     clusters = dedup_cluster_docs(str(tmp_path)).to_pandas()
