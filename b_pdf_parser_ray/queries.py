@@ -4361,6 +4361,179 @@ def orders_price_quantiles_approx(sf_dir: str, k: int = 4096):
     return pd.DataFrame([row])
 
 
+LM_VOCAB_K = 2000
+
+
+def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
+    """CCNet-style corpus language-model quality score: train an add-one
+    bigram LM on the corpus itself (top-``vocab_k`` vocabulary, rest →
+    ``<unk>``) and score every document by its mean bigram log-likelihood
+    — the standard screen for gibberish / boilerplate / wrong-tokenizer
+    text in web-scale training-data pipelines.
+
+    Scale shape, two passes + one scoring pipeline, nothing
+    vocabulary-unbounded on the driver:
+
+    * vocabulary: term-grain ``grouped_agg`` → distributed sort by
+      (count desc, term) → ``limit(vocab_k)`` — only k rows ever leave
+      the cluster; ``<unk>``'s count derives from total−Σvocab, no
+      second pass;
+    * bigram model: per-batch Arrow pre-count of MAPPED token pairs →
+      one (wa,wb)-grain exchange;
+    * scoring: per-doc bigrams explode with the unigram count attached
+      map-side (vocab dict broadcast, ≤k+1 entries); the bigram count
+      attaches through the size-gated ``lookup_join`` on a composite
+      key — broadcast under the cap, hash-partitioned above it (the
+      forced-gate test pins that plan), so a 10⁸-row bigram table at
+      100 TB never has to fit anywhere."""
+    import ray
+
+    from .functions.broadcast import get_cached
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    if vocab_k is None:
+        vocab_k = LM_VOCAB_K
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        t = pa.Table.from_arrays([toks], names=["w"])
+        out = t.group_by(["w"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["w", "c"])
+
+    uni = grouped_agg(
+        ds.map_batches(term_partial, batch_format="pyarrow"), ["w"], [("c", "sum", "c")]
+    )
+    vocab_tbl = pa.Table.from_pandas(
+        uni.sort(["c", "w"], descending=[True, False]).limit(vocab_k).to_pandas(),
+        preserve_index=False,
+    )
+    total_tokens = int(
+        ds.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"n": [int(pc.sum(
+                    pc.list_value_length(pc.split_pattern(b.column("text"), " "))
+                ).as_py() or 0)]}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["n"].sum()
+    )
+    vocab_words = vocab_tbl.column("w").to_pylist()
+    vocab_counts = dict(zip(vocab_words, (int(x) for x in vocab_tbl.column("c").to_pylist())))
+    unk_count = total_tokens - sum(vocab_counts.values())
+    if unk_count > 0:
+        vocab_counts["\x00unk"] = unk_count
+    v_size = len(vocab_counts)
+    vocab_set_ref = ray.put(pa.array(vocab_words, type=pa.string()))
+    uni_ref = ray.put(vocab_counts)
+
+    def mapped_bigrams(batch: pa.Table):
+        """(doc_id-aligned) mapped bigram arrays for one batch."""
+        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        flat = tok_lists.flatten()
+        in_vocab = pc.is_in(flat, value_set=get_cached(vocab_set_ref))
+        mapped = pc.if_else(in_vocab, flat, pa.scalar("\x00unk"))
+        offs = tok_lists.offsets.to_numpy(zero_copy_only=False)
+        toks = np.asarray(mapped.to_pylist(), dtype=object)
+        # adjacent pairs within each doc: positions whose successor is in
+        # the same list
+        idx = np.arange(len(toks) - 1) if len(toks) else np.array([], dtype=np.int64)
+        doc_of = np.searchsorted(offs, idx, side="right") - 1 if len(idx) else idx
+        keep = (idx + 1) < offs[doc_of + 1] if len(idx) else np.array([], dtype=bool)
+        ai, bi = idx[keep], idx[keep] + 1
+        return toks, ai, bi, doc_of[keep]
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        toks, ai, bi, _ = mapped_bigrams(batch)
+        key = pa.array(
+            [toks[a] + " " + toks[b] for a, b in zip(ai, bi)], type=pa.string()
+        )
+        t = pa.Table.from_arrays([key], names=["bigram"])
+        out = t.group_by(["bigram"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["bigram", "c_ab"])
+
+    bigrams = grouped_agg(
+        ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["bigram"], [("c_ab", "sum", "c_ab")],
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks, ai, bi, doc_of = mapped_bigrams(batch)
+        unigrams = get_cached(uni_ref)
+        c_a = np.fromiter(
+            (unigrams[toks[a]] for a in ai), dtype=np.int64, count=len(ai)
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.take(batch.column("doc_id"), pa.array(doc_of)),
+                pa.array([toks[a] + " " + toks[b] for a, b in zip(ai, bi)],
+                         type=pa.string()),
+                pa.array(c_a),
+            ],
+            names=["doc_id", "bigram", "c_a"],
+        )
+
+    joined = lookup_join(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        bigrams, "bigram", "bigram", ["c_ab"],
+        # provable bound: |distinct bigrams| ≤ total tokens (counted above)
+        right_source_rows=total_tokens,
+        num_partitions=num_partitions,
+    )
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        logp = np.log(
+            (batch.column("c_ab").to_numpy(zero_copy_only=False) + 1.0)
+            / (batch.column("c_a").to_numpy(zero_copy_only=False) + float(v_size))
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(logp)], names=["doc_id", "lp"]
+        )
+        out = t.group_by(["doc_id"], use_threads=False).aggregate(
+            [("lp", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["doc_id", "lp_sum", "n"])
+
+    out = grouped_agg(
+        joined.map_batches(score_partial, batch_format="pyarrow"),
+        ["doc_id"],
+        [("lp_sum", "sum", "lp_sum"), ("n", "sum", "n")],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["lm_score"] = sql_round(b["lp_sum"] / b["n"], 5)
+        return b[["doc_id", "lm_score"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+DOC_LM_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT {LM_VOCAB_K}),
+m AS (SELECT doc_id, pos,
+             CASE WHEN w IN (SELECT w FROM vocab) THEN w
+                  ELSE chr(0) || 'unk' END AS w
+      FROM toks),
+uc AS (SELECT w, count(*) AS c FROM m GROUP BY w),
+vs AS (SELECT count(*) AS v FROM uc),
+big AS (SELECT a.doc_id, a.w AS wa, b.w AS wb
+        FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT wa, wb, count(*) AS c_ab FROM big GROUP BY wa, wb)
+SELECT big.doc_id,
+       round(avg(ln((bc.c_ab + 1.0) / (uc.c + vs.v))), 5) AS lm_score
+FROM big
+JOIN bc ON big.wa = bc.wa AND big.wb = bc.wb
+JOIN uc ON big.wa = uc.w
+CROSS JOIN vs
+GROUP BY big.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4450,6 +4623,7 @@ QUERIES: Dict[str, Callable] = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "dedup_streaming_index": dedup_streaming_index,
     "orders_price_quantiles_approx": orders_price_quantiles_approx,
+    "doc_lm_score": doc_lm_score,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -4525,6 +4699,7 @@ ORACLE_SQL: Dict[str, str] = {
     "q10_returned_items": Q10_SQL,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
     "dedup_streaming_index": DEDUP_STREAMING_SQL,
+    "doc_lm_score": DOC_LM_SCORE_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;

@@ -70,7 +70,8 @@ def test_lookup_join_both_plans_agree(sides):
     "name", ["q3_top_revenue_orders", "q4_order_priority",
              "customers_without_orders", "q5_nation_revenue",
              "q7_nation_pair_volume", "q18_large_orders",
-             "events_type_share", "purchase_error_user_overlap"]
+             "events_type_share", "purchase_error_user_overlap",
+             "doc_lm_score"]
 )
 def test_gated_queries_identical_on_hash_plan(ray_session, ddb_sf, name, monkeypatch):
     """Force the hash plan (cap=0) on the real catalog queries: results must
