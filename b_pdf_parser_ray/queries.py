@@ -4420,35 +4420,43 @@ def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
         ).to_pandas()["n"].sum()
     )
     vocab_words = vocab_tbl.column("w").to_pylist()
-    vocab_counts = dict(zip(vocab_words, (int(x) for x in vocab_tbl.column("c").to_pylist())))
-    unk_count = total_tokens - sum(vocab_counts.values())
-    if unk_count > 0:
-        vocab_counts["\x00unk"] = unk_count
-    v_size = len(vocab_counts)
+    vocab_count_list = [int(x) for x in vocab_tbl.column("c").to_pylist()]
+    unk_count = total_tokens - sum(vocab_count_list)
+    v_size = len(vocab_words) + (1 if unk_count > 0 else 0)
     vocab_set_ref = ray.put(pa.array(vocab_words, type=pa.string()))
-    uni_ref = ray.put(vocab_counts)
+    # counts aligned to vocab order, with <unk>'s count appended at index k
+    # (pc.index_in misses fill to k, so the unk slot is what they read)
+    uni_counts_ref = ray.put(
+        np.asarray(vocab_count_list + [max(unk_count, 0)], dtype=np.int64)
+    )
 
     def mapped_bigrams(batch: pa.Table):
-        """(doc_id-aligned) mapped bigram arrays for one batch."""
+        """Vectorized per-batch bigram explode: (key "wa wb", first-token
+        array, doc index) — pure Arrow/numpy, no per-token Python."""
         tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
         flat = tok_lists.flatten()
         in_vocab = pc.is_in(flat, value_set=get_cached(vocab_set_ref))
         mapped = pc.if_else(in_vocab, flat, pa.scalar("\x00unk"))
+        n = len(mapped)
         offs = tok_lists.offsets.to_numpy(zero_copy_only=False)
-        toks = np.asarray(mapped.to_pylist(), dtype=object)
-        # adjacent pairs within each doc: positions whose successor is in
-        # the same list
-        idx = np.arange(len(toks) - 1) if len(toks) else np.array([], dtype=np.int64)
-        doc_of = np.searchsorted(offs, idx, side="right") - 1 if len(idx) else idx
-        keep = (idx + 1) < offs[doc_of + 1] if len(idx) else np.array([], dtype=bool)
-        ai, bi = idx[keep], idx[keep] + 1
-        return toks, ai, bi, doc_of[keep]
+        offs = offs - offs[0]
+        if n < 2:
+            empty = pa.array([], type=pa.string())
+            return empty, empty, np.array([], dtype=np.int64)
+        # pair (i, i+1) stays iff i+1 is not the start of the next doc
+        starts = np.zeros(n + 1, dtype=bool)
+        starts[offs] = True
+        keep = pa.array(~starts[1:n])
+        a = pc.filter(mapped.slice(0, n - 1), keep)
+        b = pc.filter(mapped.slice(1, n - 1), keep)
+        key = pc.binary_join_element_wise(a, b, " ")
+        doc_ids = np.repeat(
+            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
+        )
+        return key, a, doc_ids[: n - 1][~starts[1:n]]
 
     def bigram_partial(batch: pa.Table) -> pa.Table:
-        toks, ai, bi, _ = mapped_bigrams(batch)
-        key = pa.array(
-            [toks[a] + " " + toks[b] for a, b in zip(ai, bi)], type=pa.string()
-        )
+        key, _, _ = mapped_bigrams(batch)
         t = pa.Table.from_arrays([key], names=["bigram"])
         out = t.group_by(["bigram"], use_threads=False).aggregate([([], "count_all")])
         return out.rename_columns(["bigram", "c_ab"])
@@ -4459,18 +4467,13 @@ def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        toks, ai, bi, doc_of = mapped_bigrams(batch)
-        unigrams = get_cached(uni_ref)
-        c_a = np.fromiter(
-            (unigrams[toks[a]] for a in ai), dtype=np.int64, count=len(ai)
-        )
+        key, a, doc_of = mapped_bigrams(batch)
+        vocab_arr = get_cached(vocab_set_ref)
+        counts_np = get_cached(uni_counts_ref)
+        idx = pc.fill_null(pc.index_in(a, value_set=vocab_arr), len(vocab_arr))
+        c_a = counts_np[idx.to_numpy(zero_copy_only=False)]
         return pa.Table.from_arrays(
-            [
-                pc.take(batch.column("doc_id"), pa.array(doc_of)),
-                pa.array([toks[a] + " " + toks[b] for a, b in zip(ai, bi)],
-                         type=pa.string()),
-                pa.array(c_a),
-            ],
+            [pc.take(batch.column("doc_id"), pa.array(doc_of)), key, pa.array(c_a)],
             names=["doc_id", "bigram", "c_a"],
         )
 
