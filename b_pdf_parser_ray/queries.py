@@ -4537,6 +4537,634 @@ GROUP BY big.doc_id
 """
 
 
+def q15_top_supplier(sf_dir: str, num_partitions: int = 8):
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): total revenue
+    per supplier over 1996-Q1 shipments; return the supplier(s) hitting
+    the global maximum.
+
+    Scale shape — the two-phase global-argmax pattern: per-batch
+    (suppkey → Σrev_e4) Arrow partials pre-reduce before the ONE
+    supplier-grain exchange; that dimension-grain aggregate is
+    materialized once in the object store (never fact-sized), the global
+    max is a distributed ``Dataset.max``, and only the max-revenue rows
+    flow through the size-gated lookup join to pick up ``s_name``.
+    Revenue is exact integer e-4 (see ``_rev_e4``) so the max comparison
+    and final rounding are summation-order-proof."""
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-04-01"), type=pa.timestamp("us"))
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi),
+        )
+        batch = batch.filter(keep)
+        t = pa.Table.from_arrays(
+            [batch.column("l_suppkey"), _rev_e4(batch)],
+            names=["s_suppkey", "rev_e4"],
+        )
+        out = t.group_by(["s_suppkey"], use_threads=False).aggregate([("rev_e4", "sum")])
+        return out.rename_columns(["s_suppkey", "rev_e4"])
+
+    rev = grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["s_suppkey"], [("rev_e4", "sum", "rev_e4")],
+    ).materialize()
+    best = rev.max("rev_e4")
+
+    top = rev.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("rev_e4"), pa.scalar(best, type=pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    named = lookup_join(
+        top,
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", "s_suppkey", ["s_name"],
+        right_source_rows=table_rows(sf_dir, "supplier"),
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["total_revenue"] = sql_round(b["rev_e4"] / 10_000.0, 2)
+        return b[["s_suppkey", "s_name", "total_revenue"]]
+
+    return named.map_batches(finish, batch_format="pandas")
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(rev_e4 / 10000.0, 2) AS total_revenue
+FROM supplier JOIN rev ON l_suppkey = s_suppkey
+WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#23", num_partitions: int = 8
+):
+    """Small-quantity-order revenue (TPC-H Q17 shape): average yearly
+    revenue lost if orders under 20% of a part's mean quantity were not
+    filled, for one brand's parts.
+
+    Scale shape — the correlated-average self-join, done as TWO streaming
+    scans instead of a fact-table self-join: pass A semi-joins lineitem to
+    the brand's parts and reduces to part-grain quantity sufficient
+    statistics (Σq_e2, count); pass B re-scans, attaches those thresholds
+    through the size-gated lookup join, and keeps
+    ``l_quantity < 0.2 · avg`` rows via the EXACT integer comparison
+    ``5·q_e2·cnt < Σq_e2`` (quantities have 2 decimal digits) — no float
+    average can flip a boundary row on either engine.  Only 1 partial row
+    per block crosses the final exchange."""
+    from .functions.joins import lookup_join, semi_join
+    from .sources.tables import table_rows
+
+    def brand_parts():
+        return read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+            lambda b: b.filter(pc.equal(b.column("p_brand"), brand)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def li_brand():
+        li = read_table(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        return semi_join(
+            li, brand_parts(), "l_partkey", "p_partkey",
+            right_source_rows=table_rows(sf_dir, "part"),
+            num_partitions=num_partitions,
+        )
+
+    def q_e2(batch: pa.Table) -> pa.Array:
+        return pc.cast(
+            pc.round(pc.multiply(batch.column("l_quantity"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("l_partkey"), q_e2(batch)], names=["l_partkey", "qe"]
+        )
+        out = t.group_by(["l_partkey"], use_threads=False).aggregate(
+            [("qe", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["l_partkey", "q_sum_e2", "q_cnt"])
+
+    thresholds = grouped_agg(
+        li_brand().map_batches(qty_partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("q_sum_e2", "sum", "q_sum_e2"), ("q_cnt", "sum", "q_cnt")],
+    )
+
+    joined = lookup_join(
+        li_brand(), thresholds, "l_partkey", "l_partkey", ["q_sum_e2", "q_cnt"],
+        # provable bound: the part-grain threshold table is ≤ |part| rows
+        right_source_rows=table_rows(sf_dir, "part"),
+        num_partitions=num_partitions,
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = pc.less(
+            pc.multiply(
+                pc.multiply(q_e2(batch), pa.scalar(5, type=pa.int64())),
+                batch.column("q_cnt"),
+            ),
+            batch.column("q_sum_e2"),
+        )
+        price_c = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        kept = pc.sum(
+            pc.if_else(keep, price_c, pa.scalar(0, type=pa.int64()))
+        ).as_py() or 0
+        return pa.Table.from_pydict({"cents": pa.array([kept], type=pa.int64())})
+
+    parts = joined.map_batches(pick, batch_format="pyarrow").to_pandas()
+    total_cents = int(parts["cents"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        [{"avg_yearly": float(sql_round([total_cents / 100.0 / 7.0], 2)[0])}]
+    )
+
+
+Q17_SQL = """
+WITH bli AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'),
+qs AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_sum_e2,
+         count(*) AS q_cnt
+  FROM bli GROUP BY l_partkey)
+SELECT round(CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)
+              AS BIGINT) / 100.0 / 7.0, 2) AS avg_yearly
+FROM bli JOIN qs USING (l_partkey)
+WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * q_cnt < q_sum_e2
+"""
+
+
+def q8_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_2",
+    part_type: str = "ECONOMY",
+    num_partitions: int = 8,
+):
+    """National market share (TPC-H Q8 shape): the target nation's share
+    of ECONOMY-part revenue sold to ASIA-region customers, by order year,
+    1995-1996.
+
+    Scale shape — the deepest join chain in the catalog (part, supplier,
+    orders, customer, nation×2, region), every step either a size-gated
+    semi/lookup join or a ≤25-row driver broadcast, with partials
+    pre-reduced to a coarser grain between every pair of joins:
+    lineitem SEMI typed-parts → +s_nationkey → reduce to (orderkey,
+    supp-nation) → +o_custkey/o_orderdate (year filter) → reduce to
+    (custkey, supp-nation, year) → +c_nationkey → region filter +
+    share flag via the broadcast nation/region map → 2 exact-integer
+    sums per (year, block).  The share divides two exact e-4 integers,
+    so 4-dp rounding is identical on both engines."""
+    import ray
+
+    from .functions.broadcast import get_cached
+    from .functions.joins import lookup_join, semi_join
+    from .sources.tables import table_rows
+
+    nation_t = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region_t = read_arrow(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rkey = region_t.column("r_regionkey").to_pylist()[
+        region_t.column("r_name").to_pylist().index(region)
+    ]
+    nation_ref = ray.put(nation_t.combine_chunks())
+
+    typed_parts = read_table(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_type"), part_type)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    li = semi_join(
+        li, typed_parts, "l_partkey", "p_partkey",
+        right_source_rows=table_rows(sf_dir, "part"),
+        num_partitions=num_partitions,
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_suppkey"), _rev_e4(batch)],
+            names=["l_orderkey", "l_suppkey", "rev_e4"],
+        )
+        return t
+
+    with_supp = lookup_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        "l_suppkey", "s_suppkey", ["s_nationkey"],
+        right_source_rows=table_rows(sf_dir, "supplier"),
+        num_partitions=num_partitions,
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_orderkey", "s_nationkey", "rev_e4"])
+        out = t.group_by(["l_orderkey", "s_nationkey"], use_threads=False).aggregate(
+            [("rev_e4", "sum")]
+        )
+        return out.rename_columns(["l_orderkey", "s_nationkey", "rev_e4"])
+
+    with_ord = lookup_join(
+        with_supp.map_batches(order_partial, batch_format="pyarrow"),
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        "l_orderkey", "o_orderkey", ["o_custkey", "o_orderdate"],
+        right_source_rows=table_rows(sf_dir, "orders"),
+        num_partitions=num_partitions,
+    )
+
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-12-31"), type=pa.timestamp("us"))
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less_equal(batch.column("o_orderdate"), hi),
+        )
+        batch = batch.filter(keep)
+        year = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("o_custkey"), batch.column("s_nationkey"), year,
+             batch.column("rev_e4")],
+            names=["o_custkey", "s_nationkey", "o_year", "rev_e4"],
+        )
+        out = t.group_by(
+            ["o_custkey", "s_nationkey", "o_year"], use_threads=False
+        ).aggregate([("rev_e4", "sum")])
+        return out.rename_columns(["o_custkey", "s_nationkey", "o_year", "rev_e4"])
+
+    with_cust = lookup_join(
+        with_ord.map_batches(cust_partial, batch_format="pyarrow"),
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        "o_custkey", "c_custkey", ["c_nationkey"],
+        right_source_rows=table_rows(sf_dir, "customer"),
+        num_partitions=num_partitions,
+    )
+
+    def share_partial(batch: pa.Table) -> pa.Table:
+        nat = get_cached(nation_ref)
+        c_region = pc.take(
+            nat.column("n_regionkey"),
+            pc.index_in(batch.column("c_nationkey"), value_set=nat.column("n_nationkey")),
+        )
+        batch = batch.filter(pc.equal(c_region, pa.scalar(rkey)))
+        s_name = pc.take(
+            nat.column("n_name"),
+            pc.index_in(batch.column("s_nationkey"), value_set=nat.column("n_nationkey")),
+        )
+        flagged = pc.if_else(
+            pc.equal(s_name, nation),
+            batch.column("rev_e4"),
+            pa.scalar(0, type=pa.int64()),
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("o_year"), flagged, batch.column("rev_e4")],
+            names=["o_year", "nat_e4", "tot_e4"],
+        )
+        out = t.group_by(["o_year"], use_threads=False).aggregate(
+            [("nat_e4", "sum"), ("tot_e4", "sum")]
+        )
+        return out.rename_columns(["o_year", "nat_e4", "tot_e4"])
+
+    out = grouped_agg(
+        with_cust.map_batches(share_partial, batch_format="pyarrow"),
+        ["o_year"],
+        [("nat_e4", "sum", "nat_e4"), ("tot_e4", "sum", "tot_e4")],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["mkt_share"] = sql_round(b["nat_e4"] / b["tot_e4"], 4)
+        return b[["o_year", "mkt_share"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT)
+             / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT),
+             4) AS mkt_share
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY o_year
+"""
+
+
+# domain-mixture resampling percentages: curated-ish sources kept whole /
+# lightly sampled, everything else down-sampled to 10%
+MIXTURE_PCT = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+MIXTURE_DEFAULT_PCT = 10
+
+
+def doc_mixture_resample(sf_dir: str):
+    """Domain-mixture resampling — the training-data 'source weights'
+    operator: keep a deterministic per-source fraction of documents
+    (up-weight curated sources, down-sample bulk crawl) with NO
+    coordination: keep iff the engine-wide key hash mod 100 is under the
+    source's percentage.  Stable under re-runs, retries, and any cluster
+    size; a pure map-side filter (no shuffle, no driver state); the
+    oracle reproduces the HUGEINT arithmetic exactly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    keys = pa.array(list(MIXTURE_PCT), type=pa.string())
+    pcts = np.asarray(
+        list(MIXTURE_PCT.values()) + [MIXTURE_DEFAULT_PCT], dtype=np.uint64
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _sample_hash_u64(ids) % np.uint64(100)
+        idx = pc.fill_null(
+            pc.index_in(batch.column("source"), value_set=keys), len(MIXTURE_PCT)
+        )
+        pct = pcts[idx.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(h < pct))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+DOC_MIXTURE_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE (CAST(doc_id AS HUGEINT) * {_SAMPLE_A} + {_SAMPLE_B})
+      % 18446744073709551616 % 100
+      < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+                    WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 ELSE 10 END
+"""
+
+
+def q21_waiting_suppliers(
+    sf_dir: str, late_days: int = 60, num_partitions: int = None
+):
+    """Suppliers who kept finished orders waiting (TPC-H Q21 shape,
+    adapted to this schema: "late" = shipped more than ``late_days`` after
+    the order date, since the synthetic lineitem has no commit/receipt
+    dates): per supplier, the number of 'F'-status multi-supplier orders
+    where THIS supplier was the only late one.
+
+    Scale shape — the EXISTS / NOT-EXISTS pair over same-order siblings
+    done with ONE salted exchange instead of two self-joins: lineitem
+    picks up ``o_orderdate`` through the size-gated lookup join (inner —
+    non-'F' orders drop out), per-batch partials reduce rows to
+    (orderkey, suppkey, any-late) grain, then a salted
+    ``groupby(orderkey % P)`` colocates each order's suppliers in one
+    coarse partition where the sibling conditions (≥2 suppliers, exactly
+    one late, me) are evaluated vectorized; only per-supplier count
+    partials leave, folded by a supplier-grain exchange and named through
+    a second lookup join.  P scales with the lineitem row count."""
+    from .functions.joins import lookup_join
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "lineitem"))
+
+    forders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "F")).select(
+            ["o_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    with_date = lookup_join(
+        li, forders, "l_orderkey", "o_orderkey", ["o_orderdate"],
+        right_source_rows=table_rows(sf_dir, "orders"),
+        num_partitions=8,
+    )
+    late_us = pa.scalar(late_days * 86_400_000_000, type=pa.duration("us"))
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(
+                batch.column("l_shipdate"),
+                pc.add(batch.column("o_orderdate"), late_us),
+            ),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_suppkey"), late],
+            names=["l_orderkey", "l_suppkey", "late"],
+        )
+        out = t.group_by(["l_orderkey", "l_suppkey"], use_threads=False).aggregate(
+            [("late", "max")]
+        )
+        out = out.rename_columns(["l_orderkey", "l_suppkey", "late"])
+        part = pc.cast(
+            pc.bit_wise_and(out.column("l_orderkey"), num_partitions - 1), pa.int32()
+        )
+        return out.append_column("part", part)
+
+    def wait_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # exact per (order, supplier) late flag across blocks, then the
+        # sibling test — all pandas C groupbys, no per-order Python
+        f = (
+            g.groupby(["l_orderkey", "l_suppkey"], sort=False)["late"]
+            .max()
+            .reset_index()
+        )
+        per_order = f.groupby("l_orderkey", sort=False)["late"].agg(
+            n_late="sum", n_supp="size"
+        )
+        f = f.join(per_order, on="l_orderkey")
+        hit = f[(f["late"] == 1) & (f["n_supp"] >= 2) & (f["n_late"] == 1)]
+        out = hit.groupby("l_suppkey", sort=False).size().reset_index(name="cnt")
+        return out
+
+    partials = (
+        with_date.map_batches(flag_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: wait_partial(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
+    counts = grouped_agg(partials, ["l_suppkey"], [("cnt", "sum", "numwait")])
+    named = lookup_join(
+        counts,
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "l_suppkey", "s_suppkey", ["s_name"],
+        right_source_rows=table_rows(sf_dir, "supplier"),
+        num_partitions=8,
+    )
+    return named.select_columns(["s_name", "numwait"])
+
+
+Q21_SQL = """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey),
+per_order AS (
+  SELECT l_orderkey, CAST(sum(late) AS BIGINT) AS n_late, count(*) AS n_supp
+  FROM f GROUP BY l_orderkey)
+SELECT s_name, count(*) AS numwait
+FROM f
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+"""
+
+
+def q22_lapsed_high_balance(
+    sf_dir: str, cutoff: str = "2000-06-01", num_partitions: int = 8
+):
+    """Lapsed high-balance customers per nation (TPC-H Q22 shape, the
+    phone-prefix grouping replaced by ``c_nationkey`` — the synthetic
+    customer table has no phone column): customers whose balance exceeds
+    the global average positive balance and who placed no order since
+    ``cutoff``, counted and summed per nation.
+
+    Scale shape — the global-scalar-threshold pattern: the average is two
+    integers (Σcents, n over positive balances) folded from one ≤1-row
+    partial per block, and the comparison ``cents·n > Σcents`` is exact
+    integer arithmetic (no float average can flip a boundary customer on
+    either engine).  The threshold filter runs map-side BEFORE the
+    size-gated anti-join against the recent-order custkeys (per-batch
+    distinct, broadcast under the cap, hash-partitioned ``left_anti``
+    above), and only (nation, count, Σcents) partials cross the final
+    exchange."""
+    from .functions.joins import anti_join
+    from .sources.tables import table_rows
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_cents(batch: pa.Table) -> pa.Array:
+        return pc.cast(
+            pc.round(pc.multiply(batch.column("c_acctbal"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+
+    def thr_partial(batch: pa.Table) -> pa.Table:
+        cents = bal_cents(batch)
+        pos = pc.greater(cents, pa.scalar(0, type=pa.int64()))
+        kept = pc.filter(cents, pos)
+        return pa.Table.from_pydict(
+            {
+                "s": pa.array([pc.sum(kept).as_py() or 0], type=pa.int64()),
+                "n": pa.array([len(kept)], type=pa.int64()),
+            }
+        )
+
+    thr = cust.map_batches(thr_partial, batch_format="pyarrow").to_pandas()
+    s_total, n_total = int(thr["s"].sum()), int(thr["n"].sum())
+
+    rich = cust.map_batches(
+        lambda b: b.filter(
+            pc.greater(
+                pc.multiply(bal_cents(b), pa.scalar(n_total, type=pa.int64())),
+                pa.scalar(s_total, type=pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    lo = pa.scalar(pd.Timestamp(cutoff), type=pa.timestamp("us"))
+    recent = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                pc.unique(
+                    b.filter(
+                        pc.greater_equal(b.column("o_orderdate"), lo)
+                    ).column("o_custkey")
+                )
+            ],
+            names=["o_custkey"],
+        ),
+        batch_format="pyarrow",
+    )
+    lapsed = anti_join(
+        rich, recent, "c_custkey", "o_custkey",
+        right_source_rows=table_rows(sf_dir, "orders"),
+        num_partitions=num_partitions,
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("c_nationkey"), bal_cents(batch)],
+            names=["c_nationkey", "cents"],
+        )
+        out = t.group_by(["c_nationkey"], use_threads=False).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["c_nationkey", "cents", "numcust"])
+
+    out = grouped_agg(
+        lapsed.map_batches(nation_partial, batch_format="pyarrow"),
+        ["c_nationkey"],
+        [("numcust", "sum", "numcust"), ("cents", "sum", "cents")],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["totacctbal"] = sql_round(b["cents"] / 100.0, 2)
+        return b[["c_nationkey", "numcust", "totacctbal"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q22_SQL = """
+WITH thr AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+SELECT c_nationkey, count(*) AS numcust,
+       round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS totacctbal
+FROM customer, thr
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4627,6 +5255,12 @@ QUERIES: Dict[str, Callable] = {
     "dedup_streaming_index": dedup_streaming_index,
     "orders_price_quantiles_approx": orders_price_quantiles_approx,
     "doc_lm_score": doc_lm_score,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q8_market_share": q8_market_share,
+    "doc_mixture_resample": doc_mixture_resample,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_lapsed_high_balance": q22_lapsed_high_balance,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -4703,6 +5337,12 @@ ORACLE_SQL: Dict[str, str] = {
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
     "dedup_streaming_index": DEDUP_STREAMING_SQL,
     "doc_lm_score": DOC_LM_SCORE_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q8_market_share": Q8_SQL,
+    "doc_mixture_resample": DOC_MIXTURE_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
+    "q22_lapsed_high_balance": Q22_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;

@@ -20,6 +20,15 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    # Hash-join aggregator actors reserve 0.125 CPU × num_partitions per
+    # join stage (Ray 2.49 default).  A pipeline chaining 4 hash joins
+    # (q8 under the forced cap=0 plan) reserves 4 × 8 × 0.125 = 4 CPUs of
+    # actors on this 4-CPU session — zero left for map tasks → livelock.
+    # Shrink the per-partition reservation for tests only; real clusters
+    # have the CPU headroom (the budget is ~12% of a 256-node cluster).
+    from ray.data import DataContext
+
+    DataContext.get_current().join_operator_actor_num_cpus_per_partition_override = 0.02
     yield ray
     ray.shutdown()
 

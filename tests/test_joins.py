@@ -71,7 +71,9 @@ def test_lookup_join_both_plans_agree(sides):
              "customers_without_orders", "q5_nation_revenue",
              "q7_nation_pair_volume", "q18_large_orders",
              "events_type_share", "purchase_error_user_overlap",
-             "doc_lm_score"]
+             "doc_lm_score", "q15_top_supplier",
+             "q17_small_quantity_revenue", "q8_market_share",
+             "q21_waiting_suppliers", "q22_lapsed_high_balance"]
 )
 def test_gated_queries_identical_on_hash_plan(ray_session, ddb_sf, name, monkeypatch):
     """Force the hash plan (cap=0) on the real catalog queries: results must
