@@ -5165,6 +5165,385 @@ GROUP BY c_nationkey
 """
 
 
+def q9_product_profit(sf_dir: str, name_token: str = "red", num_partitions: int = 8):
+    """Product-type profit by nation and year (TPC-H Q9 shape, supplycost
+    term dropped — the synthetic schema has no partsupp table): revenue of
+    '*red*'-named parts grouped by the supplier's nation and order year.
+
+    Scale shape — the q8-style deep chain with grain coarsening between
+    every join: lineitem SEMI red-parts → exact e-4 revenue →
+    +s_nationkey (size-gated lookup) → pre-reduce to (orderkey, nation)
+    → +o_orderdate year (size-gated lookup) → pre-reduce to (nation,
+    year) partials → ≤25-row nation broadcast resolves names map-side →
+    one tiny (nation, year) exchange."""
+    import ray
+
+    from .functions.broadcast import get_cached
+    from .functions.joins import lookup_join, semi_join
+    from .sources.tables import table_rows
+
+    nation_t = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nation_ref = ray.put(nation_t.combine_chunks())
+
+    red_parts = read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda b: b.filter(
+            pc.match_substring(b.column("p_name"), name_token)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    li = semi_join(
+        li, red_parts, "l_partkey", "p_partkey",
+        right_source_rows=table_rows(sf_dir, "part"),
+        num_partitions=num_partitions,
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_suppkey"), _rev_e4(batch)],
+            names=["l_orderkey", "l_suppkey", "rev_e4"],
+        )
+
+    with_supp = lookup_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        "l_suppkey", "s_suppkey", ["s_nationkey"],
+        right_source_rows=table_rows(sf_dir, "supplier"),
+        num_partitions=num_partitions,
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_orderkey", "s_nationkey", "rev_e4"])
+        out = t.group_by(["l_orderkey", "s_nationkey"], use_threads=False).aggregate(
+            [("rev_e4", "sum")]
+        )
+        return out.rename_columns(["l_orderkey", "s_nationkey", "rev_e4"])
+
+    with_ord = lookup_join(
+        with_supp.map_batches(order_partial, batch_format="pyarrow"),
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]),
+        "l_orderkey", "o_orderkey", ["o_orderdate"],
+        right_source_rows=table_rows(sf_dir, "orders"),
+        num_partitions=num_partitions,
+    )
+
+    def nation_year_partial(batch: pa.Table) -> pa.Table:
+        nat = get_cached(nation_ref)
+        name = pc.take(
+            nat.column("n_name"),
+            pc.index_in(batch.column("s_nationkey"), value_set=nat.column("n_nationkey")),
+        )
+        year = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        t = pa.Table.from_arrays(
+            [name, year, batch.column("rev_e4")],
+            names=["nation", "o_year", "rev_e4"],
+        )
+        out = t.group_by(["nation", "o_year"], use_threads=False).aggregate(
+            [("rev_e4", "sum")]
+        )
+        return out.rename_columns(["nation", "o_year", "rev_e4"])
+
+    out = grouped_agg(
+        with_ord.map_batches(nation_year_partial, batch_format="pyarrow"),
+        ["nation", "o_year"],
+        [("rev_e4", "sum", "rev_e4")],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["profit"] = sql_round(b["rev_e4"] / 10_000.0, 2)
+        return b[["nation", "o_year", "profit"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             / 10000.0, 2) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+GROUP BY n_name, o_year
+"""
+
+
+def q2_min_cost_supplier(sf_dir: str, min_size: int = 25, num_partitions: int = 8):
+    """Cheapest supplier per part (TPC-H Q2's correlated-min shape, priced
+    from lineitem — the synthetic schema has no partsupp): for every part
+    of size ≥ 25, the minimum observed sale price and the supplier that
+    sold it (smallest suppkey on ties).
+
+    Scale shape — the distributed ARGMIN-JOIN pattern done as ONE grouped
+    min instead of a min + self-join: price cents and the tiebreak
+    suppkey are packed into a single int64 ``comb = cents·2³² + suppkey``
+    (cents < 2³¹ for any sane price, suppkey < 2³² up to ~4×10⁹
+    suppliers — both asserted), so ``min(comb)`` IS the lexicographic
+    (price, suppkey) argmin; per-block Arrow partials pre-reduce before
+    the one part-grain exchange, then the winners decode and pick up
+    ``s_name`` via the size-gated lookup join.  The oracle expresses the
+    same semantics naturally (row_number over price, suppkey)."""
+    from .functions.joins import lookup_join, semi_join
+    from .sources.tables import table_rows
+
+    big_parts = read_table(sf_dir, "part", columns=["p_partkey", "p_size"]).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("p_size"), pa.scalar(min_size))
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    li = semi_join(
+        li, big_parts, "l_partkey", "p_partkey",
+        right_source_rows=table_rows(sf_dir, "part"),
+        num_partitions=num_partitions,
+    )
+
+    def argmin_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        supp = pc.cast(batch.column("l_suppkey"), pa.int64())
+        if len(batch) and (
+            pc.max(cents).as_py() >= (1 << 31) or pc.max(supp).as_py() >= (1 << 32)
+        ):
+            raise ValueError("q2 comb-packing bounds exceeded (cents>=2^31 or suppkey>=2^32)")
+        comb = pc.add(pc.multiply(cents, pa.scalar(1 << 32, type=pa.int64())), supp)
+        t = pa.Table.from_arrays(
+            [batch.column("l_partkey"), comb], names=["p_partkey", "comb"]
+        )
+        out = t.group_by(["p_partkey"], use_threads=False).aggregate([("comb", "min")])
+        return out.rename_columns(["p_partkey", "comb"])
+
+    winners = grouped_agg(
+        li.map_batches(argmin_partial, batch_format="pyarrow"),
+        ["p_partkey"], [("comb", "min", "comb")],
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        comb = batch.column("comb")
+        cents = pc.divide(comb, pa.scalar(1 << 32, type=pa.int64()))
+        supp = pc.subtract(comb, pc.multiply(cents, pa.scalar(1 << 32, type=pa.int64())))
+        return pa.Table.from_arrays(
+            [batch.column("p_partkey"), supp, cents],
+            names=["p_partkey", "s_suppkey", "cents"],
+        )
+
+    named = lookup_join(
+        winners.map_batches(decode, batch_format="pyarrow"),
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", "s_suppkey", ["s_name"],
+        right_source_rows=table_rows(sf_dir, "supplier"),
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["min_price"] = sql_round(b["cents"] / 100.0, 2)
+        return b[["p_partkey", "s_suppkey", "s_name", "min_price"]]
+
+    return named.map_batches(finish, batch_format="pandas")
+
+
+Q2_SQL = """
+WITH c AS (
+  SELECT l_partkey AS p_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT), l_suppkey
+         ) AS rn
+  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_size >= 25)
+SELECT p_partkey, l_suppkey AS s_suppkey, s_name, round(cents / 100.0, 2) AS min_price
+FROM c JOIN supplier ON s_suppkey = l_suppkey
+WHERE rn = 1
+"""
+
+
+def q16_supplier_variety(sf_dir: str, max_size: int = 15, num_partitions: int = 8):
+    """Supplier variety per part brand/size (TPC-H Q16 shape, bridged
+    through lineitem — no partsupp table): distinct suppliers who sold
+    non-ECONOMY parts of size ≤ 15, excluding the 'complaints' suppliers
+    (names ending in 7), counted per (p_brand, p_size).
+
+    Scale shape — exact distributed COUNT(DISTINCT) as two exchanges,
+    both pre-reduced map-side: per-block distinct (brand, size, suppkey)
+    triples → triple-grain groupby collapses global duplicates → per-block
+    (brand, size) count partials → tiny final sum.  The excluded-supplier
+    set goes through the size-gated anti join (broadcast under the cap),
+    and parts prune via the size-gated lookup join that also carries
+    brand/size onto the fact rows."""
+    from .functions.joins import anti_join, lookup_join
+    from .sources.tables import table_rows
+
+    parts = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.not_equal(b.column("p_type"), "ECONOMY"),
+                pc.less_equal(b.column("p_size"), pa.scalar(max_size)),
+            )
+        ).select(["p_partkey", "p_brand", "p_size"]),
+        batch_format="pyarrow",
+    )
+
+    bad_supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).map_batches(
+        lambda b: b.filter(
+            pc.match_like(b.column("s_name"), "%7")
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    li = anti_join(
+        li, bad_supp, "l_suppkey", "s_suppkey",
+        right_source_rows=table_rows(sf_dir, "supplier"),
+        num_partitions=num_partitions,
+    )
+    enriched = lookup_join(
+        li, parts, "l_partkey", "p_partkey", ["p_brand", "p_size"],
+        right_source_rows=table_rows(sf_dir, "part"),
+        num_partitions=num_partitions,
+    )
+
+    triples = grouped_agg(
+        enriched.map_batches(
+            lambda b: b.select(["p_brand", "p_size", "l_suppkey"]),
+            batch_format="pyarrow",
+        ),
+        ["p_brand", "p_size", "l_suppkey"],
+        [(None, "count", "__dup")],
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["p_brand", "p_size"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["p_brand", "p_size", "supplier_cnt"])
+
+    out = grouped_agg(
+        triples.map_batches(count_partial, batch_format="pyarrow"),
+        ["p_brand", "p_size"],
+        [("supplier_cnt", "sum", "supplier_cnt")],
+    )
+    return out
+
+
+Q16_SQL = """
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_type <> 'ECONOMY' AND p_size <= 15
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_size
+"""
+
+
+def q20_potential_promotion(
+    sf_dir: str, min_qty: float = 150.0, num_partitions: int = 8
+):
+    """Suppliers shipping heavy volumes of promotable parts (TPC-H Q20
+    shape, availqty test replaced by a shipped-quantity HAVING — no
+    partsupp table): suppliers who shipped more than ``min_qty`` total
+    units of 'small*'-named parts during 1996.
+
+    Scale shape — semi join + grouped-sum + HAVING: lineitem is pruned
+    map-side by the date window, then by the size-gated parts semi join;
+    quantities carry as exact integer centi-units so the HAVING boundary
+    can't flip on float summation order; only (suppkey, Σq100) partials
+    cross the one exchange, and the few winners pick up ``s_name`` via
+    the size-gated lookup join."""
+    from .functions.joins import lookup_join, semi_join
+    from .sources.tables import table_rows
+
+    small_parts = read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda b: b.filter(
+            pc.match_like(b.column("p_name"), "small%")
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            )
+        ).select(["l_partkey", "l_suppkey", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    li = semi_join(
+        li, small_parts, "l_partkey", "p_partkey",
+        right_source_rows=table_rows(sf_dir, "part"),
+        num_partitions=num_partitions,
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        q100 = pc.cast(
+            pc.round(pc.multiply(batch.column("l_quantity"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("l_suppkey"), q100], names=["s_suppkey", "q100"]
+        )
+        out = t.group_by(["s_suppkey"], use_threads=False).aggregate([("q100", "sum")])
+        return out.rename_columns(["s_suppkey", "q100"])
+
+    sums = grouped_agg(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["s_suppkey"], [("q100", "sum", "q100")],
+    )
+    thr = int(round(min_qty * 100))
+    heavy = sums.map_batches(
+        lambda b: b.filter(pc.greater(b.column("q100"), pa.scalar(thr, type=pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+    named = lookup_join(
+        heavy,
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", "s_suppkey", ["s_name"],
+        right_source_rows=table_rows(sf_dir, "supplier"),
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["total_qty"] = sql_round(b["q100"] / 100.0, 2)
+        return b[["s_suppkey", "s_name", "total_qty"]]
+
+    return named.map_batches(finish, batch_format="pandas")
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS total_qty
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_name LIKE 'small%'
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY s_suppkey, s_name
+HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5261,6 +5640,10 @@ QUERIES: Dict[str, Callable] = {
     "doc_mixture_resample": doc_mixture_resample,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_lapsed_high_balance": q22_lapsed_high_balance,
+    "q9_product_profit": q9_product_profit,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_potential_promotion": q20_potential_promotion,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -5343,6 +5726,10 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_mixture_resample": DOC_MIXTURE_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "q22_lapsed_high_balance": Q22_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q16_supplier_variety": Q16_SQL,
+    "q20_potential_promotion": Q20_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
