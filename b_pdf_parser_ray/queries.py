@@ -5544,6 +5544,116 @@ HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
 """
 
 
+def doc_quality_filter(sf_dir: str, q: str = "0.25"):
+    """Corpus-quantile quality pruning — the training-data 'drop the worst
+    quartile' operator: compute the exact P25 of the heuristic quality
+    score over the WHOLE corpus, then keep only documents at or above it.
+
+    Scale shape — the two-streaming-scan global-threshold pattern (same as
+    q17/q22): scores round to 4 decimals, so the e4-integer score domain
+    is ≤10⁴ values and pass 1 folds a distributed (score_e4, count)
+    histogram — one ≤|distinct scores|-row partial per block, never a row
+    per document — reading the threshold off the cumulative count at the
+    exact rational rank ``ceil(q·n)`` (DuckDB ``quantile_disc``
+    semantics).  Pass 2 recomputes scores map-side and filters against
+    the integer threshold; nothing doc-grain is ever materialized."""
+    import math
+    from fractions import Fraction
+
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score_e4(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch)
+        e4 = pc.cast(
+            pc.round(pc.multiply(scored.column("quality"), pa.scalar(10_000.0))),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [scored.column("doc_id"), scored.column("quality"), e4],
+            names=["doc_id", "quality", "e4"],
+        )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = score_e4(batch).select(["e4"])
+        out = t.group_by(["e4"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["e4", "n"])
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("e4")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤10⁴ rows: the rounded-score domain, not the corpus
+        .sort_values("e4", ignore_index=True)
+    )
+    total = int(hist["n"].sum())
+    if total == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "quality": pd.Series([], dtype="float64")})
+    rank = max(1, math.ceil(Fraction(q) * total))
+    cum = hist["n"].cumsum().to_numpy()
+    thr = int(hist["e4"].to_numpy()[int(np.searchsorted(cum, rank, side="left"))])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = score_e4(batch)
+        return t.filter(
+            pc.greater_equal(t.column("e4"), pa.scalar(thr, type=pa.int64()))
+        ).select(["doc_id", "quality"])
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+DOC_QUALITY_FILTER_SQL = f"""
+WITH q AS ({DOC_QUALITY_SQL}),
+thr AS (
+  SELECT quantile_disc(CAST(round(quality * 10000) AS BIGINT), 0.25) AS t FROM q)
+SELECT doc_id, quality FROM q, thr
+WHERE CAST(round(quality * 10000) AS BIGINT) >= t
+"""
+
+
+def doc_fixed_k_sample(sf_dir: str, k: int = 200):
+    """Exact-k deterministic global sample — the 'carve a fixed-size eval
+    set' operator: the k documents with the smallest engine-wide key hash,
+    independent of cluster size, block layout, or retries (the affine
+    hash with odd multiplier is a bijection on uint64, so there are no
+    ties and the k-set is unique).
+
+    Scale shape — distributed top-k without a global sort: each block
+    keeps its k smallest hashes via ``np.argpartition`` (O(rows), not
+    O(rows log rows)), so ≤ k×|blocks| rows reach the single final
+    partition where the exact k winners are selected.  The oracle is the
+    same hash ordering in HUGEINT with ``LIMIT k``."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _sample_hash_u64(ids)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            batch = batch.take(pa.array(idx))
+            h = h[idx]
+        return batch.append_column("__h", pa.array(h, type=pa.uint64()))
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        order = np.argsort(batch.column("__h").to_numpy(zero_copy_only=False))[:k]
+        return batch.take(pa.array(order)).select(["doc_id", "n_chars"])
+
+    return (
+        ds.map_batches(block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+DOC_FIXED_K_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars FROM documents
+ORDER BY (CAST(doc_id AS HUGEINT) * {_SAMPLE_A} + {_SAMPLE_B}) % 18446744073709551616
+LIMIT 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5644,6 +5754,8 @@ QUERIES: Dict[str, Callable] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q16_supplier_variety": q16_supplier_variety,
     "q20_potential_promotion": q20_potential_promotion,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_fixed_k_sample": doc_fixed_k_sample,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -5730,6 +5842,8 @@ ORACLE_SQL: Dict[str, str] = {
     "q2_min_cost_supplier": Q2_SQL,
     "q16_supplier_variety": Q16_SQL,
     "q20_potential_promotion": Q20_SQL,
+    "doc_quality_filter": DOC_QUALITY_FILTER_SQL,
+    "doc_fixed_k_sample": DOC_FIXED_K_SAMPLE_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
