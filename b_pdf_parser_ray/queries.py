@@ -5654,6 +5654,71 @@ LIMIT 200
 """
 
 
+def doc_chunk_windows(sf_dir: str, window: int = 64, stride: int = 48):
+    """Overlapping fixed-token chunking — the pretraining/RAG 'context
+    window' operator: explode every document into ``window``-token chunks
+    every ``stride`` tokens (16-token overlap at the defaults), emitting
+    (doc_id, chunk_id, chunk_text, n_tokens) rows.
+
+    Scale shape — a pure map-side 1→N explode with ZERO per-row Python:
+    tokens are split once per batch into one flat Arrow string buffer;
+    chunk starts/lengths come from numpy prefix-sum arithmetic over the
+    list offsets; the overlap re-reads are a single vectorized
+    ``pc.take`` gather on the flat buffer; and chunk strings are
+    assembled by ``pc.binary_join`` over a rebuilt ListArray (the same
+    Arrow-C assembly trick as the extractor).  No shuffle — chunk rows
+    stay in their source block, so the op streams at any corpus size."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_off = np.concatenate([[0], np.cumsum(n)])
+        # split('') == [''] so n >= 1 and every doc gets >= 1 chunk
+        n_chunks = (n + stride - 1) // stride
+        doc_idx = np.repeat(np.arange(len(n)), n_chunks)
+        chunk_off = np.concatenate([[0], np.cumsum(n_chunks)])
+        local = np.arange(int(n_chunks.sum())) - np.repeat(chunk_off[:-1], n_chunks)
+        start = local * stride
+        clen = np.minimum(start + window, n[doc_idx]) - start
+        idx_off = np.concatenate([[0], np.cumsum(clen)])
+        gather = (
+            np.arange(int(clen.sum()))
+            - np.repeat(idx_off[:-1], clen)
+            + np.repeat(doc_off[doc_idx] + start, clen)
+        )
+        lists = pa.ListArray.from_arrays(
+            pa.array(idx_off, type=pa.int32()),
+            pc.take(flat, pa.array(gather, type=pa.int64())),
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.take(batch.column("doc_id"), pa.array(doc_idx, type=pa.int64())),
+                pa.array(local, type=pa.int64()),
+                pc.binary_join(lists, " "),
+                pa.array(clen, type=pa.int64()),
+            ],
+            names=["doc_id", "chunk_id", "chunk_text", "n_tokens"],
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+DOC_CHUNK_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS start
+  FROM t)
+SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+       array_to_string(toks[start + 1 : least(start + 64, len(toks))], ' ')
+         AS chunk_text,
+       CAST(least(start + 64, len(toks)) - start AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5756,6 +5821,7 @@ QUERIES: Dict[str, Callable] = {
     "q20_potential_promotion": q20_potential_promotion,
     "doc_quality_filter": doc_quality_filter,
     "doc_fixed_k_sample": doc_fixed_k_sample,
+    "doc_chunk_windows": doc_chunk_windows,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -5844,6 +5910,7 @@ ORACLE_SQL: Dict[str, str] = {
     "q20_potential_promotion": Q20_SQL,
     "doc_quality_filter": DOC_QUALITY_FILTER_SQL,
     "doc_fixed_k_sample": DOC_FIXED_K_SAMPLE_SQL,
+    "doc_chunk_windows": DOC_CHUNK_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
