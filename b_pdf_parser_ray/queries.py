@@ -5719,6 +5719,240 @@ FROM c
 """
 
 
+def events_funnel_counts(sf_dir: str, num_partitions: int = None):
+    """Ordered funnel analysis — the product-analytics 'view → click →
+    purchase' operator: how many users performed each stage strictly after
+    completing the previous one (first view, then first click after that
+    view, then first purchase after that click).
+
+    Scale shape — ONE salted user-partition exchange (same pattern as
+    sessionize: P scales with table rows, a coarse partition per Ray
+    group, never a group per user), then the whole funnel evaluates
+    vectorized inside each partition with three C-level groupby-mins and
+    timestamp maps — no per-user Python.  Each partition emits a single
+    3-counter partial row; the driver-side fold sees |partitions| rows."""
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "events"))
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), num_partitions - 1), pa.int32()
+        )
+        return batch.append_column("part", part)
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        ta = g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+        clicks = g[g["event_type"] == "click"]
+        clicks = clicks[clicks["ts"] > clicks["user_id"].map(ta)]
+        tb = clicks.groupby("user_id")["ts"].min()
+        purch = g[g["event_type"] == "purchase"]
+        purch = purch[purch["ts"] > purch["user_id"].map(tb)]
+        tc = purch.groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {"n_view": [len(ta)], "n_click": [len(tb)], "n_purchase": [len(tc)]}
+        )
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: funnel_part(g.drop(columns=["part"])), batch_format="pandas"
+        )
+    )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: [int(b[c].sum())] for c in ("n_view", "n_click", "n_purchase")}
+        )
+
+    return partials.repartition(1).map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+EVENTS_FUNNEL_SQL = """
+WITH a AS (
+  SELECT user_id, min(ts) AS ta FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, min(e.ts) AS tb FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > ta GROUP BY e.user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > tb GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_purchase
+"""
+
+
+# source-preference order for policy dedup: curated sources win over bulk
+# crawl; unknown sources rank last (mirrors MIXTURE_PCT's curation tiers)
+_SOURCE_PRIORITY = ["src0", "src1", "src2", "src3"]
+
+
+def dedup_exact_keep_best(sf_dir: str, num_partitions: int = 8):
+    """Policy dedup — keep the BEST copy per duplicate text, not the
+    arbitrary min-id one: exact duplicates collapse to the copy from the
+    most-curated source (``_SOURCE_PRIORITY`` order, doc_id tiebreak).
+    Exact copies have identical text, so the policy must rank an
+    EXTRINSIC attribute — provenance — which is how crawl pipelines
+    actually choose survivors.
+
+    Scale shape — the q2 packed-argmin trick on the dedup exchange:
+    (source-priority, doc_id) packs into one int64
+    ``comb = prio·2³² + doc_id``, per-block Arrow partials pre-reduce
+    min(comb) + count per 128-bit content hash, the one exchange carries
+    (hash, comb, count) only — never a document body — and survivors
+    pick their attributes back up through the size-gated lookup join."""
+    from .functions.dedup import content_hash_batch
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    prio_set = pa.array(_SOURCE_PRIORITY)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def argmin_partial(batch: pa.Table) -> pa.Table:
+        hashed = content_hash_batch(batch, "text")
+        prio = pc.cast(
+            pc.fill_null(pc.index_in(batch.column("source"), value_set=prio_set),
+                         len(_SOURCE_PRIORITY)),
+            pa.int64(),
+        )
+        comb = pc.add(
+            pc.multiply(prio, pa.scalar(1 << 32, type=pa.int64())),
+            pc.cast(batch.column("doc_id"), pa.int64()),
+        )
+        t = pa.Table.from_arrays(
+            [hashed.column("content_hash"), comb], names=["content_hash", "comb"]
+        )
+        out = t.group_by(["content_hash"], use_threads=False).aggregate(
+            [("comb", "min"), ([], "count_all")]
+        )
+        return out.rename_columns(["content_hash", "comb", "n_copies"])
+
+    reps = grouped_agg(
+        docs.map_batches(argmin_partial, batch_format="pyarrow"),
+        ["content_hash"],
+        [("comb", "min", "comb"), ("n_copies", "sum", "n_copies")],
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        comb = batch.column("comb")
+        prio = pc.divide(comb, pa.scalar(1 << 32, type=pa.int64()))
+        doc_id = pc.subtract(comb, pc.multiply(prio, pa.scalar(1 << 32, type=pa.int64())))
+        return pa.Table.from_arrays(
+            [doc_id, batch.column("n_copies")], names=["doc_id", "n_copies"]
+        )
+
+    kept = lookup_join(
+        read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        reps.map_batches(decode, batch_format="pyarrow"),
+        "doc_id",
+        "doc_id",
+        ["n_copies"],
+        right_source_rows=table_rows(sf_dir, "documents"),
+        num_partitions=num_partitions,
+    )
+    return kept
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY text
+           ORDER BY CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+                                WHEN 'src2' THEN 2 WHEN 'src3' THEN 3
+                                ELSE 4 END,
+                    doc_id) AS rn,
+         count(*) OVER (PARTITION BY text) AS nc
+  FROM documents)
+SELECT doc_id, source, n_chars, CAST(nc AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+"""
+
+
+def doc_quality_pct_rank(sf_dir: str):
+    """Per-language PERCENT_RANK of the quality score — the distributed
+    window-function shape: rank every document within its language without
+    any per-language sort of the corpus.
+
+    Scale shape — pass 1 folds a per-(lang, score_e4) histogram (≤ |langs|
+    × 10⁴ rows — the rounded-score domain, never the corpus) from one
+    partial per block; the driver turns it into per-lang sorted score
+    arrays with cumulative counts-below; pass 2 recomputes scores map-side
+    and reads each doc's rank off a binary search.  ``percent_rank`` =
+    count(<score)/(n−1) — both engines divide the same two exact integers,
+    so 6-dp rounding can't flip."""
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch)
+        e4 = pc.cast(
+            pc.round(pc.multiply(scored.column("quality"), pa.scalar(10_000.0))),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("lang"), e4], names=["lang", "e4"]
+        )
+        out = t.group_by(["lang", "e4"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["lang", "e4", "n"])
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "e4"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |langs| × |distinct scores| rows
+        .sort_values(["lang", "e4"], ignore_index=True)
+    )
+    ranks = {}  # lang -> (sorted score_e4 array, count-below array, n_total)
+    for lang, grp in hist.groupby("lang"):
+        vals = grp["e4"].to_numpy()
+        counts = grp["n"].to_numpy()
+        below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ranks[lang] = (vals, below, int(counts.sum()))
+
+    def rank_batch(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch)
+        e4 = pc.cast(
+            pc.round(pc.multiply(scored.column("quality"), pa.scalar(10_000.0))),
+            pa.int64(),
+        ).to_numpy()
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        pct = np.zeros(len(e4), dtype=np.float64)
+        for lang in np.unique(langs):
+            m = langs == lang
+            vals, below, n = ranks[lang]
+            if n > 1:
+                idx = np.searchsorted(vals, e4[m], side="left")
+                pct[m] = below[idx] / (n - 1)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("lang"),
+                scored.column("quality"),
+                pa.array(sql_round(pct, 6)),
+            ],
+            names=["doc_id", "lang", "quality", "pct_rank"],
+        )
+
+    return docs.map_batches(rank_batch, batch_format="pyarrow")
+
+
+DOC_QUALITY_PCT_RANK_SQL = f"""
+WITH s AS ({DOC_QUALITY_SQL})
+SELECT s.doc_id, d.lang, s.quality,
+       round(percent_rank() OVER (
+         PARTITION BY d.lang
+         ORDER BY CAST(round(s.quality * 10000) AS BIGINT)), 6) AS pct_rank
+FROM s JOIN documents d USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5822,6 +6056,9 @@ QUERIES: Dict[str, Callable] = {
     "doc_quality_filter": doc_quality_filter,
     "doc_fixed_k_sample": doc_fixed_k_sample,
     "doc_chunk_windows": doc_chunk_windows,
+    "events_funnel_counts": events_funnel_counts,
+    "dedup_exact_keep_best": dedup_exact_keep_best,
+    "doc_quality_pct_rank": doc_quality_pct_rank,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -5911,6 +6148,9 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_quality_filter": DOC_QUALITY_FILTER_SQL,
     "doc_fixed_k_sample": DOC_FIXED_K_SAMPLE_SQL,
     "doc_chunk_windows": DOC_CHUNK_SQL,
+    "events_funnel_counts": EVENTS_FUNNEL_SQL,
+    "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
+    "doc_quality_pct_rank": DOC_QUALITY_PCT_RANK_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
