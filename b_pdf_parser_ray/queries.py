@@ -5953,6 +5953,72 @@ FROM s JOIN documents d USING (doc_id)
 """
 
 
+def nation_party_mix(sf_dir: str):
+    """Per-nation party census across TWO entity tables — the UNION ALL
+    shape: suppliers and customers pooled into one stream, counted and
+    balance-summed per nation.
+
+    Scale shape — ``Dataset.union`` concatenates the two streams lazily
+    (no shuffle, no materialization; blocks interleave under the
+    streaming executor), each side is pre-projected to (nationkey,
+    balance cents) map-side, per-block partials reduce to ≤|nations| rows
+    before the one tiny exchange, and nation names resolve from the
+    25-row broadcast — exact integer cents end to end."""
+    def prep(nk_col: str, bal_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(batch.column(bal_col), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            t = pa.Table.from_arrays(
+                [pc.cast(batch.column(nk_col), pa.int64()), cents],
+                names=["nationkey", "cents"],
+            )
+            out = t.group_by(["nationkey"], use_threads=False).aggregate(
+                [("cents", "sum"), ([], "count_all")]
+            )
+            return out.rename_columns(["nationkey", "cents", "n_parties"])
+        return fn
+
+    supp = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]).map_batches(
+        prep("s_nationkey", "s_acctbal"), batch_format="pyarrow"
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]).map_batches(
+        prep("c_nationkey", "c_acctbal"), batch_format="pyarrow"
+    )
+    pooled = grouped_agg(
+        supp.union(cust),
+        ["nationkey"],
+        [("n_parties", "sum", "n_parties"), ("cents", "sum", "cents")],
+    )
+
+    nation_t = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        names = dict(
+            zip(nation_t.column("n_nationkey").to_pylist(),
+                nation_t.column("n_name").to_pylist())
+        )
+        b["nation"] = b["nationkey"].map(names)
+        b["total_acctbal"] = sql_round(b["cents"] / 100.0, 2)
+        return b[["nation", "n_parties", "total_acctbal"]]
+
+    return pooled.map_batches(finish, batch_format="pandas")
+
+
+NATION_PARTY_MIX_SQL = """
+WITH p AS (
+  SELECT s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier
+  UNION ALL
+  SELECT c_nationkey, c_acctbal FROM customer)
+SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_parties,
+       round(CAST(sum(CAST(round(acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS total_acctbal
+FROM p JOIN nation ON n_nationkey = nationkey
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6059,6 +6125,7 @@ QUERIES: Dict[str, Callable] = {
     "events_funnel_counts": events_funnel_counts,
     "dedup_exact_keep_best": dedup_exact_keep_best,
     "doc_quality_pct_rank": doc_quality_pct_rank,
+    "nation_party_mix": nation_party_mix,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -6151,6 +6218,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_funnel_counts": EVENTS_FUNNEL_SQL,
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
     "doc_quality_pct_rank": DOC_QUALITY_PCT_RANK_SQL,
+    "nation_party_mix": NATION_PARTY_MIX_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
