@@ -132,6 +132,110 @@ class IVFIndex:
 
         return ds.map_batches(tag, batch_format="pyarrow")
 
+    def refine(self, ds, iters: int = 1) -> "IVFIndex":
+        """Distributed spherical-k-means refinement over the FULL corpus —
+        the iterative-algorithm shape the driver-sample ``train`` can't
+        give: each Lloyd iteration is one streaming pass where every block
+        emits ≤ n_clusters (Σvectors, count) partials via ``add.reduceat``,
+        a tree-combine ``map_batches`` level folds ~1024 block partials per
+        task, and the driver folds only clusters × (blocks/1024) rows into
+        renormalized centroids (empty clusters keep their centroid).
+
+        Spherical k-means is monotone: argmax-cosine assignment and
+        normalized-mean update each cannot decrease Σ max-cosine
+        (``objective``) — pinned by test."""
+        import ray
+
+        from .broadcast import get_cached
+
+        emb = ds.select_columns(["embedding"])
+        for _ in range(iters):
+            cents_ref = ray.put(self.centroids)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                cents = get_cached(cents_ref)
+                mat = embedding_matrix(batch.column("embedding"))
+                mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax(mat @ cents.T, axis=1)
+                order = np.argsort(assign, kind="stable")
+                sa, sm = assign[order], mat[order]
+                uniq, starts = np.unique(sa, return_index=True)
+                sums = np.add.reduceat(sm, starts, axis=0)
+                counts = np.diff(np.append(starts, len(sa)))
+                dim = mat.shape[1]
+                return pa.Table.from_arrays(
+                    [
+                        pa.array(uniq.astype(np.int64)),
+                        pa.array(counts.astype(np.int64)),
+                        pa.FixedSizeListArray.from_arrays(
+                            pa.array(sums.ravel(), type=pa.float64()), dim
+                        ),
+                    ],
+                    names=["cluster", "n", "vec_sum"],
+                )
+
+            def combine(batch: pa.Table) -> pa.Table:
+                cl = batch.column("cluster").to_numpy(zero_copy_only=False)
+                ns = batch.column("n").to_numpy(zero_copy_only=False)
+                sums = np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in batch.column("vec_sum").to_pylist()]
+                )
+                order = np.argsort(cl, kind="stable")
+                sc = cl[order]
+                uniq, starts = np.unique(sc, return_index=True)
+                merged = np.add.reduceat(sums[order], starts, axis=0)
+                counts = np.add.reduceat(ns[order], starts)
+                dim = sums.shape[1]
+                return pa.Table.from_arrays(
+                    [
+                        pa.array(uniq.astype(np.int64)),
+                        pa.array(counts.astype(np.int64)),
+                        pa.FixedSizeListArray.from_arrays(
+                            pa.array(merged.ravel(), type=pa.float64()), dim
+                        ),
+                    ],
+                    names=["cluster", "n", "vec_sum"],
+                )
+
+            parts = (
+                emb.map_batches(partial, batch_format="pyarrow")
+                .map_batches(combine, batch_format="pyarrow", batch_size=1024)
+                .to_pandas()
+            )
+            new_cents = self.centroids.copy()
+            for cluster, g in parts.groupby("cluster"):
+                vec = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0)
+                norm = np.linalg.norm(vec)
+                if norm > 1e-12:
+                    new_cents[int(cluster)] = vec / norm
+            self.centroids = new_cents
+        return self
+
+    def objective(self, ds) -> float:
+        """Σ max-cosine of every corpus vector to its nearest centroid —
+        the spherical-k-means objective, from one scalar partial per
+        block."""
+        import ray
+
+        from .broadcast import get_cached
+
+        cents_ref = ray.put(self.centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = get_cached(cents_ref)
+            mat = embedding_matrix(batch.column("embedding"))
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            best = (mat @ cents.T).max(axis=1)
+            return pa.Table.from_pydict({"s": pa.array([float(best.sum())])})
+
+        parts = (
+            ds.select_columns(["embedding"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return float(parts["s"].sum())
+
     def probe_clusters(self, query_vec, nprobe: int) -> List[int]:
         """The ``nprobe`` centroid ids nearest to the query."""
         q = np.asarray(query_vec, dtype=np.float64)

@@ -5909,14 +5909,23 @@ def doc_quality_pct_rank(sf_dir: str):
         .to_pandas()  # ≤ |langs| × |distinct scores| rows
         .sort_values(["lang", "e4"], ignore_index=True)
     )
+    import ray
+
+    from .functions.broadcast import get_cached
+
     ranks = {}  # lang -> (sorted score_e4 array, count-below array, n_total)
     for lang, grp in hist.groupby("lang"):
         vals = grp["e4"].to_numpy()
         counts = grp["n"].to_numpy()
         below = np.concatenate([[0], np.cumsum(counts)[:-1]])
         ranks[lang] = (vals, below, int(counts.sum()))
+    # broadcast once (ray.put + per-worker cache), not closure-captured:
+    # |langs| × |distinct scores| arrays re-shipped per task would add up
+    # at a many-language corpus
+    ranks_ref = ray.put(ranks)
 
     def rank_batch(batch: pa.Table) -> pa.Table:
+        ranks = get_cached(ranks_ref)
         scored = quality_score_batch(batch)
         e4 = pc.cast(
             pc.round(pc.multiply(scored.column("quality"), pa.scalar(10_000.0))),

@@ -365,3 +365,31 @@ def test_jaccard_pairs_survive_fully_filtered_blocks(ray_session, tmp_path):
         d2 / "documents.parquet",
     )
     assert dedup_jaccard_pairs(str(d2)).num_rows == 0
+
+
+def test_ivf_refine_monotone_objective(ray_session):
+    """Distributed spherical-k-means refinement must not decrease the
+    Σ max-cosine objective (argmax assignment and normalized-mean update
+    are each non-decreasing), and a refined index keeps working."""
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(6, 32)) * 3
+    vecs = np.concatenate([c + rng.normal(size=(50, 32)) for c in centers])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    # deliberately under-trained: tiny sample, one iteration
+    index = IVFIndex.train(ds, n_clusters=6, sample_fraction=0.1, iters=1)
+    before = index.objective(ds)
+    obj = before
+    for _ in range(3):
+        index.refine(ds, iters=1)
+        nxt = index.objective(ds)
+        assert nxt >= obj - 1e-9, f"objective decreased: {obj} -> {nxt}"
+        obj = nxt
+    assert obj >= before - 1e-9
+
+    q = vecs[7]
+    got = index.search(index.assign(ds), q, k=5, nprobe=3).to_pandas()
+    assert len(got) == 5

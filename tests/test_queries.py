@@ -279,3 +279,43 @@ def test_approx_quantile_sketch_rank_error(ray_session, ddb):
             f"WHERE o_totalprice <= {got[name]}"
         ).df()["r"].iloc[0]
         assert abs(true_rank - q) <= tol, f"{name}: rank {true_rank} vs {q}"
+
+
+def test_chunk_windows_edge_cases(ray_session, tmp_path):
+    """doc_chunk_windows boundary behavior vs the oracle on a synthetic
+    table: empty text (split('') == ['']), single token, exactly one
+    stride (48), exactly one window (64), stride+1, and a long multi-chunk
+    doc — the cases the sf corpus never hits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import DOC_CHUNK_SQL, doc_chunk_windows
+
+    texts = {
+        0: "",
+        1: "one",
+        2: " ".join(f"t{i}" for i in range(48)),
+        3: " ".join(f"t{i}" for i in range(64)),
+        4: " ".join(f"t{i}" for i in range(49)),
+        5: " ".join(f"t{i}" for i in range(200)),
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values())),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts.values()], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = _normalize(_to_pandas(doc_chunk_windows(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _normalize(con.sql(DOC_CHUNK_SQL).df())
+    # 200 tokens -> ceil(200/48) = 5 chunks; singles -> 1 chunk each
+    assert len(want) == 1 + 1 + 1 + 2 + 2 + 5
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
