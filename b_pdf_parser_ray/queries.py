@@ -5622,9 +5622,11 @@ def doc_fixed_k_sample(sf_dir: str, k: int = 200):
 
     Scale shape — distributed top-k without a global sort: each block
     keeps its k smallest hashes via ``np.argpartition`` (O(rows), not
-    O(rows log rows)), so ≤ k×|blocks| rows reach the single final
-    partition where the exact k winners are selected.  The oracle is the
-    same hash ordering in HUGEINT with ``LIMIT k``."""
+    O(rows log rows)); a coalesce + re-reduce tree level then folds the
+    ≤ k×|blocks| candidates down to ≤ k×64 rows (k×blocks into ONE final
+    task would be GBs at 10⁶ blocks), and the single final partition
+    selects the exact k winners.  The oracle is the same hash ordering
+    in HUGEINT with ``LIMIT k``."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def block_topk(batch: pa.Table) -> pa.Table:
@@ -5636,12 +5638,23 @@ def doc_fixed_k_sample(sf_dir: str, k: int = 200):
             h = h[idx]
         return batch.append_column("__h", pa.array(h, type=pa.uint64()))
 
+    def re_reduce(batch: pa.Table) -> pa.Table:
+        h = batch.column("__h").to_numpy(zero_copy_only=False)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            batch = batch.take(pa.array(idx))
+        return batch
+
     def final_topk(batch: pa.Table) -> pa.Table:
         order = np.argsort(batch.column("__h").to_numpy(zero_copy_only=False))[:k]
         return batch.take(pa.array(order)).select(["doc_id", "n_chars"])
 
     return (
         ds.map_batches(block_topk, batch_format="pyarrow")
+        # tree level: coalesce candidate blocks (no data movement) and
+        # re-reduce each coalesced block to ≤k rows before the final task
+        .repartition(64)
+        .map_batches(re_reduce, batch_format="pyarrow", batch_size=None)
         .repartition(1)
         .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
     )
