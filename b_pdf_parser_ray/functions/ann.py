@@ -177,10 +177,7 @@ class IVFIndex:
             def combine(batch: pa.Table) -> pa.Table:
                 cl = batch.column("cluster").to_numpy(zero_copy_only=False)
                 ns = batch.column("n").to_numpy(zero_copy_only=False)
-                sums = np.stack(
-                    [np.asarray(v, dtype=np.float64)
-                     for v in batch.column("vec_sum").to_pylist()]
-                )
+                sums = embedding_matrix(batch.column("vec_sum"))
                 order = np.argsort(cl, kind="stable")
                 sc = cl[order]
                 uniq, starts = np.unique(sc, return_index=True)

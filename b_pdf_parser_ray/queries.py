@@ -5544,6 +5544,15 @@ HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
 """
 
 
+def _quality_e4(quality_col) -> "pa.Array":
+    """4-dp quality score → exact e4 integer — the single definition both
+    quality-threshold operators (and their oracles' ``round(quality*10000)``
+    twins) depend on for pass-1/pass-2 agreement."""
+    return pc.cast(
+        pc.round(pc.multiply(quality_col, pa.scalar(10_000.0))), pa.int64()
+    )
+
+
 def doc_quality_filter(sf_dir: str, q: str = "0.25"):
     """Corpus-quantile quality pruning — the training-data 'drop the worst
     quartile' operator: compute the exact P25 of the heuristic quality
@@ -5566,10 +5575,7 @@ def doc_quality_filter(sf_dir: str, q: str = "0.25"):
 
     def score_e4(batch: pa.Table) -> pa.Table:
         scored = quality_score_batch(batch)
-        e4 = pc.cast(
-            pc.round(pc.multiply(scored.column("quality"), pa.scalar(10_000.0))),
-            pa.int64(),
-        )
+        e4 = _quality_e4(scored.column("quality"))
         return pa.Table.from_arrays(
             [scored.column("doc_id"), scored.column("quality"), e4],
             names=["doc_id", "quality", "e4"],
@@ -5701,8 +5707,10 @@ def doc_chunk_windows(sf_dir: str, window: int = 64, stride: int = 48):
             - np.repeat(idx_off[:-1], clen)
             + np.repeat(doc_off[doc_idx] + start, clen)
         )
-        lists = pa.ListArray.from_arrays(
-            pa.array(idx_off, type=pa.int32()),
+        # int64 offsets (LargeList): int32 would cap one batch at 2^31
+        # gathered tokens, which a batch of very large docs can exceed
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(idx_off, type=pa.int64()),
             pc.take(flat, pa.array(gather, type=pa.int64())),
         )
         return pa.Table.from_arrays(
@@ -5833,9 +5841,13 @@ def dedup_exact_keep_best(sf_dir: str, num_partitions: int = 8):
                          len(_SOURCE_PRIORITY)),
             pa.int64(),
         )
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        if len(batch) and pc.max(ids).as_py() >= (1 << 32):
+            raise ValueError(
+                "dedup_exact_keep_best comb-packing bound exceeded (doc_id >= 2^32)"
+            )
         comb = pc.add(
-            pc.multiply(prio, pa.scalar(1 << 32, type=pa.int64())),
-            pc.cast(batch.column("doc_id"), pa.int64()),
+            pc.multiply(prio, pa.scalar(1 << 32, type=pa.int64())), ids
         )
         t = pa.Table.from_arrays(
             [hashed.column("content_hash"), comb], names=["content_hash", "comb"]
@@ -5905,10 +5917,7 @@ def doc_quality_pct_rank(sf_dir: str):
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         scored = quality_score_batch(batch)
-        e4 = pc.cast(
-            pc.round(pc.multiply(scored.column("quality"), pa.scalar(10_000.0))),
-            pa.int64(),
-        )
+        e4 = _quality_e4(scored.column("quality"))
         t = pa.Table.from_arrays(
             [batch.column("lang"), e4], names=["lang", "e4"]
         )
@@ -5940,10 +5949,7 @@ def doc_quality_pct_rank(sf_dir: str):
     def rank_batch(batch: pa.Table) -> pa.Table:
         ranks = get_cached(ranks_ref)
         scored = quality_score_batch(batch)
-        e4 = pc.cast(
-            pc.round(pc.multiply(scored.column("quality"), pa.scalar(10_000.0))),
-            pa.int64(),
-        ).to_numpy()
+        e4 = _quality_e4(scored.column("quality")).to_numpy()
         langs = batch.column("lang").to_numpy(zero_copy_only=False)
         pct = np.zeros(len(e4), dtype=np.float64)
         for lang in np.unique(langs):

@@ -319,3 +319,50 @@ def test_chunk_windows_edge_cases(ray_session, tmp_path):
     # 200 tokens -> ceil(200/48) = 5 chunks; singles -> 1 chunk each
     assert len(want) == 1 + 1 + 1 + 2 + 2 + 5
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_keep_best_policy_on_planted_duplicates(ray_session, tmp_path):
+    """dedup_exact_keep_best's survivor policy on a corpus the sf tables
+    never provide (they have no duplicate texts): cross-source duplicates
+    must collapse to the most-curated source's copy, same-source ties to
+    the smallest doc_id, unknown sources rank after every known one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import (
+        DEDUP_KEEP_BEST_SQL,
+        dedup_exact_keep_best,
+    )
+
+    rows = [
+        # text A duplicated across sources: src2 (id 0), src0 (id 5), src9 (id 1)
+        (0, "alpha beta gamma", "src2"),
+        (5, "alpha beta gamma", "src0"),
+        (1, "alpha beta gamma", "src9"),
+        # text B duplicated within one source: min doc_id wins
+        (7, "delta epsilon", "src1"),
+        (3, "delta epsilon", "src1"),
+        # text C unique, unknown source
+        (4, "zeta", "src9"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "source": pa.array([r[2] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = _normalize(_to_pandas(dedup_exact_keep_best(str(tmp_path))))
+    survivors = dict(zip(got["doc_id"], got["n_copies"]))
+    assert survivors == {5: 3, 3: 2, 4: 1}  # src0 beats src2/src9; min id; unique
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _normalize(con.sql(DEDUP_KEEP_BEST_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
