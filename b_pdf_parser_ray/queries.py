@@ -6047,6 +6047,98 @@ GROUP BY n_name
 """
 
 
+def ann_multi_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Batched multi-query ANN — the evaluation/retrieval shape: per-query
+    cosine top-k for a whole query SET in ONE corpus pass (per-query scans
+    would read the corpus Q times).
+
+    Scale shape — the broadcast-small-side pattern widened to a matrix:
+    the Q×d normalized query matrix ships once (``ray.put`` + per-worker
+    cache), each block does ONE (n×d)·(d×Q) matmul, keeps k candidates
+    per query by the exact output ordering (rounded score desc, vec_id
+    asc — selection on the ROUNDED score so a 5-dp tie at the block
+    boundary can't drop the true winner), and a coalesce + re-reduce tree
+    level bounds the final task at ≤ 64·Q·k rows.  Q·k rows come out."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions.broadcast import get_cached
+
+    qtbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    from .functions.ann import embedding_matrix
+
+    qids = qtbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = embedding_matrix(qtbl.column("embedding"))
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put((qids, qmat))
+
+    def select_topk(qid, ids, scores):
+        """Exact per-query candidate selection: rounded score desc, id asc."""
+        order = np.lexsort((ids, -scores))[:k]
+        n = len(order)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(n, qid, dtype=np.int64)),
+                pa.array(ids[order]),
+                pa.array(scores[order]),
+            ],
+            names=["query_id", "vec_id", "score"],
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from .functions.ann import embedding_matrix
+
+        qids, qmat = get_cached(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = embedding_matrix(batch.column("embedding"))
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        scores = sql_round(mat @ qmat.T, 5)  # (n, Q), rounded once
+        return pa.concat_tables(
+            [select_topk(qids[qi], ids, scores[:, qi]) for qi in range(len(qids))]
+        )
+
+    def re_reduce(batch: pa.Table) -> pa.Table:
+        qs = batch.column("query_id").to_numpy(zero_copy_only=False)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sc = batch.column("score").to_numpy(zero_copy_only=False)
+        return pa.concat_tables(
+            [select_topk(q, ids[qs == q], sc[qs == q]) for q in np.unique(qs)]
+        )
+
+    return (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .repartition(64)
+        .map_batches(re_reduce, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(re_reduce, batch_format="pyarrow", batch_size=None)
+    )
+
+
+ANN_MULTI_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 5)
+           AS score
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, score FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM s) t
+WHERE rn <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6154,6 +6246,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_exact_keep_best": dedup_exact_keep_best,
     "doc_quality_pct_rank": doc_quality_pct_rank,
     "nation_party_mix": nation_party_mix,
+    "ann_multi_topk": ann_multi_topk,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -6247,6 +6340,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_exact_keep_best": DEDUP_KEEP_BEST_SQL,
     "doc_quality_pct_rank": DOC_QUALITY_PCT_RANK_SQL,
     "nation_party_mix": NATION_PARTY_MIX_SQL,
+    "ann_multi_topk": ANN_MULTI_TOPK_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
