@@ -43,6 +43,50 @@ def lance_available() -> bool:
         return False
 
 
+def _is_jsonl(uri: str) -> bool:
+    path = uri.rstrip("/")
+    if path.endswith((".jsonl", ".json")):
+        return True
+    return os.path.isdir(path) and any(
+        f.endswith((".jsonl", ".json")) for f in os.listdir(path)
+    )
+
+
+def _normalize_span_documents(ds):
+    """JSON-parsed document rows → the canonical span schema: the JSON
+    reader infers struct field order by appearance and integers as int64,
+    so rebuild ``spans`` as ``list<SPAN_TYPE>`` (kind/text/media_ref order,
+    int32 offset) and force ``doc_id`` to string; every downstream stage
+    then sees a schema identical to the parquet/lance path.  Other columns
+    (strategy, family, …) pass through untouched."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..model import SPAN_TYPE
+
+    def norm(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        struct = pa.StructArray.from_arrays(
+            [pc.cast(flat.field(f.name), f.type) for f in SPAN_TYPE],
+            fields=list(SPAN_TYPE),
+        )
+        arrays, names = [], []
+        for name in batch.column_names:
+            if name == "doc_id":
+                arrays.append(pc.cast(batch.column("doc_id"), pa.string()))
+            elif name == "spans":
+                arrays.append(pa.ListArray.from_arrays(spans.offsets, struct))
+            else:
+                arrays.append(batch.column(name))
+            names.append(name)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def read_documents(uri: str, columns: Optional[List[str]] = None):
     """Document-corpus source for the north rule's Lance input.
 
@@ -50,7 +94,11 @@ def read_documents(uri: str, columns: Optional[List[str]] = None):
     (the production format — fragment-parallel, column-pruned); this
     container ships without it, so ``.lance`` URIs raise a clear error and
     parquet directories (same schema, same fragment-per-block layout, the
-    tested stand-in) read via ``read_parquet``.
+    tested stand-in) read via ``read_parquet``.  ``.jsonl``/``.json``
+    corpora (the interchange format crawl tooling actually emits) read via
+    ``ray.data.read_json`` with schema normalization back to the canonical
+    span layout; note JSONL has no column pruning — convert to
+    parquet/lance for production scans.
     """
     import ray.data
 
@@ -61,15 +109,24 @@ def read_documents(uri: str, columns: Optional[List[str]] = None):
                 "as parquet (fixtures.write_corpus) or install pylance"
             )
         return ray.data.read_lance(uri, columns=columns)
+    if _is_jsonl(uri):
+        ds = _normalize_span_documents(ray.data.read_json(uri))
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     return ray.data.read_parquet(uri, columns=columns)
 
 
 def write_documents(ds, uri: str) -> None:
-    """Counterpart sink: Lance when available and requested, else parquet."""
+    """Counterpart sink: Lance when available and requested, ``.jsonl``
+    for interchange, else parquet."""
     if uri.rstrip("/").endswith(".lance"):
         if not lance_available():
             raise ImportError("lance is not installed; use a parquet path")
         ds.write_lance(uri)
+        return
+    if uri.rstrip("/").endswith((".jsonl", ".json")):
+        ds.write_json(uri)
         return
     ds.write_parquet(uri, compression="none")
 

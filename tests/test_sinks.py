@@ -3,6 +3,7 @@
 import glob
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.csv as pacsv
 import ray.data
@@ -182,3 +183,60 @@ def test_normalized_transactions_are_null_free(ray_session):
     assert flat.column("debit").to_pylist() == [""]
     assert flat.column("credit").to_pylist() == [""]
     assert flat.column("balance").to_pylist() == ["1000"]
+
+
+def test_read_documents_jsonl_matches_parquet(ray_session, tmp_path):
+    """JSONL corpus ingestion: a span corpus written as JSON lines must
+    read back with the exact canonical schema (struct field order, int32
+    offset, string doc_id) and identical values to the parquet path, and
+    extraction over it must produce identical results."""
+    import json
+
+    import pyarrow as pa
+    import ray
+
+    from b_pdf_parser_ray.fixtures import corpus_table
+    from b_pdf_parser_ray.sources.tables import read_documents, write_documents
+
+    tbl = corpus_table(20)
+    pq_dir = str(tmp_path / "pq")
+    write_documents(ray.data.from_arrow(tbl), pq_dir)
+    jl_path = tmp_path / "corpus.jsonl"
+    with open(jl_path, "w") as f:
+        for row in tbl.to_pylist():
+            f.write(json.dumps(row) + "\n")
+
+    via_pq = read_documents(pq_dir).to_pandas().sort_values("doc_id", ignore_index=True)
+    via_jl = read_documents(str(jl_path)).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert list(via_jl.columns) == list(via_pq.columns)
+    assert via_jl["doc_id"].tolist() == via_pq["doc_id"].tolist()
+    assert via_jl["spans"].map(len).tolist() == via_pq["spans"].map(len).tolist()
+
+    def extract(ds):
+        return (
+            extract_documents(ds, batch_size=16)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+    a = extract(read_documents(pq_dir))
+    b = extract(read_documents(str(jl_path)))
+    for df in (a, b):
+        df["n_txns"] = df["transactions"].map(len)
+    pd.testing.assert_frame_equal(
+        a[["doc_id", "is_valid", "n_txns"]], b[["doc_id", "is_valid", "n_txns"]]
+    )
+
+
+def test_write_documents_jsonl_roundtrip(ray_session, tmp_path):
+    import ray
+
+    from b_pdf_parser_ray.fixtures import corpus_table
+    from b_pdf_parser_ray.sources.tables import read_documents, write_documents
+
+    out = str(tmp_path / "corpus.jsonl")
+    write_documents(ray.data.from_arrow(corpus_table(10)), out)
+    back = read_documents(out)
+    df = back.to_pandas()
+    assert len(df) == 10
+    assert set(["doc_id", "spans"]).issubset(df.columns)
