@@ -199,7 +199,11 @@ def run_resumable(
             rec["skipped"] = True
             return rec
         t0 = time.perf_counter()
-        ds = ray.data.read_parquet(path)
+        # format-agnostic shard read: parquet, gated Lance, or JSONL
+        # (schema normalized back to the canonical span layout)
+        from ..sources.tables import read_documents
+
+        ds = read_documents(path)
         extracted = extract_documents(
             ds, verify=verify, batch_size=batch_size, concurrency=concurrency
         )

@@ -383,3 +383,29 @@ def test_resumable_same_basename_shards_do_not_collide(ray_session, tmp_path):
     # a literally duplicated input path is a genuine error
     with pytest.raises(ValueError, match="duplicate input shards"):
         run_resumable([str(pa_path), str(pa_path)], str(tmp_path / "out2"))
+
+
+def test_run_resumable_jsonl_shards(ray_session, tmp_path):
+    """run_resumable is input-format-agnostic: JSONL shards extract,
+    checkpoint, and resume exactly like parquet shards."""
+    import json
+
+    from b_pdf_parser_ray.fixtures import corpus_table
+    from b_pdf_parser_ray.pipelines.flagship import run_resumable
+
+    tbl = corpus_table(40)
+    rows = tbl.to_pylist()
+    shards = []
+    for i in range(2):
+        p = tmp_path / f"shard{i}.jsonl"
+        with open(p, "w") as f:
+            for row in rows[i * 20 : (i + 1) * 20]:
+                f.write(json.dumps(row) + "\n")
+        shards.append(str(p))
+
+    out = str(tmp_path / "out")
+    recs = run_resumable(shards, out)
+    assert [r["total"] for r in recs] == [20, 20]
+    assert all(not r["skipped"] for r in recs)
+    recs2 = run_resumable(shards, out)
+    assert all(r["skipped"] for r in recs2)
