@@ -366,3 +366,14 @@ def test_keep_best_policy_on_planted_duplicates(ray_session, tmp_path):
     )
     want = _normalize(con.sql(DEDUP_KEEP_BEST_SQL).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_funnel_partition_count_invariance(ray_session):
+    """events_funnel_counts must be P-invariant like every salted-partition
+    operator: user rows are partition-local at any P, so the three stage
+    counters cannot change with the partition count."""
+    from b_pdf_parser_ray.queries import events_funnel_counts
+
+    a = _normalize(_to_pandas(events_funnel_counts(SF_DIR, num_partitions=4)))
+    b = _normalize(_to_pandas(events_funnel_counts(SF_DIR, num_partitions=128)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
