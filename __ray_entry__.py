@@ -9,10 +9,9 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operator suite).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (42 of 53; round 3 added span-roundtrip, TF-IDF, PII-scrub, exact-dedup
-  materialization, length-histogram and bigram oracles);
-  sketch/iterative/DOM/codec operators (fingerprints, minhash/simhash/
-  embedding dedup, KMV distinct, IVF ANN, media stages) are rows-only by
+  (89 of 103 as of round 3); sketch/iterative/DOM/codec operators
+  (fingerprints, minhash/simhash/embedding dedup, KMV distinct, IVF ANN,
+  heavy hitters, approximate quantiles, media stages) are rows-only by
   design — each pinned instead by goldens, recall/precision, tolerance,
   or real-codec ground-truth assertions in pytest
   (tests/test_dedup_ann.py, tests/test_queries.py, tests/test_html_media.py).
