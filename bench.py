@@ -148,6 +148,8 @@ def main() -> None:
     ap.add_argument("--flagship-only", action="store_true", help="(child mode) flagship only")
     ap.add_argument("--stats", action="store_true",
                     help="print Ray Data per-stage execution stats for the flagship")
+    ap.add_argument("--table", action="store_true",
+                    help="console per-strategy summary table (reference benchmark parity)")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
@@ -218,6 +220,55 @@ def main() -> None:
             "scaling_efficiency_4_to_16": round(eff_4_16, 3),
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
         }))
+        return
+
+    if args.table:
+        # Console summary table — the reference benchmark's tabulate output
+        # (print_summary_table, /root/reference/benchmark.py:292-327): one
+        # timed extraction per strategy over the same fixture corpus, then
+        # an aligned per-strategy row of files / success / failed / rate /
+        # avg time per file / avg txns per file.
+        _init_ray(args.num_cpus)
+        import time as _time
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import ray
+        import ray.data
+
+        from b_pdf_parser_ray.fixtures import corpus_table
+        from b_pdf_parser_ray.pipelines.flagship import extract_documents
+
+        tbl = corpus_table(int(os.environ.get("GRAFT_TABLE_DOCS", "2000")))
+        tbl = tbl.drop_columns(["strategy"])  # force one strategy per run
+        rows = []
+        for strat in ("column", "inline", "indonesian", "table"):
+            t0 = _time.perf_counter()
+            ext = extract_documents(
+                ray.data.from_arrow(tbl), default_strategy=strat
+            ).materialize()
+            wall = _time.perf_counter() - t0
+            n = ext.count()
+            valid = sum(
+                _pc.sum(_pc.cast(b.column("is_valid"), "int64")).as_py() or 0
+                for b in ext.iter_batches(batch_format="pyarrow")
+            )
+            txns = sum(
+                _pc.sum(_pc.list_value_length(b.column("transactions"))).as_py() or 0
+                for b in ext.iter_batches(batch_format="pyarrow")
+            )
+            rows.append((strat, n, valid, n - valid, 100.0 * valid / n,
+                         wall / n, txns / n))
+        headers = ("Strategy", "Files", "Success", "Failed", "Rate",
+                   "Avg s/file", "Avg txns/file")
+        fmt = [(r[0], str(r[1]), str(r[2]), str(r[3]), f"{r[4]:.1f}%",
+                f"{r[5]:.6f}s", f"{r[6]:.1f}") for r in rows]
+        widths = [max(len(h), *(len(f[i]) for f in fmt)) for i, h in enumerate(headers)]
+        print("  ".join(h.ljust(w) for h, w in zip(headers, widths)))
+        print("  ".join("-" * w for w in widths))
+        for f in fmt:
+            print("  ".join(c.ljust(w) for c, w in zip(f, widths)))
+        ray.shutdown()
         return
 
     if args.stats:
