@@ -5566,23 +5566,38 @@ def doc_quality_filter(sf_dir: str, q: str = "0.25"):
     exact rational rank ``ceil(q·n)`` (DuckDB ``quantile_disc``
     semantics).  Pass 2 recomputes scores map-side and filters against
     the integer threshold; nothing doc-grain is ever materialized."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    thr = _quality_threshold_e4(docs, q)
+    if thr is None:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "quality": pd.Series([], dtype="float64")})
+
+    def keep(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch)
+        e4 = _quality_e4(scored.column("quality"))
+        return scored.filter(
+            pc.greater_equal(e4, pa.scalar(thr, type=pa.int64()))
+        ).select(["doc_id", "quality"])
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def _quality_threshold_e4(docs, q: str = "0.25"):
+    """Pass 1 of the quality-threshold operators: the exact
+    ``quantile_disc`` rank of the e4-integer score domain over a
+    (doc_id, text) Dataset, from a distributed (score_e4, count) histogram
+    (one ≤|distinct scores|-row partial per block).  Returns None on an
+    empty corpus."""
     import math
     from fractions import Fraction
 
     from ray.data.aggregate import Sum
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def score_e4(batch: pa.Table) -> pa.Table:
-        scored = quality_score_batch(batch)
-        e4 = _quality_e4(scored.column("quality"))
-        return pa.Table.from_arrays(
-            [scored.column("doc_id"), scored.column("quality"), e4],
-            names=["doc_id", "quality", "e4"],
-        )
-
     def hist_partial(batch: pa.Table) -> pa.Table:
-        t = score_e4(batch).select(["e4"])
+        scored = quality_score_batch(batch)
+        t = pa.Table.from_arrays(
+            [_quality_e4(scored.column("quality"))], names=["e4"]
+        )
         out = t.group_by(["e4"], use_threads=False).aggregate([([], "count_all")])
         return out.rename_columns(["e4", "n"])
 
@@ -5595,19 +5610,10 @@ def doc_quality_filter(sf_dir: str, q: str = "0.25"):
     )
     total = int(hist["n"].sum())
     if total == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "quality": pd.Series([], dtype="float64")})
+        return None
     rank = max(1, math.ceil(Fraction(q) * total))
     cum = hist["n"].cumsum().to_numpy()
-    thr = int(hist["e4"].to_numpy()[int(np.searchsorted(cum, rank, side="left"))])
-
-    def keep(batch: pa.Table) -> pa.Table:
-        t = score_e4(batch)
-        return t.filter(
-            pc.greater_equal(t.column("e4"), pa.scalar(thr, type=pa.int64()))
-        ).select(["doc_id", "quality"])
-
-    return docs.map_batches(keep, batch_format="pyarrow")
+    return int(hist["e4"].to_numpy()[int(np.searchsorted(cum, rank, side="left"))])
 
 
 DOC_QUALITY_FILTER_SQL = f"""
@@ -5688,6 +5694,12 @@ def doc_chunk_windows(sf_dir: str, window: int = 64, stride: int = 48):
     Arrow-C assembly trick as the extractor).  No shuffle — chunk rows
     stay in their source block, so the op streams at any corpus size."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_chunk_explode(window, stride), batch_format="pyarrow")
+
+
+def _chunk_explode(window: int, stride: int):
+    """The per-batch chunking kernel of ``doc_chunk_windows`` as a factory,
+    shared with the composed corpus-build pipeline."""
 
     def explode(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch.column("text"), " ")
@@ -5723,7 +5735,7 @@ def doc_chunk_windows(sf_dir: str, window: int = 64, stride: int = 48):
             names=["doc_id", "chunk_id", "chunk_text", "n_tokens"],
         )
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return explode
 
 
 DOC_CHUNK_SQL = """
@@ -6139,6 +6151,76 @@ WHERE rn <= 10
 """
 
 
+def corpus_build_pipeline(sf_dir: str, num_partitions: int = 8):
+    """The end-to-end training-corpus build — the composition a data team
+    actually ships: quality-threshold pruning (drop the worst quartile) →
+    exact dedup (min-id survivor among the KEPT docs) → overlapping
+    64/48-token chunking.  Output is the training-ready chunk table.
+
+    Scale shape — each stage keeps its own discipline and they compose
+    without any corpus-sized materialization: pass 1 folds the ≤10⁴-row
+    score histogram; pass 2 recomputes scores map-side and filters; the
+    dedup exchange carries (content-hash, id) only; survivors come back
+    through the size-gated semi join; chunking is a map-side explode.
+    The one corpus-grain shuffle in the whole pipeline is the dedup
+    groupby."""
+    from .functions.dedup import exact_dedup
+    from .functions.joins import semi_join
+    from .sources.tables import table_rows
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    thr = _quality_threshold_e4(docs)
+    if thr is None:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_id": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype="object"),
+                "n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch)
+        e4 = _quality_e4(scored.column("quality"))
+        return batch.filter(pc.greater_equal(e4, pa.scalar(thr, type=pa.int64())))
+
+    kept = docs.map_batches(keep, batch_format="pyarrow")
+    reps = exact_dedup(kept).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    survivors = semi_join(
+        kept, reps, "doc_id", "doc_id",
+        # provable bound: survivors ≤ documents rows (footer metadata)
+        right_source_rows=table_rows(sf_dir, "documents"),
+        num_partitions=num_partitions,
+    )
+    return survivors.map_batches(_chunk_explode(64, 48), batch_format="pyarrow")
+
+
+CORPUS_BUILD_SQL = f"""
+WITH q AS ({DOC_QUALITY_SQL}),
+thr AS (
+  SELECT quantile_disc(CAST(round(quality * 10000) AS BIGINT), 0.25) AS t FROM q),
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN q USING (doc_id), thr
+  WHERE CAST(round(q.quality * 10000) AS BIGINT) >= t),
+reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+surv AS (SELECT k.doc_id, k.text FROM kept k JOIN reps USING (doc_id)),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS start
+  FROM t)
+SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+       array_to_string(toks[start + 1 : least(start + 64, len(toks))], ' ')
+         AS chunk_text,
+       CAST(least(start + 64, len(toks)) - start AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6247,6 +6329,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_quality_pct_rank": doc_quality_pct_rank,
     "nation_party_mix": nation_party_mix,
     "ann_multi_topk": ann_multi_topk,
+    "corpus_build_pipeline": corpus_build_pipeline,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -6341,6 +6424,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_quality_pct_rank": DOC_QUALITY_PCT_RANK_SQL,
     "nation_party_mix": NATION_PARTY_MIX_SQL,
     "ann_multi_topk": ANN_MULTI_TOPK_SQL,
+    "corpus_build_pipeline": CORPUS_BUILD_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
