@@ -6221,6 +6221,43 @@ FROM c
 """
 
 
+def lang_confusion_matrix(sf_dir: str):
+    """Declared-vs-detected language confusion matrix — the data-quality
+    audit a multilingual corpus runs before trusting its ``lang`` column:
+    count documents per (declared lang, detected lang) pair.
+
+    Scale shape — pure map-side: the stopword-vote detector runs in the
+    same batch that carries the declared label, each block pre-counts its
+    (lang, lang_pred) pairs with the Arrow C group-by, and the one
+    exchange moves ≤ |langs|² partial rows per block."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        det = lang_id_batch(batch)
+        t = pa.Table.from_arrays(
+            [batch.column("lang"), det.column("lang_pred")],
+            names=["lang", "lang_pred"],
+        )
+        out = t.group_by(["lang", "lang_pred"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["lang", "lang_pred", "n_docs"])
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "lang_pred"],
+        [("n_docs", "sum", "n_docs")],
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH p AS ({DOC_LANG_SQL})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6330,6 +6367,7 @@ QUERIES: Dict[str, Callable] = {
     "nation_party_mix": nation_party_mix,
     "ann_multi_topk": ann_multi_topk,
     "corpus_build_pipeline": corpus_build_pipeline,
+    "lang_confusion_matrix": lang_confusion_matrix,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -6425,6 +6463,7 @@ ORACLE_SQL: Dict[str, str] = {
     "nation_party_mix": NATION_PARTY_MIX_SQL,
     "ann_multi_topk": ANN_MULTI_TOPK_SQL,
     "corpus_build_pipeline": CORPUS_BUILD_SQL,
+    "lang_confusion_matrix": LANG_CONFUSION_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
