@@ -6258,6 +6258,225 @@ GROUP BY d.lang, p.lang_pred
 """
 
 
+def doc_source_quality_gate(sf_dir: str):
+    """Source-level quality gating — the C4/RefinedWeb-style 'drop whole
+    domains' operator: keep every document whose SOURCE's mean quality
+    score is at or above the corpus-wide mean (a bad crawl host poisons
+    all its pages; per-doc filtering misses that signal).
+
+    Scale shape — two streaming scans, no doc-grain materialization.
+    Pass 1 folds per-block (source, Σquality_e4, n) integer partials into
+    a |sources|-row table; the keep decision is the EXACT rational compare
+    ``Σe4_s · n_total ≥ Σe4_total · n_s`` in Python big-ints (no float
+    mean, no overflow at any corpus size — Σe4·n exceeds int64 at 10¹²
+    docs, which is why the oracle's HUGEINT product is mirrored with
+    arbitrary-precision ints, not numpy).  Pass 2 recomputes scores
+    map-side and filters against the broadcast keep-set (|sources|
+    strings, captured in the closure)."""
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch)
+        t = pa.Table.from_arrays(
+            [batch.column("source"), _quality_e4(scored.column("quality"))],
+            names=["source", "e4"],
+        )
+        out = t.group_by(["source"], use_threads=False).aggregate(
+            [("e4", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["source", "se4", "n"])
+
+    per_source = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("se4", alias_name="se4"), Sum("n", alias_name="n"))
+        .to_pandas()  # |sources| rows — the source domain, not the corpus
+    )
+    if per_source.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "source": pd.Series([], dtype="object"),
+                             "quality": pd.Series([], dtype="float64")})
+    ge4 = int(per_source["se4"].sum())
+    gn = int(per_source["n"].sum())
+    keep = frozenset(
+        src
+        for src, se4, n in per_source[["source", "se4", "n"]].itertuples(index=False)
+        if int(se4) * gn >= ge4 * int(n)
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("source"), pa.array(sorted(keep)))
+        kept = batch.filter(mask)
+        scored = quality_score_batch(kept)
+        return pa.Table.from_arrays(
+            [kept.column("doc_id"), kept.column("source"), scored.column("quality")],
+            names=["doc_id", "source", "quality"],
+        )
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
+DOC_SOURCE_GATE_SQL = f"""
+WITH q AS ({DOC_QUALITY_SQL}),
+j AS (
+  SELECT d.doc_id, d.source, q.quality,
+         CAST(round(q.quality * 10000) AS BIGINT) AS e4
+  FROM documents d JOIN q USING (doc_id)
+),
+s AS (SELECT source, sum(e4) AS se4, CAST(count(*) AS BIGINT) AS n
+      FROM j GROUP BY source),
+g AS (SELECT sum(e4) AS ge4, CAST(count(*) AS BIGINT) AS gn FROM j)
+SELECT j.doc_id, j.source, j.quality
+FROM j JOIN s USING (source), g
+WHERE s.se4 * g.gn >= g.ge4 * s.n
+"""
+
+
+def cross_source_leakage(sf_dir: str, num_partitions: int = None):
+    """Cross-source content-leakage histogram — how many distinct texts
+    appear in exactly 1, 2, … sources.  A crawl whose mirrors/aggregators
+    re-host the same pages shows mass above n_sources=1; the histogram is
+    the audit that sizes cross-source dedup before running it.
+
+    Scale shape: each block dedups to distinct (content_hash, source)
+    pairs (Arrow C group-by — the text body never leaves the read batch),
+    the ONE exchange hash-partitions those 16-byte pairs by content hash
+    so every text's pair-set is partition-local, and each partition counts
+    distinct sources per hash then pre-folds its (n_sources, n_texts)
+    histogram — ≤|sources| rows per partition cross the final tiny sum."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "documents"))
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        # ONE blake2b pass yields both the 128-bit identity and the salt
+        # (first 8 digest bytes) — no second per-row hash for partitioning.
+        digests = [
+            hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).digest()
+            for t in batch.column("text").to_pylist()
+        ]
+        pairs = pa.Table.from_arrays(
+            [
+                pa.array([d.hex() for d in digests], type=pa.string()),
+                batch.column("source"),
+                pa.array(
+                    [int.from_bytes(d[:8], "big") % num_partitions for d in digests],
+                    type=pa.int64(),
+                ),
+            ],
+            names=["content_hash", "source", "part"],
+        )
+        return pairs.group_by(
+            ["content_hash", "source", "part"], use_threads=False
+        ).aggregate([])
+
+    def hist_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        n_sources = df.groupby("content_hash")["source"].nunique()
+        hist = n_sources.value_counts()
+        return pd.DataFrame(
+            {"n_sources": hist.index.astype("int64"), "n_texts": hist.to_numpy()}
+        )
+
+    pairs = docs.map_batches(pair_partial, batch_format="pyarrow")
+    return grouped_agg(
+        pairs.groupby("part").map_groups(hist_in_partition, batch_format="pandas"),
+        ["n_sources"],
+        [("n_texts", "sum", "n_texts")],
+    )
+
+
+CROSS_SOURCE_LEAKAGE_SQL = """
+SELECT n_sources, CAST(count(*) AS BIGINT) AS n_texts
+FROM (SELECT text, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents GROUP BY text)
+GROUP BY n_sources
+"""
+
+
+def corpus_zipf_slope(sf_dir: str, k: int = 1000):
+    """Zipf-law slope of the corpus — the log-log OLS fit of frequency vs
+    rank over the top-k terms.  Natural text sits near −1; a slope far off
+    flags boilerplate floods or synthetic/templated text before training.
+
+    Scale shape: exact term counts via the pre-counted partial exchange
+    (one (term, block) row per block, same as ``doc_top_terms``), then
+    distributed top-k WITHOUT a global sort — per-block argpartition on
+    (−n, term) keeps k candidates, one coalesce level folds them, and the
+    single final task ranks k rows and computes the closed-form OLS.  The
+    oracle mirrors the fit with explicit Σ sums over the same top-k (ties
+    broken by term, so the rank assignment is deterministic)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        terms = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        t = pa.Table.from_arrays([terms], names=["term"])
+        out = t.group_by(["term"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["term", "n"])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows > k:
+            idx = pc.select_k_unstable(
+                batch, k, [("n", "descending"), ("term", "ascending")]
+            )
+            batch = batch.take(idx)
+        return batch
+
+    def fit(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch, sort_keys=[("n", "descending"), ("term", "ascending")]
+        )[:k]
+        top = batch.take(idx)
+        n = top.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.log(np.arange(1, len(n) + 1, dtype=np.float64))
+        y = np.log(n)
+        m = float(len(n))
+        denom = m * (x * x).sum() - x.sum() ** 2
+        slope = (m * (x * y).sum() - x.sum() * y.sum()) / denom if denom else float("nan")
+        return pa.Table.from_pydict(
+            {
+                "n_terms": pa.array([len(n)], type=pa.int64()),
+                "slope": pa.array([float(sql_round([slope], 6)[0])]),
+            }
+        )
+
+    return (
+        ds.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fit, batch_format="pyarrow", batch_size=None)
+    )
+
+
+CORPUS_ZIPF_SQL = """
+WITH c AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+r AS (
+  SELECT ln(n) AS y,
+         ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE)) AS x
+  FROM c ORDER BY n DESC, term LIMIT 1000
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6368,6 +6587,9 @@ QUERIES: Dict[str, Callable] = {
     "ann_multi_topk": ann_multi_topk,
     "corpus_build_pipeline": corpus_build_pipeline,
     "lang_confusion_matrix": lang_confusion_matrix,
+    "doc_source_quality_gate": doc_source_quality_gate,
+    "cross_source_leakage": cross_source_leakage,
+    "corpus_zipf_slope": corpus_zipf_slope,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -6464,6 +6686,9 @@ ORACLE_SQL: Dict[str, str] = {
     "ann_multi_topk": ANN_MULTI_TOPK_SQL,
     "corpus_build_pipeline": CORPUS_BUILD_SQL,
     "lang_confusion_matrix": LANG_CONFUSION_SQL,
+    "doc_source_quality_gate": DOC_SOURCE_GATE_SQL,
+    "cross_source_leakage": CROSS_SOURCE_LEAKAGE_SQL,
+    "corpus_zipf_slope": CORPUS_ZIPF_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;

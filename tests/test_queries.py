@@ -368,6 +368,86 @@ def test_keep_best_policy_on_planted_duplicates(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text, source) — writes a documents.parquet with the
+    full column set the catalog's readers expect."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "source": pa.array([r[2] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+
+def test_cross_source_leakage_planted(ray_session, tmp_path):
+    """The sf corpus has no duplicate texts, so its histogram is the
+    trivial n_sources=1 row — plant cross-source and same-source copies
+    to exercise the distinct-source counting: a text re-hosted by three
+    sources counts 3 (same-source repeats count once), and the result
+    must match the oracle and be partition-count invariant."""
+    from b_pdf_parser_ray.queries import (
+        CROSS_SOURCE_LEAKAGE_SQL,
+        cross_source_leakage,
+    )
+
+    _write_docs(tmp_path, [
+        (0, "mirrored page", "src0"),
+        (1, "mirrored page", "src1"),
+        (2, "mirrored page", "src2"),
+        (3, "mirrored page", "src2"),   # same-source repeat: still 3 sources
+        (4, "self duplicate", "src3"),
+        (5, "self duplicate", "src3"),  # one source only
+        (6, "unique page", "src4"),
+    ])
+    got = _normalize(_to_pandas(cross_source_leakage(str(tmp_path))))
+    hist = dict(zip(got["n_sources"], got["n_texts"]))
+    assert hist == {3: 1, 1: 2}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = _normalize(con.sql(CROSS_SOURCE_LEAKAGE_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    again = _normalize(_to_pandas(cross_source_leakage(str(tmp_path), num_partitions=4)))
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
+def test_source_quality_gate_drops_bad_source(ray_session, tmp_path):
+    """Domain-level filtering policy on a planted corpus: every doc from
+    the low-mean source must vanish (including its individually-good doc
+    — that is the point of gating by source, not by doc), and the result
+    must match the oracle."""
+    from b_pdf_parser_ray.queries import (
+        DOC_SOURCE_GATE_SQL,
+        doc_source_quality_gate,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog near a quiet river " * 3
+    bad = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+    _write_docs(tmp_path, [
+        (0, good + "one", "src_good"),
+        (1, good + "two", "src_good"),
+        (2, bad, "src_bad"),
+        (3, bad + " b", "src_bad"),
+        (4, good + "stranded good doc", "src_bad"),
+    ])
+    got = _to_pandas(doc_source_quality_gate(str(tmp_path)))
+    assert set(got["source"]) == {"src_good"}
+    assert sorted(got["doc_id"]) == [0, 1]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = _normalize(con.sql(DOC_SOURCE_GATE_SQL).df())
+    pd.testing.assert_frame_equal(_normalize(got), want, check_dtype=False)
+
+
 def test_funnel_partition_count_invariance(ray_session):
     """events_funnel_counts must be P-invariant like every salted-partition
     operator: user rows are partition-local at any P, so the three stage
