@@ -6477,6 +6477,133 @@ FROM r
 """
 
 
+def dedup_repeated_windows(
+    sf_dir: str, width: int = 8, num_partitions: int = None
+):
+    """Substring-level duplication audit (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, how many of
+    its ``width``-token sliding windows (stride 1) occur ≥2 times anywhere
+    in the corpus — the signal that drives ExactSubstr-style span cutting,
+    which doc-grain exact/MinHash dedup cannot see (a page that quotes a
+    boilerplate paragraph is not a doc-level duplicate).
+
+    Scale shape — O(total tokens) work, the same asymptotics as the paper's
+    suffix array, but in two bounded exchanges instead of a global sort:
+    each block tokenizes with Arrow kernels, hashes one blake2b per *unique*
+    token (``dictionary_encode``), combines windows with the shingle
+    position-weighted xor (vectorized, no per-window Python), and pre-folds
+    to distinct (window_hash, doc_id, count) rows.  Exchange 1 salts on
+    ``hash & (P-1)`` so each window's full occurrence set is
+    partition-local; the in-partition kernel marks hashes with total ≥2 and
+    folds to per-doc partials, so exchange 2 moves ≤|docs|×P tiny rows into
+    a fine-grained ``groupby(doc_id)``.  The window *text* never crosses an
+    exchange — only 8-byte hashes (the oracle groups the real window text;
+    equality holds up to 64-bit collisions, ~1e-8 at the driver's sf0.01)."""
+    from .functions.dedup import _pos_consts
+    from .functions.textstats import token_hash64
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "documents"))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    consts = _pos_consts(width)
+    empty = pa.table(
+        {
+            "whash": pa.array([], type=pa.uint64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "c": pa.array([], type=pa.int64()),
+            "part": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def window_partial(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        flat = tok_lists.flatten()
+        if len(flat) < width:
+            return empty
+        parent = pc.list_parent_indices(tok_lists).to_numpy()
+        enc = flat.dictionary_encode()
+        vocab_hash = np.fromiter(
+            (token_hash64(t) for t in enc.dictionary.to_pylist()),
+            np.uint64,
+            len(enc.dictionary),
+        )
+        th = vocab_hash[enc.indices.to_numpy()]
+        n_win = len(th) - width + 1
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n_win, dtype=np.uint64)
+            for k in range(width):
+                acc ^= th[k : k + n_win] * consts[k]
+        valid = parent[:n_win] == parent[width - 1 :]
+        if not valid.any():
+            return empty
+        whash = acc[valid]
+        wdoc = batch.column("doc_id").to_numpy()[parent[:n_win][valid]]
+        t = pa.Table.from_arrays(
+            [
+                pa.array(whash, type=pa.uint64()),
+                pa.array(wdoc, type=pa.int64()),
+            ],
+            names=["whash", "doc_id"],
+        )
+        out = t.group_by(["whash", "doc_id"], use_threads=False).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["whash", "doc_id", "c"])
+        part = pc.cast(
+            pc.bit_wise_and(out.column("whash"), np.uint64(num_partitions - 1)),
+            pa.int64(),
+        )
+        return out.append_column("part", part)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        totals = df.groupby("whash")["c"].transform("sum")
+        return (
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "nw": df["c"],
+                    "nr": df["c"].where(totals >= 2, 0),
+                }
+            )
+            .groupby("doc_id", as_index=False)
+            .sum()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nw = batch.column("n_windows").to_numpy().astype(np.float64)
+        nr = batch.column("n_repeated").to_numpy().astype(np.float64)
+        return batch.append_column(
+            "repeated_ratio", pa.array(sql_round(nr / nw, 4))
+        )
+
+    partials = (
+        docs.map_batches(window_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+    return grouped_agg(
+        partials, ["doc_id"], [("nw", "sum", "n_windows"), ("nr", "sum", "n_repeated")]
+    ).map_batches(finish, batch_format="pyarrow")
+
+
+DEDUP_REPEATED_WINDOWS_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS win
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 8 + 1, 0))) AS g(i)
+),
+c AS (SELECT win, count(*) AS total FROM w GROUP BY win),
+p AS (SELECT w.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN c.total >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated
+      FROM w JOIN c USING (win) GROUP BY w.doc_id)
+SELECT doc_id, n_windows, n_repeated,
+       round(n_repeated / CAST(n_windows AS DOUBLE), 4) AS repeated_ratio
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6590,6 +6717,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_source_quality_gate": doc_source_quality_gate,
     "cross_source_leakage": cross_source_leakage,
     "corpus_zipf_slope": corpus_zipf_slope,
+    "dedup_repeated_windows": dedup_repeated_windows,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -6689,6 +6817,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_source_quality_gate": DOC_SOURCE_GATE_SQL,
     "cross_source_leakage": CROSS_SOURCE_LEAKAGE_SQL,
     "corpus_zipf_slope": CORPUS_ZIPF_SQL,
+    "dedup_repeated_windows": DEDUP_REPEATED_WINDOWS_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;

@@ -448,6 +448,44 @@ def test_source_quality_gate_drops_bad_source(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_normalize(got), want, check_dtype=False)
 
 
+def test_repeated_windows_planted(ray_session, tmp_path):
+    """ExactSubstr-style span signal on a planted corpus: a boilerplate
+    paragraph quoted by two otherwise-distinct docs must mark exactly its
+    windows as repeated in BOTH (doc-level dedup sees nothing here); a
+    window repeated WITHIN one doc counts too; docs shorter than the
+    window width drop out.  Must match the oracle and be partition-count
+    invariant."""
+    from b_pdf_parser_ray.queries import (
+        DEDUP_REPEATED_WINDOWS_SQL,
+        dedup_repeated_windows,
+    )
+
+    boiler = "all rights reserved contact the publisher for permissions worldwide"  # 9 toks
+    _write_docs(tmp_path, [
+        (0, "alpha beta gamma delta " + boiler, "src0"),
+        (1, boiler + " epsilon zeta eta theta", "src1"),
+        (2, "one two three four five six seven eight one two three four"
+            " five six seven eight", "src2"),   # self-repeat, shifted by 8
+        (3, "too short to window", "src3"),
+    ])
+    got = _normalize(_to_pandas(dedup_repeated_windows(str(tmp_path))))
+    by_doc = got.set_index("doc_id")
+    # 9-token boilerplate → two 8-token windows, both shared across docs 0/1
+    assert by_doc.loc[0, "n_repeated"] == 2 and by_doc.loc[1, "n_repeated"] == 2
+    assert by_doc.loc[2, "n_repeated"] >= 2   # within-doc repetition counts
+    assert 3 not in by_doc.index              # < width tokens → no windows
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = _normalize(con.sql(DEDUP_REPEATED_WINDOWS_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    again = _normalize(
+        _to_pandas(dedup_repeated_windows(str(tmp_path), num_partitions=4))
+    )
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
 def test_funnel_partition_count_invariance(ray_session):
     """events_funnel_counts must be P-invariant like every salted-partition
     operator: user rows are partition-local at any P, so the three stage
