@@ -6586,6 +6586,202 @@ def dedup_repeated_windows(
     ).map_batches(finish, batch_format="pyarrow")
 
 
+def dedup_substring_cut(sf_dir: str, width: int = 8, num_partitions: int = None):
+    """ExactSubstr dedup *action* (Lee et al. 2022 §4): cut every token
+    covered by a ``width``-token window that occurs ≥2 times anywhere in
+    the corpus, returning the cleaned text plus audit counts — the
+    operator that actually removes cross-document boilerplate/quotation
+    duplication that doc-grain dedup keeps.  All occurrences are cut
+    (the paper's behavior; one copy survives only via doc-grain dedup).
+
+    Scale shape — three bounded exchanges, no doc-grain driver state:
+    stage 1 emits one (window_hash, doc_id, start) row per window
+    (offsets must survive, so no pre-fold here — O(total tokens) rows is
+    the honest cost, same as the paper's suffix array).  Exchange 1 salts
+    on ``hash & (P-1)`` so each window's occurrence set is partition-local
+    and keeps only repeated instances.  Exchange 2 salts on
+    ``doc_id & (P-1)`` over the UNION of document rows and cut rows; the
+    in-partition kernel rebuilds text fully vectorized: interval deltas →
+    ``cumsum`` coverage → one Arrow filter + prefix-sum ListArray +
+    ``binary_join`` (the extract-stage assembly trick) — zero per-doc
+    Python string work."""
+    from .functions.dedup import _pos_consts
+    from .functions.textstats import token_hash64
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "documents"))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    consts = _pos_consts(width)
+    win_empty = pa.table(
+        {
+            "whash": pa.array([], type=pa.uint64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "off": pa.array([], type=pa.int64()),
+            "part": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        flat = tok_lists.flatten()
+        if len(flat) < width:
+            return win_empty
+        parent = pc.list_parent_indices(tok_lists).to_numpy()
+        enc = flat.dictionary_encode()
+        vocab_hash = np.fromiter(
+            (token_hash64(t) for t in enc.dictionary.to_pylist()),
+            np.uint64,
+            len(enc.dictionary),
+        )
+        th = vocab_hash[enc.indices.to_numpy()]
+        n_win = len(th) - width + 1
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n_win, dtype=np.uint64)
+            for k in range(width):
+                acc ^= th[k : k + n_win] * consts[k]
+        valid = parent[:n_win] == parent[width - 1 :]
+        if not valid.any():
+            return win_empty
+        wdoc_idx = parent[:n_win][valid]
+        # window start WITHIN its doc: global flat position − doc's first
+        # flat position (prefix sum of per-doc token counts)
+        doc_first = np.zeros(batch.num_rows, dtype=np.int64)
+        np.cumsum(
+            pc.list_value_length(tok_lists).to_numpy().astype(np.int64)[:-1],
+            out=doc_first[1:],
+        )
+        starts = np.nonzero(valid)[0] - doc_first[wdoc_idx]
+        whash = acc[valid]
+        return pa.Table.from_arrays(
+            [
+                pa.array(whash, type=pa.uint64()),
+                pa.array(batch.column("doc_id").to_numpy()[wdoc_idx], type=pa.int64()),
+                pa.array(starts, type=pa.int64()),
+                pa.array(
+                    (whash & np.uint64(num_partitions - 1)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            ],
+            names=["whash", "doc_id", "off", "part"],
+        )
+
+    def repeated_instances(df: pd.DataFrame) -> pd.DataFrame:
+        totals = df.groupby("whash")["whash"].transform("size")
+        keep = df[totals >= 2]
+        return pd.DataFrame({"doc_id": keep["doc_id"], "off": keep["off"]})
+
+    cuts = (
+        docs.map_batches(window_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(repeated_instances, batch_format="pandas")
+        .map_batches(
+            lambda b: b.append_column(
+                "text", pa.array([None] * b.num_rows, type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    doc_rows = docs.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("doc_id"),
+                pa.array([-1] * b.num_rows, type=pa.int64()),
+                b.column("text"),
+            ],
+            names=["doc_id", "off", "text"],
+        ),
+        batch_format="pyarrow",
+    )
+    both = doc_rows.union(cuts).map_batches(
+        lambda b: b.append_column(
+            "part",
+            pc.cast(pc.bit_wise_and(b.column("doc_id"), num_partitions - 1), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["off"].to_numpy() == -1
+        texts = pa.array(g["text"].to_numpy()[is_doc], type=pa.string())
+        doc_ids = g["doc_id"].to_numpy()[is_doc]
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, texts = doc_ids[order], texts.take(pa.array(order))
+        tok_lists = pc.split_pattern(texts, " ")
+        flat = tok_lists.flatten()
+        n_tok = pc.list_value_length(tok_lists).to_numpy().astype(np.int64)
+        doc_first = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=doc_first[1:])
+        # map cut rows to global token positions via doc_id → local index
+        pos_of = {d: i for i, d in enumerate(doc_ids)}
+        cut = g[~is_doc]
+        delta = np.zeros(len(flat) + 1, dtype=np.int64)
+        if len(cut):
+            d_idx = np.fromiter(
+                (pos_of[d] for d in cut["doc_id"].to_numpy()), np.int64, len(cut)
+            )
+            s = doc_first[d_idx] + cut["off"].to_numpy()
+            np.add.at(delta, s, 1)
+            np.add.at(delta, s + width, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        kept = flat.filter(pa.array(~covered))
+        n_cut = np.add.reduceat(covered.astype(np.int64), doc_first[:-1]) if len(
+            flat
+        ) else np.zeros(len(doc_ids), dtype=np.int64)
+        n_cut[n_tok == 0] = 0  # reduceat repeats on empty slices
+        kept_counts = n_tok - n_cut
+        kept_offsets = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=kept_offsets[1:])
+        clean = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(kept_offsets, type=pa.int64()), kept
+            ),
+            " ",
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "clean_text": clean.to_pandas(),
+                "n_tokens": n_tok,
+                "n_cut": n_cut,
+            }
+        )
+
+    return both.groupby("part").map_groups(rebuild, batch_format="pandas")
+
+
+DEDUP_SUBSTRING_CUT_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS win
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 8 + 1, 0))) AS g(i)
+),
+c AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+cut AS (
+  SELECT DISTINCT w.doc_id, t.j
+  FROM w JOIN c USING (win), unnest(generate_series(w.i, w.i + 7)) AS t(j)
+),
+tok AS (
+  SELECT doc_id, toks[u.ord] AS tok, u.ord
+  FROM d, unnest(generate_series(1, len(toks))) AS u(ord)
+),
+kept AS (
+  SELECT tok.doc_id,
+         string_agg(tok.tok, ' ' ORDER BY tok.ord) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM tok
+  LEFT JOIN cut ON cut.doc_id = tok.doc_id AND cut.j = tok.ord
+  WHERE cut.j IS NULL
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
+FROM d LEFT JOIN kept k USING (doc_id)
+"""
+
+
 DEDUP_REPEATED_WINDOWS_SQL = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 w AS (
@@ -6718,6 +6914,7 @@ QUERIES: Dict[str, Callable] = {
     "cross_source_leakage": cross_source_leakage,
     "corpus_zipf_slope": corpus_zipf_slope,
     "dedup_repeated_windows": dedup_repeated_windows,
+    "dedup_substring_cut": dedup_substring_cut,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -6818,6 +7015,7 @@ ORACLE_SQL: Dict[str, str] = {
     "cross_source_leakage": CROSS_SOURCE_LEAKAGE_SQL,
     "corpus_zipf_slope": CORPUS_ZIPF_SQL,
     "dedup_repeated_windows": DEDUP_REPEATED_WINDOWS_SQL,
+    "dedup_substring_cut": DEDUP_SUBSTRING_CUT_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;

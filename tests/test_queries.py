@@ -486,6 +486,44 @@ def test_repeated_windows_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, again, check_dtype=False)
 
 
+def test_substring_cut_planted(ray_session, tmp_path):
+    """The cut ACTION on the same planted corpus: the shared boilerplate
+    must vanish from both quoting docs while their unique prose survives,
+    the self-repeating doc must collapse to nothing, the short doc passes
+    through untouched — and everything matches the oracle and is
+    partition-count invariant."""
+    from b_pdf_parser_ray.queries import (
+        DEDUP_SUBSTRING_CUT_SQL,
+        dedup_substring_cut,
+    )
+
+    boiler = "all rights reserved contact the publisher for permissions worldwide"
+    _write_docs(tmp_path, [
+        (0, "alpha beta gamma delta " + boiler, "src0"),
+        (1, boiler + " epsilon zeta eta theta", "src1"),
+        (2, "one two three four five six seven eight one two three four"
+            " five six seven eight", "src2"),
+        (3, "too short to window", "src3"),
+    ])
+    got = _normalize(_to_pandas(dedup_substring_cut(str(tmp_path))))
+    by_doc = got.set_index("doc_id")
+    assert by_doc.loc[0, "clean_text"] == "alpha beta gamma delta"
+    assert by_doc.loc[1, "clean_text"] == "epsilon zeta eta theta"
+    assert by_doc.loc[2, "clean_text"] == ""      # every window repeats
+    assert by_doc.loc[3, "clean_text"] == "too short to window"
+    assert int(by_doc.loc[0, "n_cut"]) == 9
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = _normalize(con.sql(DEDUP_SUBSTRING_CUT_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    again = _normalize(
+        _to_pandas(dedup_substring_cut(str(tmp_path), num_partitions=4))
+    )
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
 def test_funnel_partition_count_invariance(ray_session):
     """events_funnel_counts must be P-invariant like every salted-partition
     operator: user rows are partition-local at any P, so the three stage
