@@ -45,6 +45,55 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
 
 
+def window_hashes(
+    texts, width: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Per-window 64-bit hashes for every ``width``-token sliding window
+    (stride 1) across a column of document texts — the shared kernel of
+    the ExactSubstr operators (`dedup_repeated_windows` /
+    `dedup_substring_cut`), single-sourcing the hash definition with
+    ``token_hash64`` + ``_pos_consts``.
+
+    NULL text is treated as ``""`` (one empty token — too short to
+    window), matching the operators' oracles.  Returns ``None`` when the
+    batch has no window, else ``(whash, doc_idx, start)`` numpy arrays:
+    the window hash, the batch-row index of its document, and its 0-based
+    token start within that document.  Vectorized: one blake2b per unique
+    token (``dictionary_encode``), position-weighted xor combine, doc
+    boundaries masked via ``list_parent_indices``."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    tok_lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
+    flat = tok_lists.flatten()
+    if len(flat) < width:
+        return None
+    parent = pc.list_parent_indices(tok_lists).to_numpy()
+    enc = flat.dictionary_encode()
+    vocab_hash = np.fromiter(
+        (token_hash64(t) for t in enc.dictionary.to_pylist()),
+        np.uint64,
+        len(enc.dictionary),
+    )
+    th = vocab_hash[enc.indices.to_numpy()]
+    n_win = len(th) - width + 1
+    consts = _pos_consts(width)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n_win, dtype=np.uint64)
+        for k in range(width):
+            acc ^= th[k : k + n_win] * consts[k]
+    valid = parent[:n_win] == parent[width - 1 :]
+    if not valid.any():
+        return None
+    doc_idx = parent[:n_win][valid]
+    doc_first = np.zeros(len(tok_lists), dtype=np.int64)
+    np.cumsum(
+        pc.list_value_length(tok_lists).to_numpy().astype(np.int64)[:-1],
+        out=doc_first[1:],
+    )
+    start = np.nonzero(valid)[0] - doc_first[doc_idx]
+    return acc[valid], doc_idx, start
+
+
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """One representative (min id) + copy count per distinct text.
 

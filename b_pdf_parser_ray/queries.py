@@ -6300,14 +6300,17 @@ def doc_source_quality_gate(sf_dir: str):
                              "quality": pd.Series([], dtype="float64")})
     ge4 = int(per_source["se4"].sum())
     gn = int(per_source["n"].sum())
-    keep = frozenset(
-        src
-        for src, se4, n in per_source[["source", "se4", "n"]].itertuples(index=False)
-        if int(se4) * gn >= ge4 * int(n)
+    keep_arr = pa.array(
+        sorted(
+            src
+            for src, se4, n in per_source[["source", "se4", "n"]].itertuples(index=False)
+            if int(se4) * gn >= ge4 * int(n)
+        ),
+        type=pa.string(),
     )
 
     def gate(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("source"), pa.array(sorted(keep)))
+        mask = pc.is_in(batch.column("source"), keep_arr)
         kept = batch.filter(mask)
         scored = quality_score_batch(kept)
         return pa.Table.from_arrays(
@@ -6345,11 +6348,11 @@ def cross_source_leakage(sf_dir: str, num_partitions: int = None):
     the ONE exchange hash-partitions those 16-byte pairs by content hash
     so every text's pair-set is partition-local, and each partition counts
     distinct sources per hash then pre-folds its (n_sources, n_texts)
-    histogram — ≤|sources| rows per partition cross the final tiny sum."""
-    import hashlib
-
-    from ray.data.aggregate import Sum
-
+    histogram — ≤|sources| rows per partition cross the final tiny sum.
+    Text identity is THE engine content hash (``content_hash_batch``, the
+    one exact_dedup groups on — NULL ≡ '', mirrored by the oracle's
+    COALESCE); the salt reuses its first 8 hex digits, no second hash."""
+    from .functions.dedup import content_hash_batch
     from .sources.tables import salted_partitions, table_rows
 
     if num_partitions is None:
@@ -6357,22 +6360,18 @@ def cross_source_leakage(sf_dir: str, num_partitions: int = None):
     docs = read_table(sf_dir, "documents", columns=["text", "source"])
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        # ONE blake2b pass yields both the 128-bit identity and the salt
-        # (first 8 digest bytes) — no second per-row hash for partitioning.
-        digests = [
-            hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).digest()
-            for t in batch.column("text").to_pylist()
-        ]
-        pairs = pa.Table.from_arrays(
-            [
-                pa.array([d.hex() for d in digests], type=pa.string()),
-                batch.column("source"),
-                pa.array(
-                    [int.from_bytes(d[:8], "big") % num_partitions for d in digests],
-                    type=pa.int64(),
-                ),
-            ],
-            names=["content_hash", "source", "part"],
+        hashed = content_hash_batch(batch, "text")
+        hashes = hashed.column("content_hash")
+        part = pa.array(
+            [int(h[:16], 16) & (num_partitions - 1) for h in hashes.to_pylist()],
+            type=pa.int64(),
+        )
+        pairs = pa.table(
+            {
+                "content_hash": hashes,
+                "source": batch.column("source"),
+                "part": part,
+            }
         )
         return pairs.group_by(
             ["content_hash", "source", "part"], use_threads=False
@@ -6395,8 +6394,9 @@ def cross_source_leakage(sf_dir: str, num_partitions: int = None):
 
 CROSS_SOURCE_LEAKAGE_SQL = """
 SELECT n_sources, CAST(count(*) AS BIGINT) AS n_texts
-FROM (SELECT text, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-      FROM documents GROUP BY text)
+FROM (SELECT coalesce(text, '') AS t,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents GROUP BY t)
 GROUP BY n_sources
 """
 
@@ -6441,11 +6441,16 @@ def corpus_zipf_slope(sf_dir: str, k: int = 1000):
         y = np.log(n)
         m = float(len(n))
         denom = m * (x * x).sum() - x.sum() ** 2
-        slope = (m * (x * y).sum() - x.sum() * y.sum()) / denom if denom else float("nan")
+        # denom == 0 (≤1 distinct term) → NULL on both engines, never NaN
+        slope = (
+            float(sql_round([(m * (x * y).sum() - x.sum() * y.sum()) / denom], 6)[0])
+            if denom
+            else None
+        )
         return pa.Table.from_pydict(
             {
                 "n_terms": pa.array([len(n)], type=pa.int64()),
-                "slope": pa.array([float(sql_round([slope], 6)[0])]),
+                "slope": pa.array([slope], type=pa.float64()),
             }
         )
 
@@ -6471,8 +6476,10 @@ r AS (
   FROM c ORDER BY n DESC, term LIMIT 1000
 )
 SELECT CAST(count(*) AS BIGINT) AS n_terms,
-       round((count(*) * sum(x * y) - sum(x) * sum(y))
-             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope
+       CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) = 0 THEN NULL
+            ELSE round((count(*) * sum(x * y) - sum(x) * sum(y))
+                       / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+       END AS slope
 FROM r
 """
 
@@ -6489,9 +6496,8 @@ def dedup_repeated_windows(
 
     Scale shape — O(total tokens) work, the same asymptotics as the paper's
     suffix array, but in two bounded exchanges instead of a global sort:
-    each block tokenizes with Arrow kernels, hashes one blake2b per *unique*
-    token (``dictionary_encode``), combines windows with the shingle
-    position-weighted xor (vectorized, no per-window Python), and pre-folds
+    each block computes vectorized window hashes (``window_hashes`` — one
+    blake2b per *unique* token, position-weighted xor combine) and pre-folds
     to distinct (window_hash, doc_id, count) rows.  Exchange 1 salts on
     ``hash & (P-1)`` so each window's full occurrence set is
     partition-local; the in-partition kernel marks hashes with total ≥2 and
@@ -6499,14 +6505,12 @@ def dedup_repeated_windows(
     a fine-grained ``groupby(doc_id)``.  The window *text* never crosses an
     exchange — only 8-byte hashes (the oracle groups the real window text;
     equality holds up to 64-bit collisions, ~1e-8 at the driver's sf0.01)."""
-    from .functions.dedup import _pos_consts
-    from .functions.textstats import token_hash64
+    from .functions.dedup import window_hashes
     from .sources.tables import salted_partitions, table_rows
 
     if num_partitions is None:
         num_partitions = salted_partitions(table_rows(sf_dir, "documents"))
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    consts = _pos_consts(width)
     empty = pa.table(
         {
             "whash": pa.array([], type=pa.uint64()),
@@ -6517,28 +6521,11 @@ def dedup_repeated_windows(
     )
 
     def window_partial(batch: pa.Table) -> pa.Table:
-        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
-        flat = tok_lists.flatten()
-        if len(flat) < width:
+        win = window_hashes(batch.column("text"), width)
+        if win is None:
             return empty
-        parent = pc.list_parent_indices(tok_lists).to_numpy()
-        enc = flat.dictionary_encode()
-        vocab_hash = np.fromiter(
-            (token_hash64(t) for t in enc.dictionary.to_pylist()),
-            np.uint64,
-            len(enc.dictionary),
-        )
-        th = vocab_hash[enc.indices.to_numpy()]
-        n_win = len(th) - width + 1
-        with np.errstate(over="ignore"):
-            acc = np.zeros(n_win, dtype=np.uint64)
-            for k in range(width):
-                acc ^= th[k : k + n_win] * consts[k]
-        valid = parent[:n_win] == parent[width - 1 :]
-        if not valid.any():
-            return empty
-        whash = acc[valid]
-        wdoc = batch.column("doc_id").to_numpy()[parent[:n_win][valid]]
+        whash, doc_idx, _ = win
+        wdoc = batch.column("doc_id").to_numpy()[doc_idx]
         t = pa.Table.from_arrays(
             [
                 pa.array(whash, type=pa.uint64()),
@@ -6602,17 +6589,15 @@ def dedup_substring_cut(sf_dir: str, width: int = 8, num_partitions: int = None)
     and keeps only repeated instances.  Exchange 2 salts on
     ``doc_id & (P-1)`` over the UNION of document rows and cut rows; the
     in-partition kernel rebuilds text fully vectorized: interval deltas →
-    ``cumsum`` coverage → one Arrow filter + prefix-sum ListArray +
+    ``cumsum`` coverage → one Arrow filter + prefix-sum LargeList +
     ``binary_join`` (the extract-stage assembly trick) — zero per-doc
     Python string work."""
-    from .functions.dedup import _pos_consts
-    from .functions.textstats import token_hash64
+    from .functions.dedup import window_hashes
     from .sources.tables import salted_partitions, table_rows
 
     if num_partitions is None:
         num_partitions = salted_partitions(table_rows(sf_dir, "documents"))
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    consts = _pos_consts(width)
     win_empty = pa.table(
         {
             "whash": pa.array([], type=pa.uint64()),
@@ -6623,40 +6608,14 @@ def dedup_substring_cut(sf_dir: str, width: int = 8, num_partitions: int = None)
     )
 
     def window_rows(batch: pa.Table) -> pa.Table:
-        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
-        flat = tok_lists.flatten()
-        if len(flat) < width:
+        win = window_hashes(batch.column("text"), width)
+        if win is None:
             return win_empty
-        parent = pc.list_parent_indices(tok_lists).to_numpy()
-        enc = flat.dictionary_encode()
-        vocab_hash = np.fromiter(
-            (token_hash64(t) for t in enc.dictionary.to_pylist()),
-            np.uint64,
-            len(enc.dictionary),
-        )
-        th = vocab_hash[enc.indices.to_numpy()]
-        n_win = len(th) - width + 1
-        with np.errstate(over="ignore"):
-            acc = np.zeros(n_win, dtype=np.uint64)
-            for k in range(width):
-                acc ^= th[k : k + n_win] * consts[k]
-        valid = parent[:n_win] == parent[width - 1 :]
-        if not valid.any():
-            return win_empty
-        wdoc_idx = parent[:n_win][valid]
-        # window start WITHIN its doc: global flat position − doc's first
-        # flat position (prefix sum of per-doc token counts)
-        doc_first = np.zeros(batch.num_rows, dtype=np.int64)
-        np.cumsum(
-            pc.list_value_length(tok_lists).to_numpy().astype(np.int64)[:-1],
-            out=doc_first[1:],
-        )
-        starts = np.nonzero(valid)[0] - doc_first[wdoc_idx]
-        whash = acc[valid]
+        whash, doc_idx, starts = win
         return pa.Table.from_arrays(
             [
                 pa.array(whash, type=pa.uint64()),
-                pa.array(batch.column("doc_id").to_numpy()[wdoc_idx], type=pa.int64()),
+                pa.array(batch.column("doc_id").to_numpy()[doc_idx], type=pa.int64()),
                 pa.array(starts, type=pa.int64()),
                 pa.array(
                     (whash & np.uint64(num_partitions - 1)).astype(np.int64),
@@ -6687,7 +6646,7 @@ def dedup_substring_cut(sf_dir: str, width: int = 8, num_partitions: int = None)
             [
                 b.column("doc_id"),
                 pa.array([-1] * b.num_rows, type=pa.int64()),
-                b.column("text"),
+                pc.fill_null(b.column("text"), ""),  # NULL ≡ '' (oracle COALESCEs)
             ],
             names=["doc_id", "off", "text"],
         ),
@@ -6712,14 +6671,12 @@ def dedup_substring_cut(sf_dir: str, width: int = 8, num_partitions: int = None)
         n_tok = pc.list_value_length(tok_lists).to_numpy().astype(np.int64)
         doc_first = np.zeros(len(doc_ids) + 1, dtype=np.int64)
         np.cumsum(n_tok, out=doc_first[1:])
-        # map cut rows to global token positions via doc_id → local index
-        pos_of = {d: i for i, d in enumerate(doc_ids)}
+        # map cut rows to global token positions: doc_ids is sorted, so the
+        # doc_id → local index map is one searchsorted (no per-row Python)
         cut = g[~is_doc]
         delta = np.zeros(len(flat) + 1, dtype=np.int64)
         if len(cut):
-            d_idx = np.fromiter(
-                (pos_of[d] for d in cut["doc_id"].to_numpy()), np.int64, len(cut)
-            )
+            d_idx = np.searchsorted(doc_ids, cut["doc_id"].to_numpy())
             s = doc_first[d_idx] + cut["off"].to_numpy()
             np.add.at(delta, s, 1)
             np.add.at(delta, s + width, -1)
@@ -6751,7 +6708,8 @@ def dedup_substring_cut(sf_dir: str, width: int = 8, num_partitions: int = None)
 
 
 DEDUP_SUBSTRING_CUT_SQL = """
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+           FROM documents),
 w AS (
   SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS win
   FROM d, unnest(generate_series(1, greatest(len(toks) - 8 + 1, 0))) AS g(i)
@@ -6783,7 +6741,8 @@ FROM d LEFT JOIN kept k USING (doc_id)
 
 
 DEDUP_REPEATED_WINDOWS_SQL = """
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+           FROM documents),
 w AS (
   SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS win
   FROM d, unnest(generate_series(1, greatest(len(toks) - 8 + 1, 0))) AS g(i)

@@ -377,10 +377,13 @@ def _write_docs(tmp_path, rows):
     tbl = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            "text": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
             "source": pa.array([r[2] for r in rows]),
             "lang": pa.array(["en"] * len(rows)),
-            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in rows],
+                type=pa.int64(),
+            ),
         }
     )
     pq.write_table(tbl, tmp_path / "documents.parquet")
@@ -504,6 +507,7 @@ def test_substring_cut_planted(ray_session, tmp_path):
         (2, "one two three four five six seven eight one two three four"
             " five six seven eight", "src2"),
         (3, "too short to window", "src3"),
+        (4, None, "src4"),                        # NULL text ≡ '' end to end
     ])
     got = _normalize(_to_pandas(dedup_substring_cut(str(tmp_path))))
     by_doc = got.set_index("doc_id")
@@ -511,6 +515,7 @@ def test_substring_cut_planted(ray_session, tmp_path):
     assert by_doc.loc[1, "clean_text"] == "epsilon zeta eta theta"
     assert by_doc.loc[2, "clean_text"] == ""      # every window repeats
     assert by_doc.loc[3, "clean_text"] == "too short to window"
+    assert by_doc.loc[4, "clean_text"] == "" and int(by_doc.loc[4, "n_cut"]) == 0
     assert int(by_doc.loc[0, "n_cut"]) == 9
 
     con = duckdb.connect()
