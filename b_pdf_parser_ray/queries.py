@@ -529,9 +529,17 @@ ORDER BY c_custkey
 
 def doc_embedding_join(sf_dir: str):
     """Equality enrich join across tables: documents ⋈ embeddings on
-    doc_id = vec_id via Dataset.join (hash-partitioned both sides), then a
-    vectorized norm on the embedding — the doc↔sidecar-metadata enrichment
-    shape (SURVEY.md §2.6 J3)."""
+    doc_id = vec_id, then a vectorized norm on the embedding — the
+    doc↔sidecar-metadata enrichment shape (SURVEY.md §2.6 J3).  Routed
+    through the size-gated ``lookup_join`` planner like every other
+    catalog join: broadcast `(vec_id, l2_norm)` under the 5M-row cap,
+    hash-partitioned ``Dataset.join`` above it (the round-2/3 bench
+    drift on this query was the hash plan's fixed actor-spinup floor
+    paid even on tiny inputs — the gate removes it exactly where the
+    exchange isn't worth it)."""
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -548,14 +556,15 @@ def doc_embedding_join(sf_dir: str):
         )
 
     # project the vector payload down to its feature BEFORE the join —
-    # the shuffle then moves 8 bytes/row instead of the embedding (and
-    # Arrow's hash join doesn't carry list columns at all)
-    joined = docs.join(
+    # whichever plan wins, it moves 8 bytes/row instead of the embedding
+    # (and Arrow's hash join doesn't carry list columns at all)
+    joined = lookup_join(
+        docs,
         emb.map_batches(norm, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=8,
-        on=("doc_id",),
-        right_on=("vec_id",),
+        "doc_id",
+        "vec_id",
+        ["l2_norm"],
+        right_source_rows=table_rows(sf_dir, "embeddings"),
     )
     # no final sort: the output is corpus-sized and the driver's value-hash
     # compare is row-order-insensitive — a global sort here would be a pure

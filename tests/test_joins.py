@@ -76,7 +76,8 @@ def test_lookup_join_both_plans_agree(sides):
              "q21_waiting_suppliers", "q22_lapsed_high_balance",
              "q9_product_profit", "q2_min_cost_supplier",
              "q16_supplier_variety", "q20_potential_promotion",
-             "dedup_exact_keep_best", "corpus_build_pipeline"]
+             "dedup_exact_keep_best", "corpus_build_pipeline",
+             "doc_embedding_join"]
 )
 def test_gated_queries_identical_on_hash_plan(ray_session, ddb_sf, name, monkeypatch):
     """Force the hash plan (cap=0) on the real catalog queries: results must
