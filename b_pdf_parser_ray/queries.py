@@ -1539,9 +1539,13 @@ def span_roundtrip_stats(sf_dir: str):
     from .stages.reassemble import explode, reassemble
 
     # one reassembly partition per ~50k documents (~5M spans at ~100
-    # tokens/doc) — scales with the corpus, output-invariant
+    # tokens/doc) — scales with the corpus, output-invariant.  Floor 16
+    # (not the global 64): the sort exchange's fixed per-partition floor
+    # dominates wall time at test sizes (measured 5.2s@P=64 vs 1.5s@P=16
+    # on 5k docs), and unlike doc_pack_sequences P is not part of this
+    # query's output or oracle, so the lower floor is purely physical.
     reassemble_parts = salted_partitions(
-        table_rows(sf_dir, "documents"), target_rows=50_000
+        table_rows(sf_dir, "documents"), target_rows=50_000, floor=16
     )
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -6662,10 +6666,13 @@ def dedup_substring_cut(sf_dir: str, width: int = 8, num_partitions: int = None)
         batch_format="pyarrow",
     )
     both = doc_rows.union(cuts).map_batches(
+        # strip per-branch pandas schema metadata so the unioned blocks
+        # carry ONE schema into the exchange (mixed metadata defeats Ray's
+        # schema dedup and spams the reduce tasks)
         lambda b: b.append_column(
             "part",
             pc.cast(pc.bit_wise_and(b.column("doc_id"), num_partitions - 1), pa.int64()),
-        ),
+        ).replace_schema_metadata(None),
         batch_format="pyarrow",
     )
 
