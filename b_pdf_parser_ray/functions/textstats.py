@@ -174,22 +174,40 @@ def token_hash64(tok: str) -> int:
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Order-sensitive 64-bit document fingerprint: FNV-style rolling hash
-    over whitespace tokens.  Token hashes are memoized per batch (corpus
-    vocabularies repeat heavily)."""
-    cache: dict = {}
+    over whitespace tokens (``h = (h·B) ^ th(tok)``).
 
-    def th(tok: str) -> int:
-        h = cache.get(tok)
-        if h is None:
-            h = cache[tok] = token_hash64(tok)
-        return h
-
-    fps = []
-    for toks in pc.split_pattern(batch.column("text"), " ").to_pylist():
-        h = _FP_SEED
-        for tok in toks:
-            h = ((h * _FP_BASE) & _MASK64) ^ th(tok)
-        fps.append(f"{h:016x}")
+    The recurrence is inherently sequential ALONG a document (multiply
+    does not distribute over xor), but not ACROSS documents — so it runs
+    column-wise: one blake2b per unique token (``dictionary_encode``),
+    tokens bucketed by within-doc position (stable argsort), then one
+    vectorized gather→update→scatter per position over every document in
+    the batch at once.  max(tokens/doc) numpy steps instead of one Python
+    step per token; bit-identical to the per-doc loop (golden-pinned)."""
+    tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+    flat = tok_lists.flatten()
+    n_tok = pc.list_value_length(tok_lists).to_numpy().astype(np.int64)
+    H = np.full(batch.num_rows, _FP_SEED, dtype=np.uint64)
+    if len(flat):
+        parent = pc.list_parent_indices(tok_lists).to_numpy()
+        enc = flat.dictionary_encode()
+        vocab_hash = np.fromiter(
+            (token_hash64(t) for t in enc.dictionary.to_pylist()),
+            np.uint64,
+            len(enc.dictionary),
+        )
+        th = vocab_hash[enc.indices.to_numpy()]
+        starts = np.cumsum(n_tok) - n_tok
+        j = np.arange(len(th), dtype=np.int64) - starts[parent]
+        order = np.argsort(j, kind="stable")
+        th_s, parent_s = th[order], parent[order]
+        offs = np.r_[0, np.cumsum(np.bincount(j))]
+        base = np.uint64(_FP_BASE)
+        with np.errstate(over="ignore"):
+            for p in range(len(offs) - 1):
+                sl = slice(offs[p], offs[p + 1])
+                d = parent_s[sl]
+                H[d] = (H[d] * base) ^ th_s[sl]
+    fps = [f"{h:016x}" for h in H.tolist()]
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(fps, type=pa.string())],
         names=["doc_id", "fingerprint"],
