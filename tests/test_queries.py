@@ -408,10 +408,12 @@ def test_cross_source_leakage_planted(ray_session, tmp_path):
         (4, "self duplicate", "src3"),
         (5, "self duplicate", "src3"),  # one source only
         (6, "unique page", "src4"),
+        (7, None, "src5"),              # NULL ≡ '' — same text as doc 8,
+        (8, "", "src6"),                # re-hosted by two sources
     ])
     got = _normalize(_to_pandas(cross_source_leakage(str(tmp_path))))
     hist = dict(zip(got["n_sources"], got["n_texts"]))
-    assert hist == {3: 1, 1: 2}
+    assert hist == {3: 1, 2: 1, 1: 2}
 
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
