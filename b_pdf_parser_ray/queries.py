@@ -6775,6 +6775,86 @@ FROM p
 """
 
 
+def layout_reading_order(sf_dir: str):
+    """Layout-aware reconstruction end-to-end, oracle-checked — the north
+    rule's "column detection, reading-order sort via y/x coordinate
+    clustering" exercised as a real kernel (``stages/layout.py``), not
+    left latent in the extraction backends: each document's tokens are
+    deterministically typeset onto a two-column page (≥8 tokens → two
+    columns, column-major: first ⌈n/2⌉ tokens stack top-down at x≈0.05,
+    the rest at x≈0.60, with intra-column x jitter ≪ the gap threshold),
+    the positioned spans are deterministically SHUFFLED (order by the
+    engine key hash — the stage may not trust input order), pushed through
+    ``assign_reading_order`` (gap-clustered columns → (col, −y, x) sort),
+    and reassembled; ``order_ok`` is literal string equality of the
+    rebuilt text against the original, so the hash check pins the whole
+    technique.  A naive y-then-x sort interleaves the two columns and
+    fails this — the column split is load-bearing.
+
+    Scale shape: map-only, one streaming pass, everything vectorized
+    (two lexsorts + cumsum across the whole batch; assembly is the
+    prefix-sum ListArray + ``binary_join`` trick)."""
+    from .stages.layout import reading_order_flat
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text").combine_chunks(), "")
+        tok_lists = pc.split_pattern(texts, " ")
+        toks = tok_lists.flatten()
+        n_tok = pc.list_value_length(tok_lists).to_numpy().astype(np.int64)
+        doc_idx = pc.list_parent_indices(tok_lists).to_numpy().astype(np.int64)
+        starts = np.cumsum(n_tok) - n_tok
+        i = np.arange(len(toks), dtype=np.int64) - starts[doc_idx]  # token #
+        half = (n_tok[doc_idx] + 1) // 2
+        two_col = n_tok[doc_idx] >= 8
+        col = np.where(two_col & (i >= half), 1, 0)
+        row = np.where(col == 1, i - half, i)
+        x = 0.05 + 0.55 * col + 0.001 * (row % 3)
+        y = -row.astype(np.float64)
+
+        # deterministic shuffle: the stage may not rely on input order
+        perm = np.argsort(
+            _sample_hash_u64(np.arange(len(toks), dtype=np.int64)), kind="stable"
+        )
+        sdoc, sx, sy = doc_idx[perm], x[perm], y[perm]
+        stoks = toks.take(pa.array(perm))
+
+        column, offset, n_cols = reading_order_flat(sdoc, sx, sy)
+
+        # reassemble in (doc, offset) order and compare with the original
+        back = np.lexsort((offset, sdoc))
+        ordered = stoks.take(pa.array(back))
+        offsets = pa.array(np.r_[0, np.cumsum(n_tok)], type=pa.int64())
+        rebuilt = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, ordered), " "
+        )
+        ok = pc.equal(rebuilt, texts)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(n_tok, type=pa.int64()),
+                pa.array(n_cols, type=pa.int64()),
+                ok,
+                pc.cast(pc.utf8_length(texts), pa.int64()),
+            ],
+            names=["doc_id", "n_spans", "n_cols", "order_ok", "body_chars"],
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+LAYOUT_READING_ORDER_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_spans,
+       CAST(CASE WHEN len(string_split(coalesce(text, ''), ' ')) >= 8
+                 THEN 2 ELSE 1 END AS BIGINT) AS n_cols,
+       TRUE AS order_ok,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS body_chars
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6890,6 +6970,7 @@ QUERIES: Dict[str, Callable] = {
     "corpus_zipf_slope": corpus_zipf_slope,
     "dedup_repeated_windows": dedup_repeated_windows,
     "dedup_substring_cut": dedup_substring_cut,
+    "layout_reading_order": layout_reading_order,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -6991,6 +7072,7 @@ ORACLE_SQL: Dict[str, str] = {
     "corpus_zipf_slope": CORPUS_ZIPF_SQL,
     "dedup_repeated_windows": DEDUP_REPEATED_WINDOWS_SQL,
     "dedup_substring_cut": DEDUP_SUBSTRING_CUT_SQL,
+    "layout_reading_order": LAYOUT_READING_ORDER_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
