@@ -6586,13 +6586,24 @@ def dedup_repeated_windows(
     ).map_batches(finish, batch_format="pyarrow")
 
 
-def dedup_substring_cut(sf_dir: str, width: int = 8, num_partitions: int = None):
+def dedup_substring_cut(
+    sf_dir: str,
+    width: int = 8,
+    num_partitions: int = None,
+    keep_first: bool = False,
+):
     """ExactSubstr dedup *action* (Lee et al. 2022 §4): cut every token
     covered by a ``width``-token window that occurs ≥2 times anywhere in
     the corpus, returning the cleaned text plus audit counts — the
     operator that actually removes cross-document boilerplate/quotation
-    duplication that doc-grain dedup keeps.  All occurrences are cut
-    (the paper's behavior; one copy survives only via doc-grain dedup).
+    duplication that doc-grain dedup keeps.  Default cuts ALL occurrences
+    (the paper's behavior; one copy survives only via doc-grain dedup);
+    ``keep_first=True`` exempts each repeated window's globally-first
+    occurrence (min ``(doc_id, start)`` — deterministic, order/layout/
+    cluster-size independent), the keep-one-canonical-copy policy a
+    training corpus usually wants.  The first-occurrence argmin is
+    partition-local (all instances of a window hash share a partition),
+    so the policy costs nothing extra.
 
     Scale shape — three bounded exchanges, no doc-grain driver state:
     stage 1 emits one (window_hash, doc_id, start) row per window
@@ -6639,9 +6650,15 @@ def dedup_substring_cut(sf_dir: str, width: int = 8, num_partitions: int = None)
         )
 
     def repeated_instances(df: pd.DataFrame) -> pd.DataFrame:
-        totals = df.groupby("whash")["whash"].transform("size")
-        keep = df[totals >= 2]
-        return pd.DataFrame({"doc_id": keep["doc_id"], "off": keep["off"]})
+        grp = df.groupby("whash")
+        cut_mask = grp["whash"].transform("size") >= 2
+        if keep_first:
+            # pack (doc_id, off) into one int64 so min == lexicographic
+            # first occurrence (off < 2^32 per doc by int32 span offsets)
+            key = df["doc_id"] * np.int64(1 << 32) + df["off"]
+            cut_mask &= key != key.groupby(df["whash"]).transform("min")
+        cut = df[cut_mask]
+        return pd.DataFrame({"doc_id": cut["doc_id"], "off": cut["off"]})
 
     cuts = (
         docs.map_batches(window_rows, batch_format="pyarrow")
@@ -6734,6 +6751,50 @@ c AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
 cut AS (
   SELECT DISTINCT w.doc_id, t.j
   FROM w JOIN c USING (win), unnest(generate_series(w.i, w.i + 7)) AS t(j)
+),
+tok AS (
+  SELECT doc_id, toks[u.ord] AS tok, u.ord
+  FROM d, unnest(generate_series(1, len(toks))) AS u(ord)
+),
+kept AS (
+  SELECT tok.doc_id,
+         string_agg(tok.tok, ' ' ORDER BY tok.ord) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM tok
+  LEFT JOIN cut ON cut.doc_id = tok.doc_id AND cut.j = tok.ord
+  WHERE cut.j IS NULL
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
+FROM d LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def dedup_substring_cut_keep_first(sf_dir: str, width: int = 8):
+    """`dedup_substring_cut` with the keep-one-canonical-copy policy (each
+    repeated window's globally-first occurrence survives) — see there."""
+    return dedup_substring_cut(sf_dir, width=width, keep_first=True)
+
+
+# same plan as DEDUP_SUBSTRING_CUT_SQL, but each window's first occurrence
+# (min packed (doc_id, i) key — SQL i is 1-based, Ray off 0-based: a
+# constant shift per occurrence, so the argmin is identical) is exempt
+DEDUP_SUBSTRING_CUT_KEEP_FIRST_SQL = """
+WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+           FROM documents),
+w AS (
+  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS win
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 8 + 1, 0))) AS g(i)
+),
+c AS (SELECT win, min(doc_id * 4294967296 + i) AS first_key
+      FROM w GROUP BY win HAVING count(*) >= 2),
+cut AS (
+  SELECT DISTINCT w.doc_id, t.j
+  FROM w JOIN c USING (win), unnest(generate_series(w.i, w.i + 7)) AS t(j)
+  WHERE w.doc_id * 4294967296 + w.i <> c.first_key
 ),
 tok AS (
   SELECT doc_id, toks[u.ord] AS tok, u.ord
@@ -6970,6 +7031,7 @@ QUERIES: Dict[str, Callable] = {
     "corpus_zipf_slope": corpus_zipf_slope,
     "dedup_repeated_windows": dedup_repeated_windows,
     "dedup_substring_cut": dedup_substring_cut,
+    "dedup_substring_cut_keep_first": dedup_substring_cut_keep_first,
     "layout_reading_order": layout_reading_order,
 }
 
@@ -7072,6 +7134,7 @@ ORACLE_SQL: Dict[str, str] = {
     "corpus_zipf_slope": CORPUS_ZIPF_SQL,
     "dedup_repeated_windows": DEDUP_REPEATED_WINDOWS_SQL,
     "dedup_substring_cut": DEDUP_SUBSTRING_CUT_SQL,
+    "dedup_substring_cut_keep_first": DEDUP_SUBSTRING_CUT_KEEP_FIRST_SQL,
     "layout_reading_order": LAYOUT_READING_ORDER_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest

@@ -531,6 +531,40 @@ def test_substring_cut_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, again, check_dtype=False)
 
 
+def test_substring_cut_keep_first_planted(ray_session, tmp_path):
+    """keep_first policy: each repeated window's globally-first occurrence
+    (min (doc_id, start)) survives — doc 0 keeps the boilerplate it hosts
+    first, doc 1 loses its copy, the self-repeating doc keeps exactly its
+    first period."""
+    from b_pdf_parser_ray.queries import (
+        DEDUP_SUBSTRING_CUT_KEEP_FIRST_SQL,
+        dedup_substring_cut_keep_first,
+    )
+
+    boiler = "all rights reserved contact the publisher for permissions worldwide"
+    full0 = "alpha beta gamma delta " + boiler
+    _write_docs(tmp_path, [
+        (0, full0, "src0"),
+        (1, boiler + " epsilon zeta eta theta", "src1"),
+        (2, "one two three four five six seven eight one two three four"
+            " five six seven eight", "src2"),
+        (3, "too short to window", "src3"),
+    ])
+    got = _normalize(_to_pandas(dedup_substring_cut_keep_first(str(tmp_path))))
+    by_doc = got.set_index("doc_id")
+    assert by_doc.loc[0, "clean_text"] == full0            # first occurrence kept
+    assert by_doc.loc[1, "clean_text"] == "epsilon zeta eta theta"
+    assert by_doc.loc[2, "clean_text"] == (
+        "one two three four five six seven eight"          # first period kept
+    )
+    assert by_doc.loc[3, "clean_text"] == "too short to window"
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = _normalize(con.sql(DEDUP_SUBSTRING_CUT_KEEP_FIRST_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_funnel_partition_count_invariance(ray_session):
     """events_funnel_counts must be P-invariant like every salted-partition
     operator: user rows are partition-local at any P, so the three stage
