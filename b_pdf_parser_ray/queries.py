@@ -6916,6 +6916,101 @@ FROM documents
 """
 
 
+def doc_train_split(sf_dir: str):
+    """Deterministic train/val/test assignment — the split every training
+    run needs, as a pure map-side filterable label: bucket = engine key
+    hash mod 20, bucket 0 → 'val', 1 → 'test', else 'train' (a 90/5/5
+    split in expectation, EXACT per doc).  Stable under retries, block
+    layout, and cluster size; no coordination, no shuffle, no RNG state —
+    the same property as ``doc_sample_hash``, whose HUGEINT oracle
+    arithmetic this reuses."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = (_sample_hash_u64(ids) % np.uint64(20)).astype(np.int64)
+        split = np.where(b == 0, "val", np.where(b == 1, "test", "train"))
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+DOC_TRAIN_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE CAST(((CAST(doc_id AS HUGEINT) * {_SAMPLE_A} + {_SAMPLE_B})
+                  % 18446744073709551616) % 20 AS BIGINT)
+            WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def events_hourly_anomalies(sf_dir: str):
+    """Traffic-anomaly screen: per event type, the z-score of each hourly
+    event count against that type's own hourly distribution — the standard
+    burst/outage detector run before trusting event-derived training
+    signals.
+
+    Scale shape: the corpus-sized work is the pre-reduced (type, hour)
+    count exchange (``grouped_agg`` partials — identical to
+    ``events_hourly``); z-scores are computed per type over the RESULT
+    (|hours| rows per group, bounded by the time range, not the corpus).
+    The z formula is written identically on both engines over exact
+    integer sums — ``(n·k − s1) / sqrt(k·s2 − s1²)`` with the same
+    cast-to-double points — so the rounded values hash-match (no
+    Welford-vs-two-pass stddev divergence)."""
+    import math
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit="hour"),
+            format="%Y-%m-%d %H:00:00",
+        )
+        return batch.drop_columns(["ts"]).append_column("hour", hour)
+
+    hourly = grouped_agg(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [(None, "count", "n_events")],
+    )
+
+    def zscore(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_events"].to_numpy().astype(np.int64)
+        k = len(n)
+        s1 = int(n.sum())
+        s2 = int((n * n).sum())
+        den = math.sqrt(float(k) * s2 - float(s1) * s1)
+        if den <= 0.0:  # constant traffic: z undefined, drop (oracle WHERE)
+            return df.iloc[0:0].assign(z=pd.Series([], dtype="float64"))
+        z = (n.astype(np.float64) * k - s1) / den
+        return df.assign(z=sql_round(z, 4))
+
+    return hourly.groupby("event_type").map_groups(zscore, batch_format="pandas")
+
+
+EVENTS_HOURLY_ANOMALY_SQL = """
+WITH h AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM h GROUP BY 1
+)
+SELECT h.event_type, h.hour, h.n_events,
+       round((CAST(h.n_events AS DOUBLE) * s.k - s.s1)
+             / sqrt(CAST(s.k AS DOUBLE) * s.s2
+                    - CAST(s.s1 AS DOUBLE) * s.s1), 4) AS z
+FROM h JOIN s USING (event_type)
+WHERE CAST(s.k AS DOUBLE) * s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7033,6 +7128,8 @@ QUERIES: Dict[str, Callable] = {
     "dedup_substring_cut": dedup_substring_cut,
     "dedup_substring_cut_keep_first": dedup_substring_cut_keep_first,
     "layout_reading_order": layout_reading_order,
+    "doc_train_split": doc_train_split,
+    "events_hourly_anomalies": events_hourly_anomalies,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -7136,6 +7233,8 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_substring_cut": DEDUP_SUBSTRING_CUT_SQL,
     "dedup_substring_cut_keep_first": DEDUP_SUBSTRING_CUT_KEEP_FIRST_SQL,
     "layout_reading_order": LAYOUT_READING_ORDER_SQL,
+    "doc_train_split": DOC_TRAIN_SPLIT_SQL,
+    "events_hourly_anomalies": EVENTS_HOURLY_ANOMALY_SQL,
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
