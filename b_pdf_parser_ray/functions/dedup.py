@@ -654,6 +654,72 @@ def embedding_near_dups(
     return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
 
 
+def semantic_dedup(
+    ds,
+    n_clusters: int = 16,
+    eps: float = 0.05,
+    max_cluster: int = 4096,
+    seed: int = 3,
+):
+    """Semantic dedup via cluster-then-pairwise (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540): k-means-cluster the embedding space, then
+    within each cluster mark a vector as a duplicate when its cosine
+    similarity to a lower-id cluster member is ≥ 1 − eps (keep-first —
+    the lowest id in each semantic group survives).
+
+    Scale shape: the corpus-sized passes are the bounded-sample k-means
+    (``IVFIndex.train``, ≤100k rows on the driver) and the streaming
+    centroid ``assign`` (one map_batches); the O(n²) pairwise kernel runs
+    per cluster, whose expected size is corpus / n_clusters — n_clusters
+    is the knob that must scale with the corpus (the paper used 50k
+    clusters for LAION-scale).  Oversized clusters are truncated at
+    ``max_cluster`` with an explicit ``truncated`` flag rather than
+    silently OOMing a worker.
+
+    Returns a drop-list Dataset: (dup_id, kept_id, cosine, truncated).
+    """
+    from .ann import IVFIndex
+
+    index = IVFIndex.train(ds, n_clusters=n_clusters, seed=seed)
+    assigned = index.assign(ds.select_columns(["vec_id", "embedding"]))
+    thr = 1.0 - eps
+
+    def cluster_dups(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "dup_id": pd.Series([], dtype="int64"),
+                "kept_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+                "truncated": pd.Series([], dtype="bool"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("vec_id", ignore_index=True)
+        truncated = len(g) > max_cluster
+        if truncated:
+            g = g.iloc[:max_cluster]
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = np.triu(mat @ mat.T, k=1)  # sims[i, j] defined for i < j only
+        hit = sims >= thr
+        dup_cols = np.nonzero(hit.any(axis=0))[0]
+        if not len(dup_cols):
+            return empty
+        keep_row = hit[:, dup_cols].argmax(axis=0)  # first (lowest-id) match
+        return pd.DataFrame(
+            {
+                "dup_id": ids[dup_cols].astype("int64"),
+                "kept_id": ids[keep_row].astype("int64"),
+                "cosine": np.round(sims[keep_row, dup_cols], 6),
+                "truncated": np.full(len(dup_cols), truncated),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(cluster_dups, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Connected components (dedup clustering)
 # ---------------------------------------------------------------------------

@@ -7011,6 +7011,69 @@ WHERE CAST(s.k AS DOUBLE) * s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 > 0
 """
 
 
+def doc_shuffle_shards(sf_dir: str, num_shards: int = 64):
+    """Global deterministic shuffle into training shards — the final step
+    before any training run: every document gets the engine's Weyl key
+    hash, ``shard = h mod num_shards``, and ``pos`` = rank of (h, doc_id)
+    within its shard, so the full corpus order is a reproducible
+    permutation with no RNG state and no driver coordination.
+
+    Scale shape: one Ray group per shard assembles one output shard (the
+    shard file must be built somewhere); ``num_shards`` is the knob that
+    must scale with the corpus so corpus/num_shards fits a worker — the
+    same contract as ``doc_pack_sequences`` (the oracle embeds 64)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _sample_hash_u64(ids)
+        shard = (h % np.uint64(num_shards)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(shard), pa.array(h)],
+            names=["doc_id", "shard", "h"],
+        )
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], ignore_index=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g.drop(columns=["h"])
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order, batch_format="pandas")
+    )
+
+
+DOC_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) * {_SAMPLE_A} + {_SAMPLE_B})
+         % 18446744073709551616 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h % 64 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM k
+"""
+
+
+def dedup_semantic(sf_dir: str):
+    """SemDeDup semantic near-dedup over the embeddings table (see
+    ``functions.dedup.semantic_dedup``).  Rows-only: k-means clustering is
+    not SQL-expressible; the operator is pinned by planted-duplicate and
+    keep-first-policy tests in tests/test_dedup_ann.py."""
+    from .functions.dedup import semantic_dedup
+
+    return semantic_dedup(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        n_clusters=16,
+        eps=0.1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7130,6 +7193,8 @@ QUERIES: Dict[str, Callable] = {
     "layout_reading_order": layout_reading_order,
     "doc_train_split": doc_train_split,
     "events_hourly_anomalies": events_hourly_anomalies,
+    "doc_shuffle_shards": doc_shuffle_shards,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -7235,6 +7300,9 @@ ORACLE_SQL: Dict[str, str] = {
     "layout_reading_order": LAYOUT_READING_ORDER_SQL,
     "doc_train_split": DOC_TRAIN_SPLIT_SQL,
     "events_hourly_anomalies": EVENTS_HOURLY_ANOMALY_SQL,
+    "doc_shuffle_shards": DOC_SHUFFLE_SQL,
+    # dedup_semantic: k-means cluster-then-pairwise (SemDeDup) → rows-only;
+    # planted-dup recall + keep-first policy pinned in tests/test_dedup_ann.py
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;

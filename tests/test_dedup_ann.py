@@ -393,3 +393,54 @@ def test_ivf_refine_monotone_objective(ray_session):
     q = vecs[7]
     got = index.search(index.assign(ds), q, k=5, nprobe=3).to_pandas()
     assert len(got) == 5
+
+
+def test_semantic_dedup_finds_planted_keep_first(ray_session):
+    import ray.data
+
+    from b_pdf_parser_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.RandomState(13)
+    # 4 well-separated k-means clusters; intra-cluster noise large enough
+    # that ordinary cluster-mates stay well below the 0.95 cosine threshold
+    centers = rng.normal(size=(4, 64)) * 3
+    vecs = np.concatenate([c + rng.normal(size=(30, 64)) * 2.0 for c in centers])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    # plant: 200 ≈ 5 (tiny noise), 201 == 17 exactly, 202 ≈ 5 again (chain)
+    rows.append({"vec_id": 200, "embedding": (vecs[5] + rng.normal(scale=0.01, size=64)).tolist()})
+    rows.append({"vec_id": 201, "embedding": vecs[17].tolist()})
+    rows.append({"vec_id": 202, "embedding": (vecs[5] + rng.normal(scale=0.01, size=64)).tolist()})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    drops = semantic_dedup(ds, n_clusters=4, eps=0.05).to_pandas()
+    by_dup = {int(r.dup_id): int(r.kept_id) for r in drops.itertuples()}
+    # keep-first: the lowest id of each semantic group survives, later
+    # members are dropped and point back at it
+    assert by_dup.get(200) == 5
+    assert by_dup.get(201) == 17
+    assert by_dup.get(202) == 5
+    assert 5 not in by_dup and 17 not in by_dup
+    # no false positives among ordinary cluster-mates
+    assert set(by_dup) == {200, 201, 202}
+    assert not drops["truncated"].any()
+
+
+def test_semantic_dedup_truncates_oversized_cluster(ray_session):
+    import ray.data
+
+    from b_pdf_parser_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.RandomState(21)
+    base = rng.normal(size=64)
+    # 30 near-identical vectors in one cluster, cap at 10: the kernel must
+    # truncate (flagging it) instead of scanning the full O(n^2) block
+    rows = [
+        {"vec_id": i, "embedding": (base + rng.normal(scale=0.001, size=64)).tolist()}
+        for i in range(30)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    drops = semantic_dedup(ds, n_clusters=1, eps=0.05, max_cluster=10).to_pandas()
+    assert len(drops) == 9  # ids 1..9 all dup of 0 within the truncated head
+    assert drops["truncated"].all()
+    assert set(drops["dup_id"]) == set(range(1, 10))
+    assert (drops["kept_id"] == 0).all()

@@ -60,6 +60,7 @@ _MAY_BE_EMPTY = {
     "dedup_simhash",
     "dedup_embeddings",
     "dedup_ngram_verify",
+    "dedup_semantic",
 }
 
 
