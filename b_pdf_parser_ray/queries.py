@@ -7060,6 +7060,112 @@ FROM k
 """
 
 
+def doc_bm25_topk(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """BM25 relevance top-k for a fixed query ("hash join query") — the
+    retrieval-style ranking a curation pipeline uses to pull on-topic
+    documents (Robertson & Zaragoza 2009; the Lucene ``ln(1 + (N−df+.5)/
+    (df+.5))`` idf variant, which is always positive).
+
+    Scale shape: ONE pass over text reduces each document to a 5-int row
+    (doc_id, dl, tf per query term); the compact projection (~40 bytes/doc,
+    ≈0.4% of a 10 KB/doc corpus) is materialized so corpus stats and
+    scoring don't re-scan text.  Stats (N, Σdl, per-term df) come from
+    per-block partials — one row per block reaches the driver — and the
+    float score formula is written with identical operation order on both
+    engines so rounded values hash-match."""
+    import math
+
+    terms = ["hash", "join", "query"]
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def compact(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        arrays = [batch.column("doc_id"), pc.cast(pc.list_value_length(toks), pa.int64())]
+        names = ["doc_id", "dl"]
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        n = len(batch)
+        for t in terms:
+            idx = parent.filter(pc.equal(flat, t)).to_numpy(zero_copy_only=False)
+            arrays.append(pa.array(np.bincount(idx, minlength=n).astype(np.int64)))
+            names.append(f"tf_{t}")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    compact_ds = ds.map_batches(compact, batch_format="pyarrow").materialize()
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        row = {
+            "n": [t.num_rows],
+            "sum_dl": [pc.sum(t.column("dl")).as_py() or 0],
+        }
+        for q in terms:
+            row[f"df_{q}"] = [
+                pc.sum(pc.cast(pc.greater(t.column(f"tf_{q}"), 0), pa.int64())).as_py()
+                or 0
+            ]
+        return pa.Table.from_pydict(row)
+
+    parts = compact_ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n"].sum())
+    avgdl = int(parts["sum_dl"].sum()) / n_docs
+    idf = {
+        q: math.log((n_docs - int(parts[f"df_{q}"].sum()) + 0.5)
+                    / (int(parts[f"df_{q}"].sum()) + 0.5) + 1.0)
+        for q in terms
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        norm = k1 * (1.0 - b + b * (dl.astype(np.float64) / avgdl))
+        s = np.zeros(len(batch), dtype=np.float64)
+        for q in terms:
+            tf = batch.column(f"tf_{q}").to_numpy(zero_copy_only=False).astype(np.float64)
+            s = s + idf[q] * (tf * (k1 + 1.0)) / (tf + norm)
+        out = batch.append_column("score", pa.array(sql_round(s, 4)))
+        return out.filter(pa.array(s > 0.0))
+
+    return (
+        compact_ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+DOC_BM25_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         CAST(len(list_filter(string_split(text, ' '), t -> t = 'hash')) AS BIGINT) AS tf_hash,
+         CAST(len(list_filter(string_split(text, ' '), t -> t = 'join')) AS BIGINT) AS tf_join,
+         CAST(len(list_filter(string_split(text, ' '), t -> t = 'query')) AS BIGINT) AS tf_query
+  FROM documents
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN tf_hash  > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+         CAST(sum(CASE WHEN tf_join  > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+         CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query
+  FROM c
+)
+SELECT doc_id, dl, tf_hash, tf_join, tf_query,
+       round(
+           ln((s.n - s.df_hash + 0.5) / (s.df_hash + 0.5) + 1.0)
+             * (tf_hash * (1.2 + 1.0))
+             / (tf_hash + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(s.sum_dl AS DOUBLE) / s.n))))
+         + ln((s.n - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0)
+             * (tf_join * (1.2 + 1.0))
+             / (tf_join + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(s.sum_dl AS DOUBLE) / s.n))))
+         + ln((s.n - s.df_query + 0.5) / (s.df_query + 0.5) + 1.0)
+             * (tf_query * (1.2 + 1.0))
+             / (tf_query + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(s.sum_dl AS DOUBLE) / s.n)))),
+         4) AS score
+FROM c, s
+WHERE tf_hash + tf_join + tf_query > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def dedup_semantic(sf_dir: str):
     """SemDeDup semantic near-dedup over the embeddings table (see
     ``functions.dedup.semantic_dedup``).  Rows-only: k-means clustering is
@@ -7195,6 +7301,7 @@ QUERIES: Dict[str, Callable] = {
     "events_hourly_anomalies": events_hourly_anomalies,
     "doc_shuffle_shards": doc_shuffle_shards,
     "dedup_semantic": dedup_semantic,
+    "doc_bm25_topk": doc_bm25_topk,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -7301,6 +7408,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_train_split": DOC_TRAIN_SPLIT_SQL,
     "events_hourly_anomalies": EVENTS_HOURLY_ANOMALY_SQL,
     "doc_shuffle_shards": DOC_SHUFFLE_SQL,
+    "doc_bm25_topk": DOC_BM25_SQL,
     # dedup_semantic: k-means cluster-then-pairwise (SemDeDup) → rows-only;
     # planted-dup recall + keep-first policy pinned in tests/test_dedup_ann.py
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
