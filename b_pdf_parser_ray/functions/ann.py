@@ -19,6 +19,7 @@ from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .numeric import sql_round
 
@@ -311,3 +312,66 @@ class IVFIndex:
             batch_format="pyarrow",
         )
         return topk_cosine(candidates, query_vec, k=k)
+
+
+def pca_project(ds, n_components: int = 8, round_digits: int = 6):
+    """Distributed PCA projection of an embedding column.
+
+    Pass 1 reduces each BLOCK to its moment partials (n, Σx, XᵀX) — 1 + dim
+    + dim² numbers per block cross the exchange, never the vectors; the
+    dim×dim covariance eigendecomposition runs on the driver (trivial for
+    embedding dims); pass 2 is a streaming mean-center + matmul projection
+    with the (mean, W) pair broadcast once via ``ray.put``.
+
+    Determinism: partials are folded in first-vec_id order and each
+    component's sign is fixed so its largest-|w| element is positive, so
+    the same input yields bit-identical output at any parallelism (up to
+    the documented 1e-15 partial-fold reassociation, absorbed by
+    ``round_digits``).
+
+    Returns a Dataset (vec_id, pca list<double>).
+    """
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = embedding_matrix(batch.column("embedding")).astype(np.float64)
+        return pa.Table.from_pydict(
+            {
+                "first_id": [int(pc.min(batch.column("vec_id")).as_py())],
+                "n": [x.shape[0]],
+                "s": [x.sum(axis=0).tolist()],
+                "xtx": [(x.T @ x).ravel().tolist()],
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values("first_id", ignore_index=True)
+    n = int(parts["n"].sum())
+    dim = len(parts["s"].iloc[0])
+    s = np.zeros(dim)
+    xtx = np.zeros((dim, dim))
+    for i in range(len(parts)):
+        s += np.asarray(parts["s"].iloc[i])
+        xtx += np.asarray(parts["xtx"].iloc[i]).reshape(dim, dim)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][: min(n_components, dim)]
+    w = evecs[:, order]
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(w.shape[1])])
+    w = w * np.where(flip == 0, 1.0, flip)
+    wref = ray.put((mean, w))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, wm = ray.get(wref)
+        x = embedding_matrix(batch.column("embedding")).astype(np.float64)
+        proj = np.round((x - m) @ wm, round_digits)
+        return pa.Table.from_arrays(
+            [
+                batch.column("vec_id"),
+                pa.array(proj.tolist(), type=pa.list_(pa.float64())),
+            ],
+            names=["vec_id", "pca"],
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

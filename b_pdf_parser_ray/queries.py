@@ -7166,6 +7166,20 @@ LIMIT 10
 """
 
 
+def embedding_pca(sf_dir: str):
+    """Distributed PCA projection of the embeddings table to 8 components
+    (see ``functions.ann.pca_project``).  Rows-only: an eigendecomposition
+    is not SQL-expressible; the operator is pinned by isometry (full-rank
+    pairwise-distance preservation), variance-ordering, diagonal-projected-
+    covariance, and determinism tests in tests/test_dedup_ann.py."""
+    from .functions.ann import pca_project
+
+    return pca_project(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        n_components=8,
+    )
+
+
 def dedup_semantic(sf_dir: str):
     """SemDeDup semantic near-dedup over the embeddings table (see
     ``functions.dedup.semantic_dedup``).  Rows-only: k-means clustering is
@@ -7302,6 +7316,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_shuffle_shards": doc_shuffle_shards,
     "dedup_semantic": dedup_semantic,
     "doc_bm25_topk": doc_bm25_topk,
+    "embedding_pca": embedding_pca,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -7411,6 +7426,8 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_bm25_topk": DOC_BM25_SQL,
     # dedup_semantic: k-means cluster-then-pairwise (SemDeDup) → rows-only;
     # planted-dup recall + keep-first policy pinned in tests/test_dedup_ann.py
+    # embedding_pca: eigendecomposition → rows-only; isometry/variance-order/
+    # determinism pinned in tests/test_dedup_ann.py
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
     # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;

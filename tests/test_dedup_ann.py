@@ -444,3 +444,55 @@ def test_semantic_dedup_truncates_oversized_cluster(ray_session):
     assert drops["truncated"].all()
     assert set(drops["dup_id"]) == set(range(1, 10))
     assert (drops["kept_id"] == 0).all()
+
+
+def test_pca_project_full_rank_is_isometry(ray_session):
+    import ray.data
+
+    from b_pdf_parser_ray.functions.ann import pca_project
+
+    rng = np.random.RandomState(31)
+    dim, n = 16, 200
+    X = rng.normal(size=(n, dim)) * rng.uniform(0.5, 3.0, size=dim)
+    rows = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(n)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    out = pca_project(ds, n_components=dim).to_pandas().sort_values("vec_id")
+    P = np.stack(out["pca"].to_numpy())
+    # full-rank PCA is a rotation of centered data: pairwise distances match
+    ii = rng.choice(n, 50)
+    jj = rng.choice(n, 50)
+    d_orig = np.linalg.norm(X[ii] - X[jj], axis=1)
+    d_proj = np.linalg.norm(P[ii] - P[jj], axis=1)
+    np.testing.assert_allclose(d_proj, d_orig, atol=1e-4)
+    # projected covariance is diagonal with non-increasing diagonal = top
+    # eigenvalues of the directly-computed covariance
+    C = np.cov(P, rowvar=False, bias=True)
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 1e-6
+    evals = np.sort(np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True)))[::-1]
+    np.testing.assert_allclose(np.diag(C), evals, atol=1e-5)
+    assert (np.diff(np.diag(C)) <= 1e-9).all()
+
+
+def test_pca_project_truncated_and_deterministic(ray_session):
+    import ray.data
+
+    from b_pdf_parser_ray.functions.ann import pca_project
+
+    rng = np.random.RandomState(37)
+    X = rng.normal(size=(150, 16)) * np.linspace(3.0, 0.1, 16)
+    rows = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(150)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    a = pca_project(ds, n_components=4).to_pandas().sort_values("vec_id")
+    b = pca_project(ds, n_components=4).to_pandas().sort_values("vec_id")
+    Pa = np.stack(a["pca"].to_numpy())
+    Pb = np.stack(b["pca"].to_numpy())
+    assert Pa.shape == (150, 4)
+    np.testing.assert_array_equal(Pa, Pb)  # bit-identical across runs
+    # top-4 projected variance matches the top-4 covariance eigenvalues
+    evals = np.sort(np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True)))[::-1][:4]
+    np.testing.assert_allclose(
+        np.var(Pa, axis=0), evals, rtol=1e-4
+    )
