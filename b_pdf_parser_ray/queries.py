@@ -7186,10 +7186,15 @@ def dedup_semantic(sf_dir: str):
     not SQL-expressible; the operator is pinned by planted-duplicate and
     keep-first-policy tests in tests/test_dedup_ann.py."""
     from .functions.dedup import semantic_dedup
+    from .sources.tables import table_rows
 
+    # cluster count grows with the corpus so the per-cluster O(n²) kernel
+    # stays bounded (~2k expected rows/cluster), floored at 16 for small
+    # inputs — the same footer-metadata sizing trick as the join gate
+    n_rows = table_rows(sf_dir, "embeddings")
     return semantic_dedup(
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        n_clusters=16,
+        n_clusters=max(16, n_rows // 2000),
         eps=0.1,
     )
 
