@@ -6980,10 +6980,13 @@ def events_hourly_anomalies(sf_dir: str):
         k = len(n)
         s1 = int(n.sum())
         s2 = int((n * n).sum())
-        den = math.sqrt(float(k) * s2 - float(s1) * s1)
-        if den <= 0.0:  # constant traffic: z undefined, drop (oracle WHERE)
+        arg = float(k) * s2 - float(s1) * s1
+        # guard BEFORE sqrt: k·s2 − s1² ≥ 0 by Cauchy-Schwarz in exact ints,
+        # but once sums pass 2^53 the float expression can round to a tiny
+        # negative — which must drop (oracle WHERE), not raise a domain error
+        if arg <= 0.0:  # constant traffic: z undefined
             return df.iloc[0:0].assign(z=pd.Series([], dtype="float64"))
-        z = (n.astype(np.float64) * k - s1) / den
+        z = (n.astype(np.float64) * k - s1) / math.sqrt(arg)
         return df.assign(z=sql_round(z, 4))
 
     return hourly.groupby("event_type").map_groups(zscore, batch_format="pandas")
