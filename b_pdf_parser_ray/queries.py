@@ -7169,6 +7169,127 @@ LIMIT 10
 """
 
 
+def source_token_budget(sf_dir: str, budget: int = 800):
+    """Per-source token-budget curation (C4/Pile-style mixture capping):
+    keep each source's highest-quality documents — rank (quality DESC,
+    doc_id ASC) — until the source's token budget is spent; the doc whose
+    cumulative count would cross the budget is dropped, exactly as the
+    oracle's windowed ``cum <= budget``.
+
+    Scale shape: ONE text pass reduces each doc to a 4-field compact row
+    (reusing ``quality_score_batch`` so the score can never drift from
+    ``doc_quality``); the exchange carries per-(source, quality-bucket)
+    token partials (≤ |sources| × 10⁴ rows — quality is rounded to 4
+    decimals); the driver walks each source's bucket histogram to place
+    the boundary bucket, fetches ONLY boundary-bucket rows to place the
+    exact cut (bounded by one quality bucket per source — the documented
+    resolution assumption), and the keep decision streams back as a
+    vectorized threshold-compare + tiny id-set filter.  No per-source Ray
+    group ever holds a source's full document list."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def compact_fn(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch)
+        n_tok = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch.column("text"), " ")),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column("source"), q.column("quality"), n_tok],
+            names=["doc_id", "source", "quality", "n_tokens"],
+        )
+
+    compact = ds.map_batches(compact_fn, batch_format="pyarrow").materialize()
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "quality"], use_threads=False).aggregate(
+            [("n_tokens", "sum")]
+        )
+        return g.rename_columns(["source", "quality", "tok"])
+
+    hist = compact.map_batches(bucket_partial, batch_format="pyarrow").to_pandas()
+    hist = hist.groupby(["source", "quality"], as_index=False)["tok"].sum()
+
+    # driver: walk each source's buckets best-first to place the boundary
+    thresholds: Dict[str, tuple] = {}
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("quality", ascending=False)
+        cum, q_star, before = 0, None, None
+        for qv, tok in zip(g["quality"], g["tok"]):
+            if cum + tok > budget:
+                q_star, before = float(qv), int(cum)
+                break
+            cum += int(tok)
+        thresholds[str(src)] = (q_star, before)
+
+    src_list = list(thresholds)
+    src_arr = pa.array(src_list)
+    qstar_np = np.array(
+        [thresholds[s][0] if thresholds[s][0] is not None else -np.inf for s in src_list]
+    )
+
+    def qstar_of(t: pa.Table) -> np.ndarray:
+        idx = pc.index_in(t.column("source"), value_set=src_arr).to_numpy(
+            zero_copy_only=False
+        )
+        return qstar_np[idx.astype(np.int64)]
+
+    # boundary rows only: each source's single threshold bucket
+    def is_boundary(t: pa.Table) -> pa.Table:
+        qual = t.column("quality").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(qual == qstar_of(t)))
+
+    boundary_keep: set = set()
+    if any(q is not None for q, _ in thresholds.values()):
+        brows = compact.map_batches(is_boundary, batch_format="pyarrow").to_pandas()
+        for src, g in brows.groupby("source"):
+            _, before = thresholds[str(src)]
+            g = g.sort_values("doc_id")
+            run = before + g["n_tokens"].cumsum()
+            boundary_keep.update(int(i) for i in g.loc[run <= budget, "doc_id"])
+    keep_ids = np.fromiter(boundary_keep, dtype=np.int64, count=len(boundary_keep))
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        qual = t.column("quality").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (qual > qstar_of(t)) | np.isin(ids, keep_ids)
+        return t.filter(pa.array(keep))
+
+    return compact.map_batches(final_filter, batch_format="pyarrow")
+
+
+SOURCE_TOKEN_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens_d,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_unique,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_tokens, n_tokens_d, n_unique,
+         CASE WHEN n_tokens_d > 0
+              THEN (n_chars - (n_tokens_d - 1)) / greatest(n_tokens_d, 1)
+              ELSE 0 END AS mean_wl,
+         least(n_tokens_d / 50.0, 1.0) AS len_score
+  FROM t
+), q AS (
+  SELECT doc_id, source, n_tokens,
+         round(0.4 * len_score
+               + 0.2 * (CASE WHEN mean_wl >= 2 AND mean_wl <= 12 THEN 1.0 ELSE 0.3 END)
+               + 0.4 * (CASE WHEN n_tokens_d > 0
+                             THEN n_unique / greatest(n_tokens_d, 1) ELSE 0 END),
+               4) AS quality
+  FROM s
+), r AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT doc_id, source, quality, n_tokens FROM r WHERE cum <= 800
+"""
+
+
 def embedding_pca(sf_dir: str):
     """Distributed PCA projection of the embeddings table to 8 components
     (see ``functions.ann.pca_project``).  Rows-only: an eigendecomposition
@@ -7325,6 +7446,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_semantic": dedup_semantic,
     "doc_bm25_topk": doc_bm25_topk,
     "embedding_pca": embedding_pca,
+    "source_token_budget": source_token_budget,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -7432,6 +7554,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_hourly_anomalies": EVENTS_HOURLY_ANOMALY_SQL,
     "doc_shuffle_shards": DOC_SHUFFLE_SQL,
     "doc_bm25_topk": DOC_BM25_SQL,
+    "source_token_budget": SOURCE_TOKEN_BUDGET_SQL,
     # dedup_semantic: k-means cluster-then-pairwise (SemDeDup) → rows-only;
     # planted-dup recall + keep-first policy pinned in tests/test_dedup_ann.py
     # embedding_pca: eigendecomposition → rows-only; isometry/variance-order/
