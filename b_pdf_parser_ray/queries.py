@@ -7290,6 +7290,213 @@ SELECT doc_id, source, quality, n_tokens FROM r WHERE cum <= 800
 """
 
 
+def events_grouping_sets(sf_dir: str):
+    """CUBE(event_type, day) — all four grouping sets of the standard
+    daily-traffic cube ((type, day), (type), (day), grand total) from ONE
+    pass over the fact table.
+
+    Scale shape: the only full-data exchange is the finest-level
+    (event_type, day) aggregate, pre-reduced in-batch with the Arrow C
+    group-by (the exchange carries one partial row per (type, day,
+    block)).  Every coarser grouping set re-aggregates the finest RESULT
+    — |types| × |days| rows — so the rollup levels cost tiny exchanges
+    and the fact table is scanned exactly once (a literal GROUPING SETS
+    evaluation scans it once per set).  Rolled-up dimensions carry the
+    'ALL' sentinel instead of NULL so the unioned output keeps one
+    non-null schema; ``grouping_id`` is the SQL-standard bitmask
+    2·grouping(event_type) + grouping(day).  Rounding happens only at
+    the output edge — coarse sums re-reduce the RAW finest partials."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit="day"), format="%Y-%m-%d"
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"), day, batch.column("value")],
+            names=["event_type", "day", "value"],
+        )
+        g = t.group_by(["event_type", "day"], use_threads=False).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "day", "n_events", "sum_value"])
+
+    from ray.data.aggregate import Sum
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+    roll = [("n_events", "sum", "n_events"), ("sum_value", "sum", "sum_value")]
+    type_lvl = grouped_agg(finest, ["event_type"], roll)
+    day_lvl = grouped_agg(finest, ["day"], roll)
+    grand = grouped_agg(
+        finest.map_batches(
+            lambda b: b.append_column(
+                "all", pa.array(np.zeros(b.num_rows, dtype=np.int8))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["all"],
+        roll,
+    )
+
+    def finalize(gid: int, type_col, day_col):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            sentinel = lambda: pa.array(["ALL"] * n, type=pa.string())  # noqa: E731
+            return pa.Table.from_arrays(
+                [
+                    batch.column(type_col) if type_col else sentinel(),
+                    batch.column(day_col) if day_col else sentinel(),
+                    pc.cast(batch.column("n_events"), pa.int64()),
+                    pa.array(
+                        sql_round(
+                            batch.column("sum_value").to_numpy(zero_copy_only=False), 2
+                        )
+                    ),
+                    pa.array(np.full(n, gid, dtype=np.int64)),
+                ],
+                names=["event_type", "day", "n_events", "sum_value", "grouping_id"],
+            ).replace_schema_metadata(None)  # one schema across the union
+
+        return fn
+
+    return (
+        finest.map_batches(finalize(0, "event_type", "day"), batch_format="pyarrow")
+        .union(type_lvl.map_batches(finalize(1, "event_type", None), batch_format="pyarrow"))
+        .union(day_lvl.map_batches(finalize(2, None, "day"), batch_format="pyarrow"))
+        .union(grand.map_batches(finalize(3, None, None), batch_format="pyarrow"))
+    )
+
+
+EVENTS_GROUPING_SETS_SQL = """
+WITH e AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS grouping_id
+FROM e
+GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+"""
+
+
+# docs per posting-list bucket: one (term, bucket) posting row is bounded by
+# this many ids even for a stopword that appears in EVERY document
+INDEX_BUCKET_DOCS = 20_000
+
+
+def corpus_inverted_index(sf_dir: str, num_buckets: int = None):
+    """Distributed inverted-index build: term → ascending postings list of
+    the doc_ids containing it — the retrieval artifact a training-data
+    pipeline materializes for contamination lookups and BM25 serving.
+
+    Postings shard into ``doc_id % B`` buckets so one output row's list is
+    bounded by |corpus|/B even for stopword-frequency terms; B scales with
+    the corpus from footer row-count metadata (floor 64, power of two,
+    same POWER/CEIL/LOG2 derivation the oracle recomputes from count(*) —
+    the ``doc_pack_sequences`` pattern).
+
+    Scale shape: one text pass explodes distinct (doc, term) pairs with an
+    in-batch Arrow C group-by (a document is one row, so per-batch
+    distinct IS globally distinct); the single exchange is keyed on the
+    bucket (cardinality B — a coarse partition, never one Ray group per
+    term); postings assemble inside each bucket fully in Arrow C:
+    sort_by(term, doc_id) → hash_list → ``binary_join``.  Output:
+    (term, bucket, n_docs, postings) with postings a comma-joined
+    ascending doc_id string."""
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_buckets is None:
+        num_buckets = salted_partitions(
+            table_rows(sf_dir, "documents"), target_rows=INDEX_BUCKET_DOCS
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        parent = pc.list_parent_indices(tok_lists)
+        doc = pc.take(batch.column("doc_id").combine_chunks(), parent)
+        pairs = pa.Table.from_arrays(
+            [doc, tok_lists.flatten()], names=["doc_id", "term"]
+        )
+        distinct = pairs.group_by(["doc_id", "term"], use_threads=False).aggregate([])
+        # doc_id % B == bit-and for power-of-two B and non-negative ids
+        bucket = pc.bit_wise_and(distinct.column("doc_id"), num_buckets - 1)
+        return distinct.append_column("bucket", bucket)
+
+    empty_out = pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "bucket": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "postings": pa.array([], type=pa.string()),
+        }
+    )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        g = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        t = pa.Table.from_arrays(
+            [g.column("term"), pc.cast(g.column("doc_id"), pa.string())],
+            names=["term", "doc_str"],
+        )
+        # hash_list aggregates in encounter order, so pre-sorted input
+        # yields ascending per-term lists
+        agg = t.group_by(["term"], use_threads=False).aggregate(
+            [("doc_str", "list"), ([], "count_all")]
+        )
+        assert agg.column_names[0] == "term", agg.column_names
+        return pa.Table.from_arrays(
+            [
+                agg.column(0),
+                pa.array(
+                    np.full(agg.num_rows, group.column("bucket")[0].as_py()),
+                    type=pa.int64(),
+                ),
+                pc.cast(agg.column(2), pa.int64()),
+                pc.binary_join(agg.column(1), ","),
+            ],
+            names=["term", "bucket", "n_docs", "postings"],
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
+CORPUS_INVERTED_INDEX_SQL = f"""
+WITH nb AS (
+  SELECT CAST(POWER(2, CEIL(LOG2(GREATEST(64,
+              CEIL(count(*) / {float(INDEX_BUCKET_DOCS)}))))) AS BIGINT) AS b
+  FROM documents
+),
+dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+)
+SELECT term,
+       CAST(doc_id % (SELECT b FROM nb) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM dt
+GROUP BY term, bucket
+"""
+
+
 def embedding_pca(sf_dir: str):
     """Distributed PCA projection of the embeddings table to 8 components
     (see ``functions.ann.pca_project``).  Rows-only: an eigendecomposition
@@ -7447,6 +7654,8 @@ QUERIES: Dict[str, Callable] = {
     "doc_bm25_topk": doc_bm25_topk,
     "embedding_pca": embedding_pca,
     "source_token_budget": source_token_budget,
+    "events_grouping_sets": events_grouping_sets,
+    "corpus_inverted_index": corpus_inverted_index,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -7555,6 +7764,8 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_shuffle_shards": DOC_SHUFFLE_SQL,
     "doc_bm25_topk": DOC_BM25_SQL,
     "source_token_budget": SOURCE_TOKEN_BUDGET_SQL,
+    "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
+    "corpus_inverted_index": CORPUS_INVERTED_INDEX_SQL,
     # dedup_semantic: k-means cluster-then-pairwise (SemDeDup) → rows-only;
     # planted-dup recall + keep-first policy pinned in tests/test_dedup_ann.py
     # embedding_pca: eigendecomposition → rows-only; isometry/variance-order/
