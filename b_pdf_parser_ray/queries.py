@@ -7295,18 +7295,47 @@ def events_grouping_sets(sf_dir: str):
     daily-traffic cube ((type, day), (type), (day), grand total) from ONE
     pass over the fact table.
 
-    Scale shape: the only full-data exchange is the finest-level
-    (event_type, day) aggregate, pre-reduced in-batch with the Arrow C
-    group-by (the exchange carries one partial row per (type, day,
-    block)).  Every coarser grouping set re-aggregates the finest RESULT
-    — |types| × |days| rows — so the rollup levels cost tiny exchanges
-    and the fact table is scanned exactly once (a literal GROUPING SETS
-    evaluation scans it once per set).  Rolled-up dimensions carry the
-    'ALL' sentinel instead of NULL so the unioned output keeps one
-    non-null schema; ``grouping_id`` is the SQL-standard bitmask
-    2·grouping(event_type) + grouping(day).  Rounding happens only at
-    the output edge — coarse sums re-reduce the RAW finest partials."""
+    Scale shape: ONE scan and ONE exchange for the whole cube.  Each
+    batch first reduces to its in-batch (type, day) groups with the
+    Arrow C group-by, then derives all four grouping-set partials FROM
+    that tiny pre-reduced table (coarser sets re-group |in-batch
+    groups| rows, not the batch), tagging each with its ``grouping_id``
+    and 'ALL' dimension sentinels.  The single exchange is keyed on
+    (grouping_id, event_type, day) — cardinality = the sum of the four
+    levels' result sizes — and carries only partial rows.  A literal
+    GROUPING SETS evaluation scans the fact table once per set and
+    shuffles each separately; this emits the union of partials through
+    one shuffle.  ``grouping_id`` is the SQL-standard bitmask
+    2·grouping(event_type) + grouping(day); rounding happens only at
+    the output edge — the exchange re-reduces RAW in-batch sums."""
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    NAMES = ["grouping_id", "event_type", "day", "n_events", "sum_value"]
+
+    def rollup(finest: pa.Table, keys, gid: int) -> pa.Table:
+        """Re-group the in-batch finest partials to a coarser set, filling
+        rolled-up dimensions with the 'ALL' sentinel."""
+        if keys:
+            g = finest.group_by(keys, use_threads=False).aggregate(
+                [("n_events", "sum"), ("sum_value", "sum")]
+            ).rename_columns(keys + ["n_events", "sum_value"])
+        else:
+            g = pa.table({
+                "n_events": [pc.sum(finest.column("n_events")).as_py() or 0],
+                "sum_value": [pc.sum(finest.column("sum_value")).as_py() or 0.0],
+            })
+        n = g.num_rows
+        sentinel = pa.array(["ALL"] * n, type=pa.string())
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(n, gid, dtype=np.int64)),
+                g.column("event_type") if "event_type" in keys else sentinel,
+                g.column("day") if "day" in keys else sentinel,
+                pc.cast(g.column("n_events"), pa.int64()),
+                pc.cast(g.column("sum_value"), pa.float64()),
+            ],
+            names=NAMES,
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         day = pc.strftime(
@@ -7316,63 +7345,46 @@ def events_grouping_sets(sf_dir: str):
             [batch.column("event_type"), day, batch.column("value")],
             names=["event_type", "day", "value"],
         )
-        g = t.group_by(["event_type", "day"], use_threads=False).aggregate(
+        finest = t.group_by(["event_type", "day"], use_threads=False).aggregate(
             [([], "count_all"), ("value", "sum")]
-        )
-        return g.rename_columns(["event_type", "day", "n_events", "sum_value"])
+        ).rename_columns(["event_type", "day", "n_events", "sum_value"])
+        if finest.num_rows == 0:  # empty batch: no partials (not a 0-row grand)
+            return rollup(finest, ["event_type", "day"], 0)
+        return pa.concat_tables([
+            rollup(finest, ["event_type", "day"], 0),
+            rollup(finest, ["event_type"], 1),
+            rollup(finest, ["day"], 2),
+            rollup(finest, [], 3),
+        ])
 
     from ray.data.aggregate import Sum
 
-    finest = (
+    merged = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
+        .groupby(["grouping_id", "event_type", "day"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("sum_value", alias_name="sum_value"),
         )
     )
 
-    roll = [("n_events", "sum", "n_events"), ("sum_value", "sum", "sum_value")]
-    type_lvl = grouped_agg(finest, ["event_type"], roll)
-    day_lvl = grouped_agg(finest, ["day"], roll)
-    grand = grouped_agg(
-        finest.map_batches(
-            lambda b: b.append_column(
-                "all", pa.array(np.zeros(b.num_rows, dtype=np.int8))
-            ),
-            batch_format="pyarrow",
-        ),
-        ["all"],
-        roll,
-    )
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("event_type"),
+                batch.column("day"),
+                pc.cast(batch.column("n_events"), pa.int64()),
+                pa.array(
+                    sql_round(
+                        batch.column("sum_value").to_numpy(zero_copy_only=False), 2
+                    )
+                ),
+                pc.cast(batch.column("grouping_id"), pa.int64()),
+            ],
+            names=["event_type", "day", "n_events", "sum_value", "grouping_id"],
+        )
 
-    def finalize(gid: int, type_col, day_col):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            sentinel = lambda: pa.array(["ALL"] * n, type=pa.string())  # noqa: E731
-            return pa.Table.from_arrays(
-                [
-                    batch.column(type_col) if type_col else sentinel(),
-                    batch.column(day_col) if day_col else sentinel(),
-                    pc.cast(batch.column("n_events"), pa.int64()),
-                    pa.array(
-                        sql_round(
-                            batch.column("sum_value").to_numpy(zero_copy_only=False), 2
-                        )
-                    ),
-                    pa.array(np.full(n, gid, dtype=np.int64)),
-                ],
-                names=["event_type", "day", "n_events", "sum_value", "grouping_id"],
-            ).replace_schema_metadata(None)  # one schema across the union
-
-        return fn
-
-    return (
-        finest.map_batches(finalize(0, "event_type", "day"), batch_format="pyarrow")
-        .union(type_lvl.map_batches(finalize(1, "event_type", None), batch_format="pyarrow"))
-        .union(day_lvl.map_batches(finalize(2, None, "day"), batch_format="pyarrow"))
-        .union(grand.map_batches(finalize(3, None, None), batch_format="pyarrow"))
-    )
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 EVENTS_GROUPING_SETS_SQL = """
