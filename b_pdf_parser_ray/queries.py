@@ -7490,6 +7490,69 @@ def corpus_inverted_index(sf_dir: str, num_buckets: int = None):
     )
 
 
+def corpus_skew_report(sf_dir: str, key_columns=("source", "lang")):
+    """Key-skew diagnostics for shuffle planning: per candidate partition
+    column, the key cardinality, the hottest key's share of rows, and the
+    Gini coefficient of the key-count distribution — the report an
+    operator reads BEFORE keying a 100 TB shuffle on a column (a 0.9-Gini
+    column needs the skew join / salting path, see ``functions/joins.py``).
+
+    Scale shape: per column, one partial-count exchange (grouped_agg —
+    the exchange carries one row per (key, block)); the driver then folds
+    the ≤|keys| (key, count) rows — bounded by the column's cardinality,
+    the same bound the diagnostics themselves report (a 10M-domain corpus
+    folds 10M int pairs: ~160 MB, one numpy sort).  Gini uses the exact
+    rank formula 2·Σ(rank·cnt)/(n·total) − (n+1)/n over ascending counts
+    (tie-order-insensitive), mirrored float-op-for-float-op in SQL."""
+    rows = []
+    for col in key_columns:
+        counts = grouped_agg(
+            read_table(sf_dir, "documents", columns=[col]),
+            [col],
+            [(None, "count", "cnt")],
+        ).to_pandas()
+        c = np.sort(counts["cnt"].to_numpy().astype(np.int64))
+        n, tot = len(c), int(c.sum())
+        s = int((np.arange(1, n + 1, dtype=np.int64) * c).sum())
+        rows.append(
+            {
+                "key_column": col,
+                "n_keys": n,
+                "total": tot,
+                "top_share": float(sql_round(np.array([c[-1] / tot]), 4)[0]),
+                "gini": float(
+                    sql_round(np.array([2.0 * s / (n * float(tot)) - (n + 1.0) / n]), 4)[0]
+                ),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+CORPUS_SKEW_REPORT_SQL = """
+WITH sc AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn
+  FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)
+),
+lc AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn
+  FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT 'source' AS key_column,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total,
+       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_share,
+       round(2.0 * sum(rn * cnt) / (count(*) * CAST(sum(cnt) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 4) AS gini
+FROM sc
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT), CAST(sum(cnt) AS BIGINT),
+       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4),
+       round(2.0 * sum(rn * cnt) / (count(*) * CAST(sum(cnt) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 4)
+FROM lc
+"""
+
+
 CORPUS_INVERTED_INDEX_SQL = f"""
 WITH nb AS (
   SELECT CAST(POWER(2, CEIL(LOG2(GREATEST(64,
@@ -7668,6 +7731,7 @@ QUERIES: Dict[str, Callable] = {
     "source_token_budget": source_token_budget,
     "events_grouping_sets": events_grouping_sets,
     "corpus_inverted_index": corpus_inverted_index,
+    "corpus_skew_report": corpus_skew_report,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -7778,6 +7842,7 @@ ORACLE_SQL: Dict[str, str] = {
     "source_token_budget": SOURCE_TOKEN_BUDGET_SQL,
     "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_SQL,
+    "corpus_skew_report": CORPUS_SKEW_REPORT_SQL,
     # dedup_semantic: k-means cluster-then-pairwise (SemDeDup) → rows-only;
     # planted-dup recall + keep-first policy pinned in tests/test_dedup_ann.py
     # embedding_pca: eigendecomposition → rows-only; isometry/variance-order/
