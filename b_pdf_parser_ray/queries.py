@@ -7605,6 +7605,21 @@ def dedup_semantic(sf_dir: str):
     )
 
 
+def corpus_bpe_train(sf_dir: str, num_merges: int = 10):
+    """Distributed BPE tokenizer training: learn the first ``num_merges``
+    merges over the documents table (see ``functions.bpe.bpe_train`` for the
+    scale shape: one corpus exchange to the word-frequency table, then
+    vocabulary-bounded pair-count folds per merge).  Rows-only: the
+    iterative argmax is not SQL-expressible; pinned by forced-gate equality
+    (distributed path ≡ driver path ≡ hand-rolled classic BPE) and a
+    first-merge ground-truth test in tests/test_components.py."""
+    from .functions.bpe import bpe_train
+
+    return bpe_train(
+        read_table(sf_dir, "documents", columns=["text"]), num_merges=num_merges
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7732,6 +7747,7 @@ QUERIES: Dict[str, Callable] = {
     "events_grouping_sets": events_grouping_sets,
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_skew_report": corpus_skew_report,
+    "corpus_bpe_train": corpus_bpe_train,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -7843,6 +7859,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_SQL,
     "corpus_skew_report": CORPUS_SKEW_REPORT_SQL,
+    # corpus_bpe_train: iterative merge-table learning → rows-only; pinned
+    # by forced-gate path equality + first-merge ground truth in pytest
     # dedup_semantic: k-means cluster-then-pairwise (SemDeDup) → rows-only;
     # planted-dup recall + keep-first policy pinned in tests/test_dedup_ann.py
     # embedding_pca: eigendecomposition → rows-only; isometry/variance-order/

@@ -180,3 +180,113 @@ def test_streaming_dedup_index_marks_exactly_one_per_group(ray_session):
         ray.data.from_arrow(tbl).repartition(8), n_shards=4
     )
     assert r == {"n_docs": 400, "n_unique": 40, "index_size": 40}
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(texts, num_merges):
+    """Hand-rolled classic BPE over raw texts (independent of the module's
+    own local path: its own word counting, symbolization, and merge loop)."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    seqs = {w: list(w[:-1]) + [w[-1] + "</w>"] for w in words}
+    merges = []
+    for step in range(num_merges):
+        pairs = Counter()
+        for w, n in words.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, n))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return pd.DataFrame(
+        merges, columns=["step", "left", "right", "merged", "pair_count"]
+    )
+
+
+BPE_TEXTS = [
+    "low low low low low lower lower newest newest newest",
+    "newest newest newest widest widest widest new new",
+    "the cat sat on the mat the cat sat",
+    "aaa aaa aaa ab ab ba",
+]
+
+
+def _bpe_docs_ds():
+    return ray.data.from_arrow(
+        pa.table({"doc_id": [f"d{i}" for i in range(len(BPE_TEXTS))],
+                  "text": pa.array(BPE_TEXTS)})
+    )
+
+
+@pytest.mark.parametrize("gate", [None, 0])
+def test_bpe_train_matches_reference_both_paths(ray_session, gate, monkeypatch):
+    """Local (driver) path and forced-distributed path (cap=0) both equal an
+    independent hand-rolled classic BPE, merge for merge, count for count —
+    including the overlapping-pair ('aaa') and tie-break cases."""
+    from b_pdf_parser_ray.functions import bpe
+
+    if gate is not None:
+        monkeypatch.setattr(bpe, "BPE_LOCAL_CAP_ROWS", gate)
+    got = bpe.bpe_train(_bpe_docs_ds(), num_merges=8).reset_index(drop=True)
+    want = _bpe_reference(BPE_TEXTS, 8)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bpe_first_merge_is_global_max_pair(ray_session):
+    """Ground truth on the real sf0.001 corpus: the first learned merge is
+    the globally most frequent adjacent character pair."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from b_pdf_parser_ray.queries import corpus_bpe_train
+
+    got = corpus_bpe_train("/root/testdata/sf0.001", num_merges=1)
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    pairs = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if not w:
+                continue
+            s = list(w[:-1]) + [w[-1] + "</w>"]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += 1
+    (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["left"], row["right"], int(row["pair_count"])) == (l, r, n)
+    assert row["merged"] == l + r
+
+
+def test_bpe_num_merges_exhaustion(ray_session):
+    """Asking for more merges than exist stops cleanly (single repeated
+    word collapses to one symbol after len-1 merges)."""
+    from b_pdf_parser_ray.functions.bpe import bpe_train
+
+    ds = ray.data.from_arrow(pa.table({"text": ["ab ab ab"]}))
+    got = bpe_train(ds, num_merges=10)
+    # 'ab' → ['a', 'b</w>'] → one possible merge only
+    assert len(got) == 1
+    assert list(got["merged"]) == ["ab</w>"]
