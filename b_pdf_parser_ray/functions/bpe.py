@@ -58,6 +58,8 @@ MERGES_SCHEMA = ["step", "left", "right", "merged", "pair_count"]
 def _symbolize(word: str) -> List[str]:
     """Initial symbol sequence: characters, end-of-word marker fused onto
     the last character (Sennrich et al. 2016 convention)."""
+    if not word:
+        return []
     return list(word[:-1]) + [word[-1] + END]
 
 
@@ -284,3 +286,80 @@ def bpe_train(docs, num_merges: int = 10) -> pd.DataFrame:
 
     out = pd.DataFrame(merges, columns=MERGES_SCHEMA)
     return out.astype({"step": "int64", "pair_count": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Apply: tokenize the corpus with a learned merge table
+# ---------------------------------------------------------------------------
+
+
+def _encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
+    """Standard BPE encode: repeatedly merge the present pair with the
+    lowest merge rank (training order) until none applies."""
+    s = _symbolize(word)
+    while len(s) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(s, s[1:])):
+            rk = ranks.get(pair)
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_i = rk, i
+        if best_rank is None:
+            break
+        s = s[:best_i] + [s[best_i] + s[best_i + 1]] + s[best_i + 2 :]
+    return s
+
+
+# per-worker encoder state, keyed by the merge-table fingerprint: task-mode
+# map_batches + a module-level cache gives warm-worker memo reuse WITHOUT
+# reserving CPUs for an actor pool (a 4-actor pool on a 4-CPU session
+# starves its own upstream read — the documented join-aggregator livelock
+# shape; the ranks dict is pattern-cheap state, the kernel.py pattern)
+_ENCODERS: Dict[tuple, Tuple[Dict[Tuple[str, str], int], Dict[str, int]]] = {}
+
+
+def _encoder_state(merge_pairs: tuple):
+    state = _ENCODERS.get(merge_pairs)
+    if state is None:
+        ranks = {pair: i for i, pair in enumerate(merge_pairs)}
+        state = _ENCODERS[merge_pairs] = (ranks, {})
+    return state
+
+
+def _encode_counts_batch(batch: pa.Table, merge_pairs: tuple) -> pa.Table:
+    """Per-document word and BPE-token counts.  Each DISTINCT word is
+    encoded once (memo across batches within a worker; Zipf makes the hit
+    rate ~99% on natural text) and counts broadcast back by ``index_in``."""
+    ranks, memo = _encoder_state(merge_pairs)
+    tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+    words = tok_lists.flatten()
+    parent = pc.list_parent_indices(tok_lists).to_numpy().astype(np.int64)
+    uniq = pc.unique(words)
+    per_uniq = np.empty(len(uniq), dtype=np.int64)
+    for i, w in enumerate(uniq.to_pylist()):
+        n = memo.get(w)
+        if n is None:
+            n = memo[w] = len(_encode_word(w, ranks))
+        per_uniq[i] = n
+    idx = pc.index_in(words, uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+    per_word = per_uniq[idx]
+    ndocs = batch.num_rows
+    n_words = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = np.zeros(ndocs, dtype=np.int64)
+    np.add.at(n_tokens, parent, per_word)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(n_words), pa.array(n_tokens)],
+        names=["doc_id", "n_words", "n_bpe_tokens"],
+    )
+
+
+def bpe_apply(docs, merges: pd.DataFrame):
+    """Tokenize ``docs`` with a learned merge table: per-document word and
+    BPE-token counts.  The merge table is tiny (M rows) and ships in the
+    task closure; the per-worker distinct-word memo makes the encode cost
+    vocabulary-bounded per worker."""
+    merge_pairs = tuple(zip(merges["left"], merges["right"]))
+    return docs.map_batches(
+        _encode_counts_batch,
+        fn_kwargs={"merge_pairs": merge_pairs},
+        batch_format="pyarrow",
+    )

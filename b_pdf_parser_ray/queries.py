@@ -7620,6 +7620,90 @@ def corpus_bpe_train(sf_dir: str, num_merges: int = 10):
     )
 
 
+def corpus_bpe_apply(sf_dir: str, num_merges: int = 10):
+    """Tokenize the corpus with the merge table ``corpus_bpe_train`` learns
+    — the train → broadcast → apply half of tokenizer deployment (see
+    ``functions.bpe.bpe_apply``: the M-row merge table ships in the task
+    closure, a per-worker distinct-word memo makes encode cost
+    vocabulary-bounded, and per-word token counts broadcast back by
+    ``index_in``).  Rows-only
+    (merge learning is iterative); pinned by a pure-Python per-document
+    encode differential in tests/test_components.py."""
+    from .functions.bpe import bpe_apply, bpe_train
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(read_table(sf_dir, "documents", columns=["text"]),
+                       num_merges=num_merges)
+    return bpe_apply(docs, merges)
+
+
+def corpus_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary-growth audit — distinct-word count of each
+    corpus prefix (first ⌈f·N⌉ documents in doc_id order, f ∈ {⅛, ¼, ½, 1}),
+    the companion diagnostic to ``corpus_zipf_slope`` (sub-linear growth is
+    what the law predicts; a kink signals a source boundary or dedup bug).
+
+    Scale shape: ONE word-keyed exchange.  Each batch pre-reduces to
+    (word, min doc_id) with Arrow C group-by; the exchange min-folds those
+    per word; each result block then collapses to |thresholds| ints (words
+    first seen below each prefix cut) and the driver folds
+    blocks × |thresholds| rows.  Thresholds come from the parquet footer
+    row count — no driver-side scan."""
+    import math
+
+    from ray.data.aggregate import Min
+
+    from .sources.tables import table_rows
+
+    n_docs = table_rows(sf_dir, "documents")
+    thresholds = sorted({int(math.ceil(f * n_docs)) for f in (0.125, 0.25, 0.5, 1.0)})
+    thr = np.asarray(thresholds, dtype=np.int64)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def first_seen_partial(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        toks = tok_lists.flatten()
+        docs = pc.take(batch.column("doc_id"), pc.list_parent_indices(tok_lists))
+        t = pa.Table.from_arrays([toks, docs], names=["word", "first_doc"])
+        out = t.group_by(["word"], use_threads=False).aggregate([("first_doc", "min")])
+        return out.rename_columns(["word", "first_doc"])
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        fd = batch.column("first_doc").to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = (fd[None, :] < thr[:, None]).sum(axis=1).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(thr), pa.array(vocab)], names=["prefix_docs", "vocab"]
+        )
+
+    partials = (
+        ds.map_batches(first_seen_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Min("first_doc", alias_name="first_doc"))
+        .map_batches(bucket_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = partials.groupby("prefix_docs", as_index=False)["vocab"].sum()
+    return out.sort_values("prefix_docs", ignore_index=True)
+
+
+CORPUS_VOCAB_GROWTH_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT word, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),
+t AS (
+  SELECT DISTINCT CAST(ceil(u.f * n.n) AS BIGINT) AS prefix_docs
+  FROM n, unnest([0.125, 0.25, 0.5, 1.0]) AS u(f)
+)
+SELECT t.prefix_docs, CAST(count(w.word) AS BIGINT) AS vocab
+FROM t LEFT JOIN w ON w.first_doc < t.prefix_docs
+GROUP BY t.prefix_docs ORDER BY t.prefix_docs
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7748,6 +7832,8 @@ QUERIES: Dict[str, Callable] = {
     "corpus_inverted_index": corpus_inverted_index,
     "corpus_skew_report": corpus_skew_report,
     "corpus_bpe_train": corpus_bpe_train,
+    "corpus_bpe_apply": corpus_bpe_apply,
+    "corpus_vocab_growth": corpus_vocab_growth,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -7859,8 +7945,11 @@ ORACLE_SQL: Dict[str, str] = {
     "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
     "corpus_inverted_index": CORPUS_INVERTED_INDEX_SQL,
     "corpus_skew_report": CORPUS_SKEW_REPORT_SQL,
+    "corpus_vocab_growth": CORPUS_VOCAB_GROWTH_SQL,
     # corpus_bpe_train: iterative merge-table learning → rows-only; pinned
     # by forced-gate path equality + first-merge ground truth in pytest
+    # corpus_bpe_apply: encodes with the learned (iterative) merge table →
+    # rows-only; pinned by pure-Python per-document encode differential
     # dedup_semantic: k-means cluster-then-pairwise (SemDeDup) → rows-only;
     # planted-dup recall + keep-first policy pinned in tests/test_dedup_ann.py
     # embedding_pca: eigendecomposition → rows-only; isometry/variance-order/

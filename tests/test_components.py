@@ -290,3 +290,34 @@ def test_bpe_num_merges_exhaustion(ray_session):
     # 'ab' → ['a', 'b</w>'] → one possible merge only
     assert len(got) == 1
     assert list(got["merged"]) == ["ab</w>"]
+
+
+def test_bpe_apply_matches_python_encode(ray_session):
+    """bpe_apply's per-doc token counts equal a pure-Python rank-based
+    encode of every word, on the real sf0.001 corpus with real learned
+    merges (memo + index_in broadcast must not change semantics)."""
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.functions.bpe import _encode_word, _symbolize, bpe_apply, bpe_train
+    from b_pdf_parser_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    merges = bpe_train(read_table(sf, "documents", columns=["text"]), num_merges=6)
+    ranks = {(l, r): i for i, (l, r) in enumerate(zip(merges["left"], merges["right"]))}
+    got = (
+        bpe_apply(read_table(sf, "documents", columns=["doc_id", "text"]), merges)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for d, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        words = t.split(" ")
+        want[d] = (len(words), sum(len(_encode_word(w, ranks)) for w in words))
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert (row["n_words"], row["n_bpe_tokens"]) == want[row["doc_id"]], row["doc_id"]
+    # merges really compress: fewer tokens than raw symbols for some doc
+    raw = {d: sum(len(_symbolize(w)) for w in t.split(" "))
+           for d, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())}
+    assert any(want[d][1] < raw[d] for d in want)
