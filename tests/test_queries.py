@@ -575,3 +575,38 @@ def test_funnel_partition_count_invariance(ray_session):
     a = _normalize(_to_pandas(events_funnel_counts(SF_DIR, num_partitions=4)))
     b = _normalize(_to_pandas(events_funnel_counts(SF_DIR, num_partitions=128)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_vocab_growth_planted_and_tiny_corpus(ray_session, tmp_path):
+    """Vocabulary growth on a planted corpus: words introduced late must
+    not count toward early prefixes, and a 2-doc corpus (where the ⅛/¼/½
+    thresholds collide after ceil) still matches the oracle with deduped
+    threshold rows."""
+    from b_pdf_parser_ray.queries import CORPUS_VOCAB_GROWTH_SQL, corpus_vocab_growth
+
+    _write_docs(tmp_path, [
+        (0, "alpha beta", "s"), (1, "alpha beta", "s"),
+        (2, "alpha beta", "s"), (3, "alpha beta", "s"),
+        (4, "gamma", "s"),      (5, "gamma delta", "s"),
+        (6, "alpha", "s"),      (7, "epsilon", "s"),
+    ])
+    got = _normalize(_to_pandas(corpus_vocab_growth(str(tmp_path))))
+    # thresholds ceil(8f) = 1, 2, 4, 8 → vocab 2, 2, 2, 5
+    assert list(zip(got["prefix_docs"], got["vocab"])) == [
+        (1, 2), (2, 2), (4, 2), (8, 5)
+    ]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = _normalize(con.sql(CORPUS_VOCAB_GROWTH_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    tiny = tmp_path / "tiny"
+    tiny.mkdir()
+    _write_docs(tiny, [(0, "a b", "s"), (1, "a c", "s")])
+    got2 = _normalize(_to_pandas(corpus_vocab_growth(str(tiny))))
+    # ceil(2f) = 1, 1, 1, 2 → deduped thresholds {1, 2}; vocab 2, 3
+    assert list(zip(got2["prefix_docs"], got2["vocab"])) == [(1, 2), (2, 3)]
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tiny}/documents.parquet')")
+    want2 = _normalize(con2.sql(CORPUS_VOCAB_GROWTH_SQL).df())
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
