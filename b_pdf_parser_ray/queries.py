@@ -1521,6 +1521,65 @@ def media_video_frames(sf_dir: str):
     return ds.select_columns(["media_id", "frame_idx"])
 
 
+def synth_interleaved_spans(batch: pa.Table) -> pa.Table:
+    """Deterministic interleaved-span rendering of a documents batch: one
+    text span per whitespace token plus a media span after every 7th token
+    (offsets 0..n_spans-1, media_ref = ``Im{offset}``) — the synthetic
+    stand-in for the north rule's interleaved text+media corpus, shared by
+    ``span_roundtrip_stats`` and ``doc_media_captions`` so their oracles can
+    recompute the layout from ``text`` alone.  Fully vectorized (flattened
+    token arrays + prefix sums; no per-doc Python)."""
+    from .model import SPAN_TYPE
+
+    tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+    toks = tok_lists.flatten()
+    n_tok = pc.list_value_length(tok_lists).to_numpy().astype(np.int64)
+    ndocs = len(n_tok)
+    tok_doc = pc.list_parent_indices(tok_lists).to_numpy().astype(np.int64)
+    tok_starts = np.cumsum(n_tok) - n_tok
+    j = np.arange(len(toks), dtype=np.int64) - tok_starts[tok_doc]
+    text_off = j + j // 7  # media after every 7th token shifts later spans
+    n_med = n_tok // 7
+    med_doc = np.repeat(np.arange(ndocs, dtype=np.int64), n_med)
+    med_starts = np.cumsum(n_med) - n_med
+    k = np.arange(len(med_doc), dtype=np.int64) - med_starts[med_doc] + 1
+    med_off = 8 * k - 1
+
+    doc_all = np.concatenate([tok_doc, med_doc])
+    off_all = np.concatenate([text_off, med_off]).astype(np.int32)
+    kind_all = pa.concat_arrays(
+        [
+            pa.nulls(len(toks), pa.string()).fill_null("text"),
+            pa.nulls(len(med_doc), pa.string()).fill_null("media"),
+        ]
+    )
+    text_all = pa.concat_arrays(
+        [toks.cast(pa.string()), pa.nulls(len(med_doc), pa.string()).fill_null("")]
+    )
+    ref_all = pa.concat_arrays(
+        [
+            pa.nulls(len(toks), pa.string()).fill_null(""),
+            pa.array([f"Im{o}" for o in med_off], type=pa.string()),
+        ]
+    )
+    order = np.lexsort((off_all, doc_all))
+    struct = pa.StructArray.from_arrays(
+        [
+            kind_all.take(pa.array(order)),
+            text_all.take(pa.array(order)),
+            ref_all.take(pa.array(order)),
+            pa.array(off_all[order], type=pa.int32()),
+        ],
+        fields=list(SPAN_TYPE),
+    )
+    counts = (n_tok + n_med).astype(np.int32)
+    offsets = pa.array(np.r_[0, np.cumsum(counts)].astype(np.int32))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.ListArray.from_arrays(offsets, struct)],
+        names=["doc_id", "spans"],
+    )
+
+
 def span_roundtrip_stats(sf_dir: str):
     """Exploded-span path end-to-end, oracle-checked: each document's text
     is deterministically rendered as a span sequence (one text span per
@@ -1534,7 +1593,6 @@ def span_roundtrip_stats(sf_dir: str):
       order (the oracle emits literal TRUE; the hash check enforces it);
     * ``body_chars`` — Σ len(text-span text) = len(text) - n_tokens + 1,
       so content (not just counts) survived the shuffle."""
-    from .model import SPAN_TYPE
     from .sources.tables import salted_partitions, table_rows
     from .stages.reassemble import explode, reassemble
 
@@ -1549,58 +1607,9 @@ def span_roundtrip_stats(sf_dir: str):
     )
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def synth_spans(batch: pa.Table) -> pa.Table:
-        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
-        toks = tok_lists.flatten()
-        n_tok = pc.list_value_length(tok_lists).to_numpy().astype(np.int64)
-        ndocs = len(n_tok)
-        tok_doc = pc.list_parent_indices(tok_lists).to_numpy().astype(np.int64)
-        tok_starts = np.cumsum(n_tok) - n_tok
-        j = np.arange(len(toks), dtype=np.int64) - tok_starts[tok_doc]
-        text_off = j + j // 7  # media after every 7th token shifts later spans
-        n_med = n_tok // 7
-        med_doc = np.repeat(np.arange(ndocs, dtype=np.int64), n_med)
-        med_starts = np.cumsum(n_med) - n_med
-        k = np.arange(len(med_doc), dtype=np.int64) - med_starts[med_doc] + 1
-        med_off = 8 * k - 1
-
-        doc_all = np.concatenate([tok_doc, med_doc])
-        off_all = np.concatenate([text_off, med_off]).astype(np.int32)
-        kind_all = pa.concat_arrays(
-            [
-                pa.nulls(len(toks), pa.string()).fill_null("text"),
-                pa.nulls(len(med_doc), pa.string()).fill_null("media"),
-            ]
-        )
-        text_all = pa.concat_arrays(
-            [toks.cast(pa.string()), pa.nulls(len(med_doc), pa.string()).fill_null("")]
-        )
-        ref_all = pa.concat_arrays(
-            [
-                pa.nulls(len(toks), pa.string()).fill_null(""),
-                pa.array([f"Im{o}" for o in med_off], type=pa.string()),
-            ]
-        )
-        order = np.lexsort((off_all, doc_all))
-        struct = pa.StructArray.from_arrays(
-            [
-                kind_all.take(pa.array(order)),
-                text_all.take(pa.array(order)),
-                ref_all.take(pa.array(order)),
-                pa.array(off_all[order], type=pa.int32()),
-            ],
-            fields=list(SPAN_TYPE),
-        )
-        counts = (n_tok + n_med).astype(np.int32)
-        offsets = pa.array(np.r_[0, np.cumsum(counts)].astype(np.int32))
-        return pa.Table.from_arrays(
-            [batch.column("doc_id"), pa.ListArray.from_arrays(offsets, struct)],
-            names=["doc_id", "spans"],
-        )
-
     back = reassemble(
         explode(
-            ds.map_batches(synth_spans, batch_format="pyarrow"),
+            ds.map_batches(synth_interleaved_spans, batch_format="pyarrow"),
             num_partitions=reassemble_parts,
         )
     )
@@ -1652,6 +1661,94 @@ SELECT doc_id,
        TRUE                       AS offsets_ok,
        CAST(c - n + 1 AS BIGINT)  AS body_chars
 FROM t
+"""
+
+
+def media_caption_pairs(batch: pa.Table) -> pa.Table:
+    """Interleaved-span → (doc_id, media_ref, caption) pairing kernel: each
+    media span's caption is the run of text spans since the previous media
+    span (or document start) in offset order, joined with single spaces —
+    the image-caption pair miner a multimodal training corpus runs over the
+    extractor's span layer.  Generic over any ``(doc_id, spans)`` batch.
+
+    Vectorized end to end: per-doc segment ids via masked prefix sums, one
+    ``binary_join`` over a prefix-sum ListArray for ALL captions in the
+    batch (the extractor's text-assembly trick), and a sorted searchsorted
+    to align each media span with its preceding text segment.  Media spans
+    with no preceding text in their segment (consecutive media, media-first
+    documents) emit an empty caption; text after the last media span pairs
+    with nothing and is dropped."""
+    spans = batch.column("spans").combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.chunk(0) if spans.num_chunks else pa.array([], type=spans.type)
+    flat = spans.flatten()
+    parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+    is_media = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
+    n_spans = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.cumsum(n_spans) - n_spans
+    media_before = np.cumsum(is_media) - is_media  # media strictly before, global
+    seg = media_before - media_before[starts[parent]] if len(parent) else media_before
+    key = (parent << np.int64(32)) | seg  # (doc, segment), sorted by construction
+
+    tmask = ~is_media
+    tkey = key[tmask]
+    ttext = flat.field("text").filter(pa.array(tmask))
+    if len(tkey):
+        bnd = np.flatnonzero(np.r_[True, tkey[1:] != tkey[:-1]])
+        grp_key = tkey[bnd]
+        offs = np.r_[bnd, len(tkey)].astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs), ttext), " "
+        )
+    else:
+        grp_key = np.empty(0, dtype=np.int64)
+        joined = pa.array([], type=pa.string())
+
+    mkey = key[is_media]
+    mdoc = parent[is_media]
+    mref = flat.field("media_ref").filter(pa.array(is_media))
+    if len(grp_key):
+        pos = np.searchsorted(grp_key, mkey)
+        pos_c = np.minimum(pos, len(grp_key) - 1)
+        ok = (pos < len(grp_key)) & (grp_key[pos_c] == mkey)
+        cap = pc.if_else(pa.array(ok), joined.take(pa.array(pos_c)), "")
+    else:
+        cap = pa.nulls(len(mkey), pa.string()).fill_null("")
+    doc_ids = batch.column("doc_id").combine_chunks().take(pa.array(mdoc))
+    return pa.Table.from_arrays(
+        [doc_ids, mref, cap], names=["doc_id", "media_ref", "caption"]
+    )
+
+
+def doc_media_captions(sf_dir: str):
+    """Media↔caption pair mining over the interleaved span layer — the
+    dataset builder that turns an interleaved text+media corpus into
+    (media_ref, caption) training pairs for image-text models.  Documents
+    render to the deterministic interleaved span sequence
+    (``synth_interleaved_spans`` — media after every 7th token, the north
+    rule's corpus shape), then ``media_caption_pairs`` pairs each media
+    span with the text run since the previous media span.
+
+    Scale shape: two fused map stages, ZERO exchanges — pairing is
+    per-document, so the pipeline streams at read speed at any corpus size;
+    the oracle recomputes every pair from ``text`` alone (hash-checked on
+    the caption strings)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        synth_interleaved_spans, batch_format="pyarrow"
+    ).map_batches(media_caption_pairs, batch_format="pyarrow")
+
+
+MEDIA_CAPTIONS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) // 7 AS n_med
+  FROM documents
+)
+SELECT doc_id,
+       'Im' || CAST(8*k - 1 AS VARCHAR) AS media_ref,
+       array_to_string(toks[7*(k-1)+1 : 7*k], ' ') AS caption
+FROM t, UNNEST(range(1, n_med + 1)) AS u(k)
 """
 
 
@@ -2665,6 +2762,37 @@ SELECT vec_id,
        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                     CAST((SELECT qv FROM q) AS DOUBLE[])), 5) AS score
 FROM embeddings
+ORDER BY score DESC, vec_id LIMIT 20
+"""
+
+
+def ann_filtered_topk(sf_dir: str, label: int = 3, k: int = 20):
+    """Predicate-filtered vector search — top-k cosine among vectors whose
+    ``label`` matches (the metadata-filtered query every vector store
+    serves: 'nearest docs WHERE lang = x / source = y').
+
+    Scale shape: the label predicate is a ``pyarrow.dataset`` expression
+    pushed into the parquet fragment scan, so row-group statistics prune
+    non-matching groups BEFORE any vector leaves storage (on a
+    label-partitioned production layout this reads only matching files);
+    scoring then runs the same per-block local-top-k → tiny global top-k
+    as ``ann_topk`` over the surviving fraction."""
+    import pyarrow.dataset as pads
+
+    ds = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"],
+        filter=pads.field("label") == label,
+    )
+    return topk_cosine(ds, _query_vector(sf_dir), k=k)
+
+
+ANN_FILTERED_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST((SELECT qv FROM q) AS DOUBLE[])), 5) AS score
+FROM embeddings
+WHERE label = 3
 ORDER BY score DESC, vec_id LIMIT 20
 """
 
@@ -7743,6 +7871,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_simhash": dedup_simhash,
     "dedup_embeddings": dedup_embeddings,
     "ann_topk": ann_topk,
+    "ann_filtered_topk": ann_filtered_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_norms": embedding_norms,
     "html_main_content": html_main_content,
@@ -7752,6 +7881,7 @@ QUERIES: Dict[str, Callable] = {
     "media_video_frames": media_video_frames,
     "extract_rollup_by_strategy": extract_rollup_by_strategy,
     "span_roundtrip_stats": span_roundtrip_stats,
+    "doc_media_captions": doc_media_captions,
     "doc_top_terms": doc_top_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "customer_sample_per_segment": customer_sample_per_segment,
@@ -7865,6 +7995,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "extract_docs": EXTRACT_DOCS_SQL,
     "ann_topk": ANN_TOPK_SQL,
+    "ann_filtered_topk": ANN_FILTERED_TOPK_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,
     "html_main_content": HTML_MAIN_SQL,
     "doc_bpe_tokens": DOC_BPE_SQL,
@@ -7876,6 +8007,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_json_props": EVENTS_JSON_SQL,
     "doc_normalize_text": DOC_NORMALIZE_SQL,
     "span_roundtrip_stats": SPAN_ROUNDTRIP_SQL,
+    "doc_media_captions": MEDIA_CAPTIONS_SQL,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "dedup_exact_keep": DEDUP_KEEP_SQL,

@@ -16,13 +16,19 @@ TABLES = (
 )
 
 
-def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None):
+def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None,
+               filter=None):
+    """``filter`` is an optional ``pyarrow.dataset`` expression pushed into
+    the fragment scan (row-group statistics pruning) — rows that fail the
+    predicate never leave storage, vs a post-read ``Dataset.filter`` that
+    ships every row first."""
     import ray.data
 
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}")
+    kwargs = {} if filter is None else {"filter": filter}
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns, **kwargs
     )
 
 

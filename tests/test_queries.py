@@ -566,6 +566,63 @@ def test_substring_cut_keep_first_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_media_captions_planted(ray_session, tmp_path):
+    """Caption mining on the boundary texts the sf corpus never hits:
+    empty text (split('') == [''] → no media), exactly 6/7/8 tokens, and a
+    long doc whose trailing sub-7-token segment must pair with nothing."""
+    from b_pdf_parser_ray.queries import MEDIA_CAPTIONS_SQL, doc_media_captions
+
+    _write_docs(tmp_path, [
+        (0, "", "s"),
+        (1, "a b c d e f", "s"),                    # 6 toks → no media
+        (2, "a b c d e f g", "s"),                  # exactly 7 → one pair
+        (3, "a b c d e f g h", "s"),                # 8 → one pair, 'h' dropped
+        (4, " ".join(f"t{i}" for i in range(20)), "s"),  # 2 pairs, 6 dropped
+    ])
+    got = _normalize(_to_pandas(doc_media_captions(str(tmp_path))))
+    assert list(got["doc_id"]) == [2, 3, 4, 4]
+    assert list(got["caption"])[:2] == ["a b c d e f g"] * 2
+    assert list(got["media_ref"]) == ["Im7", "Im7", "Im7", "Im15"]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = _normalize(con.sql(MEDIA_CAPTIONS_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_media_caption_pairs_kernel_edges():
+    """The pairing kernel on span layouts the synthesizer never produces:
+    a media-first document (empty caption), consecutive media spans (the
+    second pairs with nothing in its segment), and trailing text after the
+    last media (dropped) — pure-function test, no Ray."""
+    import pyarrow as pa
+
+    from b_pdf_parser_ray.queries import media_caption_pairs
+
+    def doc(doc_id, seq):
+        spans = []
+        for off, item in enumerate(seq):
+            if item.startswith("Im"):
+                spans.append({"kind": "media", "text": "", "media_ref": item,
+                              "offset": off})
+            else:
+                spans.append({"kind": "text", "text": item, "media_ref": "",
+                              "offset": off})
+        return {"doc_id": doc_id, "spans": spans}
+
+    batch = pa.Table.from_pylist([
+        doc(1, ["Im0", "a", "b", "Im1", "Im2", "c"]),  # media-first + consecutive
+        doc(2, ["x", "y", "Im9", "z"]),                # trailing 'z' dropped
+    ])
+    out = media_caption_pairs(batch).to_pylist()
+    assert out == [
+        {"doc_id": 1, "media_ref": "Im0", "caption": ""},
+        {"doc_id": 1, "media_ref": "Im1", "caption": "a b"},
+        {"doc_id": 1, "media_ref": "Im2", "caption": ""},
+        {"doc_id": 2, "media_ref": "Im9", "caption": "x y"},
+    ]
+
+
 def test_funnel_partition_count_invariance(ray_session):
     """events_funnel_counts must be P-invariant like every salted-partition
     operator: user rows are partition-local at any P, so the three stage
