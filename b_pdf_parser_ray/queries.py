@@ -1752,6 +1752,24 @@ FROM t, UNNEST(range(1, n_med + 1)) AS u(k)
 """
 
 
+def extract_media_captions(sf_dir: str):
+    """Caption mining over the REAL statement-extraction corpus: the
+    deterministic fixture documents interleave media spans between
+    statement lines at their original offsets (fixtures.make_document —
+    including media-FIRST documents, which emit empty captions), so this is
+    the ``media_caption_pairs`` kernel on production-shaped span data
+    rather than the token-synthesized layer.  Rows-only (the fixture corpus
+    is not a parquet view); pinned by pytest against per-doc span layout."""
+    import ray.data
+
+    from .fixtures import corpus_table
+
+    ds = ray.data.from_arrow(corpus_table(500)).select_columns(
+        ["doc_id", "spans"]
+    )
+    return ds.map_batches(media_caption_pairs, batch_format="pyarrow")
+
+
 def extract_rollup_by_strategy(sf_dir: str):
     """Per-strategy extraction rollup — the reference benchmark's
     aggregate_by_parser/calculate_metrics (benchmark.py:125-169, 227-251,
@@ -7882,6 +7900,7 @@ QUERIES: Dict[str, Callable] = {
     "extract_rollup_by_strategy": extract_rollup_by_strategy,
     "span_roundtrip_stats": span_roundtrip_stats,
     "doc_media_captions": doc_media_captions,
+    "extract_media_captions": extract_media_captions,
     "doc_top_terms": doc_top_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "customer_sample_per_segment": customer_sample_per_segment,

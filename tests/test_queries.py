@@ -623,6 +623,31 @@ def test_media_caption_pairs_kernel_edges():
     ]
 
 
+def test_extract_media_captions_matches_span_layout(ray_session):
+    """The fixture-corpus caption run must equal an independent per-doc
+    Python recomputation from the same span lists: one pair per media span,
+    caption = text spans since the previous media joined by ' ' (the
+    fixture's media-first docs pin the empty-caption edge on
+    production-shaped data)."""
+    from b_pdf_parser_ray.fixtures import corpus_table
+    from b_pdf_parser_ray.queries import extract_media_captions
+
+    got = _to_pandas(extract_media_captions(SF_DIR))
+    want = []
+    for row in corpus_table(500).to_pylist():
+        run = []
+        for s in row["spans"]:
+            if s["kind"] == "media":
+                want.append((row["doc_id"], s["media_ref"], " ".join(run)))
+                run = []
+            else:
+                run.append(s["text"])
+    assert len(got) == len(want) > 0
+    got_t = list(zip(got["doc_id"], got["media_ref"], got["caption"]))
+    assert sorted(got_t) == sorted(want)
+    assert any(c == "" for _, _, c in want)  # media-first docs exercised
+
+
 def test_funnel_partition_count_invariance(ray_session):
     """events_funnel_counts must be P-invariant like every salted-partition
     operator: user rows are partition-local at any P, so the three stage
