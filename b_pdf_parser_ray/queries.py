@@ -1752,6 +1752,49 @@ FROM t, UNNEST(range(1, n_med + 1)) AS u(k)
 """
 
 
+def media_ref_fanout(sf_dir: str):
+    """Asset-level fetch planning over the interleaved span layer: distinct
+    media refs with their document fanout — the dedupe-before-decode step a
+    multimodal pipeline runs so each shared asset (site logo, CC-licensed
+    stock image re-hosted across a crawl) is fetched/decoded ONCE, not once
+    per referencing document.
+
+    Scale shape: media spans are pre-counted per ref INSIDE each batch
+    (Arrow C group-by), so the ``groupby(media_ref)`` exchange moves one
+    partial row per (ref, batch) instead of one row per reference —
+    the same partial-count reduction as ``doc_top_terms``."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ref_partial(batch: pa.Table) -> pa.Table:
+        spans = synth_interleaved_spans(batch).column("spans").combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0) if spans.num_chunks else pa.array([], type=spans.type)
+        flat = spans.flatten()
+        refs = flat.field("media_ref").filter(pc.equal(flat.field("kind"), "media"))
+        t = pa.Table.from_arrays([refs], names=["media_ref"])
+        out = t.group_by(["media_ref"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["media_ref", "n"])
+
+    return (
+        ds.map_batches(ref_partial, batch_format="pyarrow")
+        .groupby("media_ref")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
+MEDIA_REF_FANOUT_SQL = """
+WITH t AS (
+  SELECT len(string_split(text, ' ')) // 7 AS n_med FROM documents
+)
+SELECT 'Im' || CAST(8*k - 1 AS VARCHAR) AS media_ref,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM t, UNNEST(range(1, n_med + 1)) AS u(k)
+GROUP BY 1
+"""
+
+
 def extract_media_captions(sf_dir: str):
     """Caption mining over the REAL statement-extraction corpus: the
     deterministic fixture documents interleave media spans between
@@ -2618,6 +2661,76 @@ FROM (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
          sum(len(string_split(text, ' ')))
+           OVER (PARTITION BY doc_id % (SELECT p FROM np) ORDER BY doc_id) AS cum
+  FROM documents
+) t
+"""
+
+
+MEDIA_TOKEN_COST = 16  # context-window budget per media span (VLM packing)
+
+
+def doc_pack_interleaved(sf_dir: str, seq_len: int = 2048, num_partitions: int = None):
+    """Multimodal sequence packing — ``doc_pack_sequences`` for INTERLEAVED
+    text+media documents: each media span consumes a fixed
+    ``MEDIA_TOKEN_COST``-token budget from the context window (the
+    image-placeholder-token convention VLM trainers use), so a document's
+    packing cost is n_text_tokens + 16·n_media over the deterministic
+    interleaved layout (media after every 7th token).
+
+    Same scale shape as the text packer: one salted shuffle, vectorized
+    in-partition cumsum, P derived from the corpus row count."""
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(
+            table_rows(sf_dir, "documents"), target_rows=PACK_TARGET_DOCS
+        )
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cost_and_part(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.add(pc.count_substring(batch.column("text"), " "), 1), pa.int64()
+        )
+        cost = pc.add(
+            n_tok,
+            pc.multiply(pc.divide(n_tok, 7), MEDIA_TOKEN_COST),
+        )
+        part = pc.cast(
+            pc.bit_wise_and(batch.column("doc_id"), num_partitions - 1), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), part, cost],
+            names=["doc_id", "part", "mm_tokens"],
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", ignore_index=True)
+        starts = g["mm_tokens"].cumsum() - g["mm_tokens"]
+        g["pack_id"] = (starts // seq_len).astype("int64")
+        return g
+
+    return (
+        ds.map_batches(cost_and_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+DOC_PACK_INTERLEAVED_SQL = f"""
+WITH np AS (
+  SELECT CAST(POWER(2, CEIL(LOG2(GREATEST(64,
+              CEIL(count(*) / {float(PACK_TARGET_DOCS)}))))) AS BIGINT) AS p
+  FROM documents
+)
+SELECT doc_id, CAST(doc_id % (SELECT p FROM np) AS INTEGER) AS part, mm_tokens,
+       CAST(floor((cum - mm_tokens) / 2048.0) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' '))
+           + {MEDIA_TOKEN_COST} * (len(string_split(text, ' ')) // 7) AS mm_tokens,
+         sum(len(string_split(text, ' '))
+           + {MEDIA_TOKEN_COST} * (len(string_split(text, ' ')) // 7))
            OVER (PARTITION BY doc_id % (SELECT p FROM np) ORDER BY doc_id) AS cum
   FROM documents
 ) t
@@ -7901,6 +8014,8 @@ QUERIES: Dict[str, Callable] = {
     "span_roundtrip_stats": span_roundtrip_stats,
     "doc_media_captions": doc_media_captions,
     "extract_media_captions": extract_media_captions,
+    "media_ref_fanout": media_ref_fanout,
+    "doc_pack_interleaved": doc_pack_interleaved,
     "doc_top_terms": doc_top_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "customer_sample_per_segment": customer_sample_per_segment,
@@ -8027,6 +8142,8 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_normalize_text": DOC_NORMALIZE_SQL,
     "span_roundtrip_stats": SPAN_ROUNDTRIP_SQL,
     "doc_media_captions": MEDIA_CAPTIONS_SQL,
+    "media_ref_fanout": MEDIA_REF_FANOUT_SQL,
+    "doc_pack_interleaved": DOC_PACK_INTERLEAVED_SQL,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "dedup_exact_keep": DEDUP_KEEP_SQL,
