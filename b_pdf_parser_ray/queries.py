@@ -7963,6 +7963,131 @@ GROUP BY t.prefix_docs ORDER BY t.prefix_docs
 """
 
 
+def source_overlap_jaccard(sf_dir: str, num_partitions: int = None):
+    """Source-pair vocabulary overlap — exact Jaccard similarity between
+    every pair of sources' distinct-token sets, the corpus-level companion
+    to the per-document dedup family: a high-overlap source pair signals
+    mirrored / re-crawled content worth a targeted near-dup pass, and the
+    matrix is the evidence behind mixture decisions (``doc_mixture_resample``
+    weights overlapping sources down).
+
+    Scale shape: one word-keyed salted exchange.  Each batch pre-reduces to
+    distinct (word, source) pairs in Arrow C; words hash-salt into P coarse
+    partitions (``token_hash64`` per batch-distinct word — the
+    ``window_hashes`` dictionary-encode trick), so a word's rows meet in
+    exactly ONE partition and partition-local distinct is globally distinct.
+    In-partition the pair counts come from one incidence matmul
+    (|words| × |sources| 0/1 matrix, MᵀM), and each partition emits only
+    S(S+1)/2 partial count rows — the driver folds P × 210 ints for 20
+    sources, corpus-size-independent."""
+    from .functions.textstats import token_hash64
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(
+            table_rows(sf_dir, "documents"), target_rows=PACK_TARGET_DOCS
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        parent = pc.list_parent_indices(tok_lists)
+        src = pc.take(batch.column("source").combine_chunks(), parent)
+        pairs = pa.Table.from_arrays(
+            [tok_lists.flatten(), src], names=["word", "source"]
+        )
+        distinct = pairs.group_by(["word", "source"], use_threads=False).aggregate([])
+        w = distinct.column("word").combine_chunks()
+        if isinstance(w, pa.ChunkedArray):
+            w = w.chunk(0) if w.num_chunks else pa.array([], type=pa.string())
+        enc = w.dictionary_encode()
+        vocab_part = np.fromiter(
+            (token_hash64(t) % num_partitions for t in enc.dictionary.to_pylist()),
+            np.int64,
+            len(enc.dictionary),
+        )
+        part = (
+            vocab_part[enc.indices.to_numpy()]
+            if len(enc)
+            else np.empty(0, dtype=np.int64)
+        )
+        return distinct.append_column("part", pa.array(part, type=pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype=object),
+                "source_b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        # cross-batch (word, source) duplicates collapse here; the word's
+        # rows are all in this partition, so this distinct is global
+        g = g.drop_duplicates(["word", "source"])
+        suniq, scodes = np.unique(g["source"].to_numpy(), return_inverse=True)
+        _, wcodes = np.unique(g["word"].to_numpy(), return_inverse=True)
+        n_words, n_src = wcodes.max() + 1, len(suniq)
+        m = np.zeros((n_words, n_src), dtype=np.int64)
+        m[wcodes, scodes] = 1
+        counts = m.T @ m
+        iu, ju = np.triu_indices(n_src)
+        return pd.DataFrame(
+            {
+                "source_a": suniq[iu],
+                "source_b": suniq[ju],
+                "n": counts[iu, ju].astype(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+    sizes = agg[agg["source_a"] == agg["source_b"]].set_index("source_a")["n"]
+    pr = agg[(agg["source_a"] != agg["source_b"]) & (agg["n"] > 0)].copy()
+    n_union = (
+        sizes.loc[pr["source_a"]].to_numpy()
+        + sizes.loc[pr["source_b"]].to_numpy()
+        - pr["n"].to_numpy()
+    )
+    return pd.DataFrame(
+        {
+            "source_a": pr["source_a"].to_numpy(),
+            "source_b": pr["source_b"].to_numpy(),
+            "n_common": pr["n"].to_numpy().astype(np.int64),
+            "n_union": n_union.astype(np.int64),
+            "jaccard": sql_round(pr["n"].to_numpy() / n_union.astype(np.float64), 6),
+        }
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH tok AS (
+  SELECT DISTINCT source, word FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+),
+sizes AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM tok a JOIN tok b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(na.n + nb.n - n_common AS BIGINT) AS n_union,
+       round(n_common / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+FROM pr
+JOIN sizes na ON na.source = pr.source_a
+JOIN sizes nb ON nb.source = pr.source_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8016,6 +8141,7 @@ QUERIES: Dict[str, Callable] = {
     "extract_media_captions": extract_media_captions,
     "media_ref_fanout": media_ref_fanout,
     "doc_pack_interleaved": doc_pack_interleaved,
+    "source_overlap_jaccard": source_overlap_jaccard,
     "doc_top_terms": doc_top_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "customer_sample_per_segment": customer_sample_per_segment,
@@ -8144,6 +8270,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_media_captions": MEDIA_CAPTIONS_SQL,
     "media_ref_fanout": MEDIA_REF_FANOUT_SQL,
     "doc_pack_interleaved": DOC_PACK_INTERLEAVED_SQL,
+    "source_overlap_jaccard": SOURCE_OVERLAP_SQL,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "dedup_exact_keep": DEDUP_KEEP_SQL,

@@ -1,0 +1,113 @@
+"""Driver-gate simulation: run every queries() entry at sf0.01 and compare
+with its oracle_sql() twin the way the driver does (rows, schema, values
+after sorting columns by name).  Rows-only entries (no oracle) just have to
+run and return a well-formed frame — they are NOT value-sorted (list/vector
+columns are unsortable, which is a sim artifact, not an operator failure).
+
+Usage:  python scripts/gate_sim.py [sf_dir] [out_json]
+Owns its Ray session (one session per box — never run concurrently with
+pytest or bench.py).
+"""
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gate_sim_result.json"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pd(r):
+    if isinstance(r, ray.data.Dataset):
+        return r.to_pandas()
+    if isinstance(r, pa.Table):
+        return r.to_pandas()
+    return r
+
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main():
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    import __ray_entry__ as e
+
+    Q, O = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    res = {}
+    for name in sorted(Q):
+        t0 = time.time()
+        try:
+            got = to_pd(Q[name](SF))
+            el = round(time.time() - t0, 2)
+            if name in O:
+                got = norm(got)
+                want = norm(con.sql(O[name]).df())
+                ok_rows = len(got) == len(want)
+                ok_schema = list(got.columns) == list(want.columns)
+                ok_vals = False
+                if ok_rows and ok_schema:
+                    try:
+                        pd.testing.assert_frame_equal(
+                            got, want, check_dtype=False,
+                            check_exact=False, rtol=0, atol=1e-9,
+                        )
+                        ok_vals = True
+                    except AssertionError:
+                        ok_vals = False
+                res[name] = {
+                    "ok": ok_rows and ok_schema and ok_vals,
+                    "rows": len(got), "oracle_rows": len(want), "sec": el,
+                }
+            else:
+                res[name] = {
+                    "ok": len(got) >= 0, "rows": len(got),
+                    "oracle_rows": None, "sec": el, "rows_only": True,
+                }
+        except Exception as ex:  # noqa: BLE001 — per-query containment
+            res[name] = {
+                "ok": False, "err": f"{type(ex).__name__}: {ex}",
+                "sec": round(time.time() - t0, 2),
+            }
+            traceback.print_exc()
+        status = "PASS" if res[name]["ok"] else "FAIL"
+        print(f"{status} {name} {res[name]['sec']}s", flush=True)
+
+    bad = {k: v for k, v in res.items() if not v["ok"]}
+    print(json.dumps({
+        "total": len(res), "pass": len(res) - len(bad), "fail": sorted(bad),
+    }, indent=1))
+    json.dump(res, open(OUT, "w"), indent=1)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
