@@ -8067,6 +8067,122 @@ def source_overlap_jaccard(sf_dir: str, num_partitions: int = None):
     )
 
 
+DSIR_BUCKETS = 64
+
+
+def doc_dsir_weights(sf_dir: str, target_lang: str = "en"):
+    """DSIR-style importance weights (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): score every document by
+    log p_target(x) − log p_raw(x) under two add-one-smoothed bag-of-
+    hashed-unigram models — the target model fit on the in-corpus target
+    slice (``lang = target_lang``), the raw model on the whole corpus.
+    Positive log-ratio ⇒ more target-like than the corpus average ⇒
+    selected.
+
+    The feature hash is md5-derived (``int(md5(w)[:8], 16) % 64``) so the
+    oracle reproduces it bucket-for-bucket in SQL (DuckDB ``md5`` + hex
+    arithmetic on the last two nibbles — 16² ≡ 0 mod 64 so only they
+    matter); one md5 per batch-distinct token via dictionary-encode.
+
+    Scale shape: two streaming passes.  Pass 1 folds 64-int bucket-count
+    partials per block (raw + target in the same pass) into the two
+    models; λ = ln θ_t − ln θ_r (64 floats) broadcasts in the task
+    closure.  Pass 2 scores map-side: per-doc bucket counts via
+    ``np.add.at`` then one (docs × 64) @ 64 matmul.  Nothing corpus-sized
+    ever reaches the driver."""
+    import hashlib
+
+    m = DSIR_BUCKETS
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def _buckets(batch: pa.Table):
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        tok_lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
+        enc = tok_lists.flatten().dictionary_encode()
+        vocab_b = np.fromiter(
+            (
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % m
+                for t in enc.dictionary.to_pylist()
+            ),
+            np.int64,
+            len(enc.dictionary),
+        )
+        b = vocab_b[enc.indices.to_numpy()] if len(enc) else np.empty(0, np.int64)
+        return b, pc.list_parent_indices(tok_lists).to_numpy()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b, parent = _buckets(batch)
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        is_t = pc.equal(lang, target_lang).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": np.arange(m, dtype=np.int64),
+                "raw": np.bincount(b, minlength=m).astype(np.int64),
+                "tgt": np.bincount(b[is_t[parent]], minlength=m).astype(np.int64),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["b"],
+        [("raw", "sum", "raw"), ("tgt", "sum", "tgt")],
+    ).to_pandas()
+    cr = np.zeros(m, dtype=np.float64)
+    ct = np.zeros(m, dtype=np.float64)
+    cr[agg["b"].to_numpy()] = agg["raw"].to_numpy().astype(np.float64)
+    ct[agg["b"].to_numpy()] = agg["tgt"].to_numpy().astype(np.float64)
+    tr, tt = float(cr.sum()), float(ct.sum())
+    # mirror the oracle float-op-for-float-op: ln((c+1)/(T+m)) both sides
+    lam = np.log((ct + 1.0) / (tt + m)) - np.log((cr + 1.0) / (tr + m))
+
+    def score(batch: pa.Table) -> pa.Table:
+        b, parent = _buckets(batch)
+        cnt = np.zeros((batch.num_rows, m), dtype=np.float64)
+        np.add.at(cnt, (parent, b), 1.0)
+        s = sql_round(cnt @ lam, 6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dsir_logratio": s,
+                "selected": s > 0,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DOC_DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         ((strpos('0123456789abcdef', substr(md5(word), 7, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(md5(word), 8, 1)) - 1) % 64 AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+),
+raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM tok WHERE lang = 'en'
+        GROUP BY b),
+tot AS (SELECT (SELECT sum(c) FROM raw) AS tr, (SELECT sum(c) FROM tgt) AS tt),
+lam AS (
+  SELECT r.b,
+         ln((COALESCE(t.c, 0) + 1) / (tot.tt + 64))
+           - ln((r.c + 1) / (tot.tr + 64)) AS l
+  FROM raw r LEFT JOIN tgt t ON t.b = r.b, tot
+),
+dc AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM tok
+       GROUP BY doc_id, b)
+SELECT dc.doc_id,
+       round(sum(dc.c * lam.l), 6) AS dsir_logratio,
+       round(sum(dc.c * lam.l), 6) > 0 AS selected
+FROM dc JOIN lam ON lam.b = dc.b
+GROUP BY dc.doc_id
+"""
+
+
 SOURCE_OVERLAP_SQL = """
 WITH tok AS (
   SELECT DISTINCT source, word FROM (
@@ -8142,6 +8258,7 @@ QUERIES: Dict[str, Callable] = {
     "media_ref_fanout": media_ref_fanout,
     "doc_pack_interleaved": doc_pack_interleaved,
     "source_overlap_jaccard": source_overlap_jaccard,
+    "doc_dsir_weights": doc_dsir_weights,
     "doc_top_terms": doc_top_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "customer_sample_per_segment": customer_sample_per_segment,
@@ -8271,6 +8388,7 @@ ORACLE_SQL: Dict[str, str] = {
     "media_ref_fanout": MEDIA_REF_FANOUT_SQL,
     "doc_pack_interleaved": DOC_PACK_INTERLEAVED_SQL,
     "source_overlap_jaccard": SOURCE_OVERLAP_SQL,
+    "doc_dsir_weights": DOC_DSIR_SQL,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "dedup_exact_keep": DEDUP_KEEP_SQL,

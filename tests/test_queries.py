@@ -692,3 +692,73 @@ def test_vocab_growth_planted_and_tiny_corpus(ray_session, tmp_path):
     con2.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tiny}/documents.parquet')")
     want2 = _normalize(con2.sql(CORPUS_VOCAB_GROWTH_SQL).df())
     pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_source_overlap_planted(ray_session, tmp_path):
+    """Known vocab overlap: srcA={a,b,c,d,e}, srcB={c,d,e,f} → common 3,
+    union 6, jaccard 0.5; srcC disjoint → its pairs (n_common=0) are
+    omitted, matching the oracle's inner join.  Must match the oracle and
+    be partition-count invariant."""
+    from b_pdf_parser_ray.queries import SOURCE_OVERLAP_SQL, source_overlap_jaccard
+
+    _write_docs(tmp_path, [
+        (0, "a b c d", "srcA"),
+        (1, "c d e", "srcA"),
+        (2, "c d e f", "srcB"),
+        (3, "x y", "srcC"),
+    ])
+    got = _normalize(_to_pandas(source_overlap_jaccard(str(tmp_path))))
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["source_a"], row["source_b"]) == ("srcA", "srcB")
+    assert row["n_common"] == 3 and row["n_union"] == 6 and row["jaccard"] == 0.5
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = _normalize(con.sql(SOURCE_OVERLAP_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    again = _normalize(_to_pandas(source_overlap_jaccard(str(tmp_path), num_partitions=4)))
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
+def test_dsir_planted_target_like_doc(ray_session, tmp_path):
+    """DSIR selection on a planted corpus: a non-target-language document
+    written in the target slice's vocabulary must score positive (get
+    selected) while raw-typical documents score negative — the whole point
+    of importance resampling vs a hard language filter.  Engine must match
+    the oracle exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import DOC_DSIR_SQL, doc_dsir_weights
+
+    # token counts must dominate the 64-bucket add-one smoothing mass, so
+    # the planted documents repeat their vocabulary at realistic scale
+    rows = [
+        (0, " ".join(["alpha"] * 50 + ["beta"] * 30 + ["gamma"]), "en"),
+        (1, " ".join(["alpha"] * 20 + ["beta"] * 30), "en"),
+        (2, " ".join(["delta"] * 40 + ["epsilon"] * 30 + ["zeta"] * 30), "fr"),
+        (3, " ".join(["epsilon"] * 20 + ["zeta"] * 30 + ["delta"] * 10), "fr"),
+        (4, "alpha beta alpha", "fr"),   # target-like impostor
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    got = _normalize(_to_pandas(doc_dsir_weights(str(tmp_path))))
+    sel = dict(zip(got["doc_id"], got["selected"]))
+    assert sel[4] is True or sel[4] == True  # noqa: E712 — numpy bool
+    assert not sel[2] and not sel[3]
+    assert sel[0] and sel[1]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = _normalize(con.sql(DOC_DSIR_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
