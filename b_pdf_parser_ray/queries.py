@@ -2737,6 +2737,91 @@ FROM (
 """
 
 
+def doc_chunk_interleaved(sf_dir: str, seq_len: int = 256):
+    """Within-document context-window chunking over the INTERLEAVED span
+    layer — the companion to ``doc_pack_interleaved`` (which packs whole
+    docs across a shard): split each interleaved text+media document into
+    consecutive windows of ``seq_len`` effective tokens, media spans
+    costing the fixed ``MEDIA_TOKEN_COST`` placeholder budget, and report
+    each window's composition (n_text, n_media, cost) — the VLM-trainer
+    view of how media density shapes usable context.
+
+    Scale shape: ZERO exchanges.  A document's spans live in one batch, so
+    the per-span prefix-sum (flattened cumsum minus per-doc base) and the
+    (doc, chunk) roll-up are both in-batch Arrow C / numpy; the map emits
+    final rows directly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        spans_tbl = synth_interleaved_spans(batch)
+        spans = spans_tbl.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        is_media = pc.equal(flat.field("kind"), "media").to_numpy(
+            zero_copy_only=False
+        )
+        cost = np.where(is_media, MEDIA_TOKEN_COST, 1).astype(np.int64)
+        parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+        n_spans = pc.list_value_length(spans).to_numpy().astype(np.int64)
+        doc_start = np.cumsum(n_spans) - n_spans
+        cum_before = np.cumsum(cost) - cost
+        doc_base = (
+            cum_before[doc_start] if len(cost) else np.empty(0, dtype=np.int64)
+        )
+        chunk_id = (cum_before - doc_base[parent]) // seq_len
+        t = pa.Table.from_arrays(
+            [
+                pc.take(spans_tbl.column("doc_id"), pa.array(parent)),
+                pa.array(chunk_id, type=pa.int64()),
+                pa.array((~is_media).astype(np.int64)),
+            ],
+            names=["doc_id", "chunk_id", "is_text"],
+        )
+        g = t.group_by(["doc_id", "chunk_id"], use_threads=False).aggregate(
+            [("is_text", "sum"), ([], "count_all")]
+        )
+        assert g.column_names[:2] == ["doc_id", "chunk_id"], g.column_names
+        n_text = g.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_all = g.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_media = n_all - n_text
+        return pa.Table.from_arrays(
+            [
+                g.column("doc_id"),
+                g.column("chunk_id"),
+                pa.array(n_text),
+                pa.array(n_media),
+                pa.array(n_text + MEDIA_TOKEN_COST * n_media),
+            ],
+            names=["doc_id", "chunk_id", "n_text", "n_media", "chunk_cost"],
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+DOC_CHUNK_INTERLEAVED_SQL = f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+txt AS (
+  SELECT doc_id, (j + {MEDIA_TOKEN_COST} * (j // 7)) // 256 AS chunk_id,
+         1 AS is_text
+  FROM t, UNNEST(range(0, n_tok)) AS u(j)
+),
+med AS (
+  SELECT doc_id, (7 * k + {MEDIA_TOKEN_COST} * (k - 1)) // 256 AS chunk_id,
+         0 AS is_text
+  FROM t, UNNEST(range(1, n_tok // 7 + 1)) AS u(k)
+),
+allsp AS (SELECT * FROM txt UNION ALL SELECT * FROM med)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(sum(is_text) AS BIGINT) AS n_text,
+       CAST(count(*) - sum(is_text) AS BIGINT) AS n_media,
+       CAST(sum(is_text)
+            + {MEDIA_TOKEN_COST} * (count(*) - sum(is_text)) AS BIGINT)
+         AS chunk_cost
+FROM allsp GROUP BY doc_id, chunk_id
+"""
+
+
 def customer_sample_per_segment(sf_dir: str, n: int = 10):
     """Deterministic stratified sample: exactly ``n`` customers per market
     segment, chosen by key hash — same rows on every run, any cluster size,
@@ -8259,6 +8344,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_pack_interleaved": doc_pack_interleaved,
     "source_overlap_jaccard": source_overlap_jaccard,
     "doc_dsir_weights": doc_dsir_weights,
+    "doc_chunk_interleaved": doc_chunk_interleaved,
     "doc_top_terms": doc_top_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "customer_sample_per_segment": customer_sample_per_segment,
@@ -8389,6 +8475,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_pack_interleaved": DOC_PACK_INTERLEAVED_SQL,
     "source_overlap_jaccard": SOURCE_OVERLAP_SQL,
     "doc_dsir_weights": DOC_DSIR_SQL,
+    "doc_chunk_interleaved": DOC_CHUNK_INTERLEAVED_SQL,
     "corpus_tfidf_top_terms": CORPUS_TFIDF_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "dedup_exact_keep": DEDUP_KEEP_SQL,
