@@ -8154,6 +8154,21 @@ def source_overlap_jaccard(sf_dir: str, num_partitions: int = None):
 
 DSIR_BUCKETS = 64
 
+# per-WORKER token→bucket memo (module-level, same vocabulary-bounded
+# pattern as the BPE apply memo): the md5 is the one Python-loop cost in
+# the DSIR passes and a corpus token recurs in nearly every batch
+_DSIR_BUCKET_MEMO: Dict[str, int] = {}
+
+
+def _dsir_bucket(tok: str) -> int:
+    b = _DSIR_BUCKET_MEMO.get(tok)
+    if b is None:
+        import hashlib
+
+        b = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % DSIR_BUCKETS
+        _DSIR_BUCKET_MEMO[tok] = b
+    return b
+
 
 def doc_dsir_weights(sf_dir: str, target_lang: str = "en"):
     """DSIR-style importance weights (Xie et al. 2023, *Data Selection for
@@ -8175,8 +8190,6 @@ def doc_dsir_weights(sf_dir: str, target_lang: str = "en"):
     closure.  Pass 2 scores map-side: per-doc bucket counts via
     ``np.add.at`` then one (docs × 64) @ 64 matmul.  Nothing corpus-sized
     ever reaches the driver."""
-    import hashlib
-
     m = DSIR_BUCKETS
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
@@ -8187,10 +8200,7 @@ def doc_dsir_weights(sf_dir: str, target_lang: str = "en"):
         tok_lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
         enc = tok_lists.flatten().dictionary_encode()
         vocab_b = np.fromiter(
-            (
-                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % m
-                for t in enc.dictionary.to_pylist()
-            ),
+            (_dsir_bucket(t) for t in enc.dictionary.to_pylist()),
             np.int64,
             len(enc.dictionary),
         )
