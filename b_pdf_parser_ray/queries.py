@@ -1862,6 +1862,71 @@ def extract_rollup_by_strategy(sf_dir: str):
     return out.sort("strategy")
 
 
+def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
+    """Byte-stream PDF extraction END-TO-END — the north star's missing
+    bottom layer run for real: deterministic REAL PDF files (object graph,
+    FlateDecode content streams, xref tables — ``sources/pdfbytes.py``) →
+    ``read_binary_files`` → xref/object parse + inflate + content-stream
+    tokenization into reading-order spans → the flagship extraction kernel
+    → per-strategy rollup.  The strategy sidecar is a broadcast dict (the
+    small-side lookup pattern), since PDF bytes don't carry it.
+
+    Rows-only: PDF parsing is not SQL-expressible; pinned by
+    tests/test_pdfbytes.py — byte-level span-sequence equality vs the span
+    fixtures and rollup equality vs the span-table extraction path."""
+    import os
+
+    from .fixtures import make_document
+    from .pipelines.flagship import extract_documents
+    from .sources.pdfbytes import read_pdf_documents, write_pdf_corpus
+
+    path = f"/tmp/pdf_corpus_{n_docs}_42"
+    marker = f"{path}._DONE"  # outside the dir: read_binary_files reads ALL files
+    if not os.path.exists(marker):
+        write_pdf_corpus(path, n_docs)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+
+    strategies = {
+        d["doc_id"]: d["strategy"]
+        for d in (make_document(i) for i in range(n_docs))
+    }
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return batch.append_column(
+            "strategy", pa.array([strategies[i] for i in ids], type=pa.string())
+        )
+
+    ext = extract_documents(read_pdf_documents(path).map_batches(
+        attach, batch_format="pyarrow"
+    ))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([strategies[i] for i in ids], type=pa.string()),
+                pc.cast(batch.column("is_valid"), pa.int64()),
+                pc.cast(
+                    pc.list_value_length(batch.column("transactions")), pa.int64()
+                ),
+            ],
+            names=["strategy", "valid", "n_txns"],
+        )
+
+    out = grouped_agg(
+        ext.map_batches(project, batch_format="pyarrow"),
+        ["strategy"],
+        [
+            (None, "count", "n_docs"),
+            ("valid", "sum", "n_valid"),
+            ("n_txns", "sum", "total_txns"),
+        ],
+    )
+    return out.sort("strategy")
+
+
 def doc_top_terms(sf_dir: str, k: int = 20):
     """Corpus-wide top-k terms — the vocabulary/stopword-inventory builder.
 
@@ -8350,6 +8415,7 @@ QUERIES: Dict[str, Callable] = {
     "span_roundtrip_stats": span_roundtrip_stats,
     "doc_media_captions": doc_media_captions,
     "extract_media_captions": extract_media_captions,
+    "extract_pdf_bytes": extract_pdf_bytes,
     "media_ref_fanout": media_ref_fanout,
     "doc_pack_interleaved": doc_pack_interleaved,
     "source_overlap_jaccard": source_overlap_jaccard,

@@ -1,0 +1,611 @@
+"""Byte-stream PDF tokenization — the north star's "xref/object parsing,
+content-stream decompression" stage, pure stdlib (zlib) + the PDF 1.4 spec.
+
+Two halves, both from scratch (reference repo delegates this layer to
+PyMuPDF/pdf_oxide — ``/root/reference/pymupdf_parser.py:56-57`` reads the
+finished text layer; here the byte-level work itself is rebuilt):
+
+* ``build_pdf(spans)`` — deterministic writer: real object graph
+  (catalog → pages → page + FlateDecode content stream + font + image
+  XObjects), literal-string escaping, a correct 20-byte-entry xref table
+  and trailer.  One PDF per document, text spans as ``Tj``/``TJ``/``Tm``
+  operators on descending baselines, media spans as ``/Im{i} Do``
+  invocations positioned with ``cm`` — the exact latent structure SURVEY
+  §1.2 documents for the reference's source PDFs.
+* ``tokenize_pdf_bytes(data)`` — parser: ``startxref`` → xref table →
+  object offsets; recursive object parser (dicts, arrays, names, strings
+  with escape/octal decode, indirect refs, streams with direct or
+  indirect ``/Length``); page tree walk in ``/Kids`` order; per-page
+  content-stream ``zlib.decompress`` when ``/Filter /FlateDecode``;
+  operator interpreter tracking ``Td``/``TD``/``Tm`` text positioning and
+  ``q``/``cm``/``Q`` for XObject placement; spans sorted into reading
+  order (page, y descending, x ascending) — the O4 latent sort — and
+  emitted as (kind, text, media_ref, offset) rows matching
+  ``model.SPAN_TYPE``.
+
+The writer/parser pair is differentially pinned against the span-table
+fixtures: ``tokenize_pdf_bytes(build_pdf(make_document(i)["spans"]))``
+must reproduce the span sequence EXACTLY (kind, text, media_ref, order)
+— the north rule's per-row invariant, proven at the byte level.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+PAGE_HEIGHT = 792
+PAGE_TOP_Y = 750
+LINE_DY = 15
+MIN_Y = 50
+TEXT_X = 72
+MEDIA_X = 60
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+def _esc(s: str) -> bytes:
+    """PDF literal-string escaping: backslash, parens (spec 3.2.3)."""
+    out = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    return out.encode("latin-1", errors="replace")
+
+
+def build_pdf(spans: List[Dict[str, object]], compress: bool = True) -> bytes:
+    """Serialize a span sequence as one real PDF file.
+
+    Spans must be in offset order.  Each span gets its own descending
+    baseline so the reading-order sort reproduces the input order; pages
+    break when the baseline runs out.  Operator variety is deterministic
+    by in-page index: every 5th text span positions with ``Tm`` instead of
+    ``Td``, every 7th splits its string across a kerned ``TJ`` array.
+    """
+    pages: List[List[Dict[str, object]]] = [[]]
+    y = PAGE_TOP_Y
+    for sp in spans:
+        if y < MIN_Y:
+            pages.append([])
+            y = PAGE_TOP_Y
+        pages[-1].append({**sp, "y": y})
+        y -= LINE_DY
+
+    media_refs: List[str] = []
+    for sp in spans:
+        if sp["kind"] == "media" and sp["media_ref"] not in media_refs:
+            media_refs.append(str(sp["media_ref"]))
+
+    # object numbering: 1 catalog, 2 pages, 3 font, 4.. images, then per
+    # page (page obj, content obj)
+    font_num = 3
+    img_nums = {ref: 4 + i for i, ref in enumerate(media_refs)}
+    first_page_num = 4 + len(media_refs)
+    page_nums = [first_page_num + 2 * i for i in range(len(pages))]
+
+    objs: Dict[int, bytes] = {}
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = b"<< /Type /Pages /Kids [ %s ] /Count %d >>" % (kids, len(pages))
+    objs[font_num] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for ref, num in img_nums.items():
+        head = (
+            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>"
+        )
+        objs[num] = head + b"\nstream\n\x80\nendstream"
+
+    xobj_entries = b" ".join(
+        b"/%s %d 0 R" % (ref.encode(), num) for ref, num in img_nums.items()
+    )
+    resources = (
+        b"<< /Font << /F1 %d 0 R >> /XObject << %s >> >>"
+        % (font_num, xobj_entries)
+        if media_refs
+        else b"<< /Font << /F1 %d 0 R >> >>" % font_num
+    )
+
+    for pi, page in enumerate(pages):
+        ops: List[bytes] = []
+        for si, sp in enumerate(page):
+            yy = sp["y"]
+            if sp["kind"] == "media":
+                ops.append(
+                    b"q 20 0 0 20 %d %d cm /%s Do Q"
+                    % (MEDIA_X, yy, str(sp["media_ref"]).encode())
+                )
+                continue
+            text = str(sp["text"])
+            if si % 7 == 3 and len(text) > 2:
+                cut = len(text) // 2
+                body = b"[ (%s) -250 (%s) ] TJ" % (
+                    _esc(text[:cut]),
+                    _esc(text[cut:]),
+                )
+            else:
+                body = b"(%s) Tj" % _esc(text)
+            if si % 5 == 2:
+                pos = b"1 0 0 1 %d %d Tm" % (TEXT_X, yy)
+            else:
+                pos = b"%d %d Td" % (TEXT_X, yy)
+            ops.append(b"BT /F1 10 Tf %s %s ET" % (pos, body))
+        content = b"\n".join(ops)
+        if compress:
+            data = zlib.compress(content)
+            stream_dict = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            data = content
+            stream_dict = b"<< /Length %d >>" % len(data)
+        page_num = page_nums[pi]
+        objs[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 %d ] "
+            b"/Resources %s /Contents %d 0 R >>"
+            % (PAGE_HEIGHT, resources, page_num + 1)
+        )
+        objs[page_num + 1] = stream_dict + b"\nstream\n" + data + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: Dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    n_objs = max(objs) + 1
+    out += b"xref\n0 %d\n" % n_objs
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        out += b"%010d %05d n \n" % (offsets[num], 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_pos)
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Parser — lexer for PDF object syntax
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def next_token(self) -> Tuple[str, object]:
+        """Returns (kind, value): kind ∈ num, name, str, hexstr, dict_open,
+        dict_close, arr_open, arr_close, kw."""
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            return ("eof", None)
+        c = d[self.pos]
+        if c == 0x2F:  # /Name
+            self.pos += 1
+            start = self.pos
+            while self.pos < len(d) and d[self.pos] not in _WS + _DELIM:
+                self.pos += 1
+            return ("name", d[start : self.pos].decode("latin-1"))
+        if d.startswith(b"<<", self.pos):
+            self.pos += 2
+            return ("dict_open", None)
+        if d.startswith(b">>", self.pos):
+            self.pos += 2
+            return ("dict_close", None)
+        if c == 0x5B:
+            self.pos += 1
+            return ("arr_open", None)
+        if c == 0x5D:
+            self.pos += 1
+            return ("arr_close", None)
+        if c == 0x28:  # ( literal string
+            return ("str", self._lit_string())
+        if c == 0x3C:  # < hex string
+            end = d.index(b">", self.pos)
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", d[self.pos + 1 : end])
+            if len(hx) % 2:
+                hx += b"0"
+            self.pos = end + 1
+            return ("str", bytes.fromhex(hx.decode()).decode("latin-1"))
+        if c in b"+-.0123456789":
+            start = self.pos
+            self.pos += 1
+            while self.pos < len(d) and d[self.pos] in b"+-.0123456789":
+                self.pos += 1
+            tok = d[start : self.pos]
+            return ("num", float(tok) if b"." in tok else int(tok))
+        # keyword (obj, endobj, stream, R, true, false, null, operators)
+        start = self.pos
+        while self.pos < len(d) and d[self.pos] not in _WS + _DELIM:
+            self.pos += 1
+        return ("kw", d[start : self.pos].decode("latin-1"))
+
+    def _lit_string(self) -> str:
+        """Literal string with escape + octal decode (spec 3.2.3)."""
+        d = self.data
+        assert d[self.pos] == 0x28
+        self.pos += 1
+        depth = 1
+        out = bytearray()
+        while self.pos < len(d):
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                e = d[self.pos]
+                if e in b"01234567":
+                    oct_digits = bytearray()
+                    while len(oct_digits) < 3 and d[self.pos] in b"01234567":
+                        oct_digits.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits.decode(), 8) & 0xFF)
+                    continue
+                mapped = {
+                    0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09,
+                    0x62: 0x08, 0x66: 0x0C,
+                }.get(e)
+                if mapped is not None:
+                    out.append(mapped)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and d[self.pos + 1 : self.pos + 2] == b"\n":
+                        self.pos += 1
+                else:
+                    out.append(e)
+                self.pos += 1
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return out.decode("latin-1")
+            out.append(c)
+            self.pos += 1
+        raise ValueError("unterminated literal string")
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+def _parse_value(lx: _Lexer, first: Optional[Tuple[str, object]] = None):
+    kind, val = first if first is not None else lx.next_token()
+    if kind == "num":
+        # lookahead for "g R" indirect reference
+        save = lx.pos
+        k2, v2 = lx.next_token()
+        if k2 == "num":
+            save2 = lx.pos
+            k3, v3 = lx.next_token()
+            if k3 == "kw" and v3 == "R":
+                return _Ref(int(val))
+            lx.pos = save2
+            lx.pos = save  # two numbers: rewind fully, return first
+            return val
+        lx.pos = save
+        return val
+    if kind in ("name", "str"):
+        return (kind, val) if kind == "name" else val
+    if kind == "dict_open":
+        d = {}
+        while True:
+            k, v = lx.next_token()
+            if k == "dict_close":
+                return d
+            if k != "name":
+                raise ValueError(f"bad dict key token {k} {v!r}")
+            d[v] = _parse_value(lx)
+    if kind == "arr_open":
+        arr = []
+        while True:
+            k, v = lx.next_token()
+            if k == "arr_close":
+                return arr
+            arr.append(_parse_value(lx, (k, v)))
+    if kind == "kw" and val in ("true", "false", "null"):
+        return {"true": True, "false": False, "null": None}[val]
+    raise ValueError(f"unexpected token {kind} {val!r}")
+
+
+# ---------------------------------------------------------------------------
+# Parser — document structure
+# ---------------------------------------------------------------------------
+
+
+class PdfDocument:
+    """Minimal spec-faithful reader for the subset a text/media tokenizer
+    needs: single xref section (with /Prev chains), uncompressed or
+    FlateDecode streams, direct or indirect /Length."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.offsets: Dict[int, int] = {}
+        self.trailer: Dict[str, object] = {}
+        self._cache: Dict[int, object] = {}
+        self._load_xref()
+
+    def _load_xref(self):
+        tail = self.data[-256:]
+        m = re.search(rb"startxref\s+(\d+)\s*%%EOF", tail)
+        if not m:
+            raise ValueError("startxref not found")
+        pos = int(m.group(1))
+        while pos is not None:
+            pos = self._read_xref_section(pos)
+
+    def _read_xref_section(self, pos: int) -> Optional[int]:
+        d = self.data
+        if not d.startswith(b"xref", pos):
+            raise ValueError(f"xref keyword not at offset {pos}")
+        lx = _Lexer(d, pos + 4)
+        while True:
+            save = lx.pos
+            k, v = lx.next_token()
+            if k == "kw" and v == "trailer":
+                trailer = _parse_value(lx)
+                for key, val in trailer.items():
+                    self.trailer.setdefault(key, val)
+                prev = trailer.get("Prev")
+                return int(prev) if prev is not None else None
+            if k != "num":
+                raise ValueError(f"bad xref subsection header at {save}")
+            k2, count = lx.next_token()
+            first = int(v)
+            lx._skip_ws()
+            # fixed 20-byte entries
+            for i in range(int(count)):
+                entry = d[lx.pos : lx.pos + 20]
+                off, gen, typ = entry[:10], entry[11:16], entry[17:18]
+                if typ == b"n":
+                    self.offsets.setdefault(first + i, int(off))
+                lx.pos += 20
+
+    def obj(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        pos = self.offsets[num]
+        lx = _Lexer(self.data, pos)
+        k, v = lx.next_token()
+        assert k == "num" and int(v) == num, f"object {num} not at {pos}"
+        lx.next_token()  # generation
+        k, v = lx.next_token()
+        assert k == "kw" and v == "obj"
+        value = _parse_value(lx)
+        # stream?
+        save = lx.pos
+        k, v = lx.next_token()
+        if k == "kw" and v == "stream":
+            # EOL after 'stream' keyword: CRLF or LF
+            p = lx.pos
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] == b"\n":
+                p += 1
+            length = self.resolve(value.get("Length"))
+            raw = self.data[p : p + int(length)]
+            value = ("stream", value, raw)
+        else:
+            lx.pos = save
+        self._cache[num] = value
+        return value
+
+    def resolve(self, v):
+        while isinstance(v, _Ref):
+            v = self.obj(v.num)
+        return v
+
+    def stream_data(self, obj) -> bytes:
+        assert isinstance(obj, tuple) and obj[0] == "stream"
+        _, sdict, raw = obj
+        filt = self.resolve(sdict.get("Filter"))
+        if filt is None:
+            return raw
+        if filt == ("name", "FlateDecode"):
+            return zlib.decompress(raw)
+        raise ValueError(f"unsupported filter {filt!r}")
+
+    def pages(self) -> List[Dict[str, object]]:
+        root = self.resolve(self.trailer["Root"])
+        out: List[Dict[str, object]] = []
+
+        def walk(node):
+            node = self.resolve(node)
+            ntype = node.get("Type")
+            if ntype == ("name", "Pages"):
+                for kid in self.resolve(node["Kids"]):
+                    walk(kid)
+            else:
+                out.append(node)
+
+        walk(root["Pages"])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Content-stream interpreter
+# ---------------------------------------------------------------------------
+
+
+def _interpret_content(content: bytes) -> List[Tuple[float, float, str, str]]:
+    """Run the text/XObject subset of the content-stream operator set.
+
+    Returns (y, x, kind, payload) tuples — payload is the decoded text for
+    text-showing operators, the XObject resource name for ``Do``.
+    Tracks ``Td``/``TD`` (translate line matrix), ``Tm`` (set absolute),
+    ``BT`` (reset), and ``q``/``cm``/``Q`` (CTM translation for images).
+    """
+    lx = _Lexer(content)
+    spans: List[Tuple[float, float, str, str]] = []
+    stack: List[object] = []
+    tx = ty = 0.0
+    ctm_stack: List[Tuple[float, float]] = []
+    cx = cy = 0.0
+    while True:
+        k, v = lx.next_token()
+        if k == "eof":
+            break
+        if k in ("num", "str", "name"):
+            stack.append(v if k != "name" else ("name", v))
+            continue
+        if k == "arr_open":
+            arr = []
+            while True:
+                k2, v2 = lx.next_token()
+                if k2 == "arr_close":
+                    break
+                arr.append(v2)
+            stack.append(arr)
+            continue
+        if k != "kw":
+            stack.clear()
+            continue
+        op = v
+        if op == "BT":
+            tx = ty = 0.0
+            stack.clear()
+        elif op in ("Td", "TD"):
+            tx += float(stack[-2])
+            ty += float(stack[-1])
+            stack.clear()
+        elif op == "Tm":
+            tx, ty = float(stack[-2]), float(stack[-1])
+            stack.clear()
+        elif op == "Tj":
+            spans.append((ty, tx, "text", str(stack[-1])))
+            stack.clear()
+        elif op == "TJ":
+            parts = [p for p in stack[-1] if isinstance(p, str)]
+            spans.append((ty, tx, "text", "".join(parts)))
+            stack.clear()
+        elif op == "q":
+            ctm_stack.append((cx, cy))
+            stack.clear()
+        elif op == "Q":
+            if ctm_stack:
+                cx, cy = ctm_stack.pop()
+            stack.clear()
+        elif op == "cm":
+            cx += float(stack[-2])
+            cy += float(stack[-1])
+            stack.clear()
+        elif op == "Do":
+            name = stack[-1]
+            spans.append((cy, cx, "media", name[1]))
+            stack.clear()
+        else:  # Tf, ET, and anything else consume their operands
+            stack.clear()
+    return spans
+
+
+def tokenize_pdf_bytes(data: bytes) -> List[Dict[str, object]]:
+    """Full byte-stream tokenization: xref → page tree → content streams →
+    reading-order span sequence (kind, text, media_ref, offset)."""
+    doc = PdfDocument(data)
+    out: List[Dict[str, object]] = []
+    offset = 0
+    for page in doc.pages():
+        contents = doc.resolve(page["Contents"])
+        raw = doc.stream_data(contents)
+        page_spans = _interpret_content(raw)
+        # O4 reading order: y descending, x ascending (stable)
+        page_spans.sort(key=lambda s: (-s[0], s[1]))
+        for y, x, kind, payload in page_spans:
+            if kind == "text":
+                out.append(
+                    {"kind": "text", "text": payload, "media_ref": "",
+                     "offset": offset}
+                )
+            else:
+                out.append(
+                    {"kind": "media", "text": "", "media_ref": payload,
+                     "offset": offset}
+                )
+            offset += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ray stage
+# ---------------------------------------------------------------------------
+
+
+def tokenize_batch(batch) -> "pa.Table":
+    """``read_binary_files(include_paths=True)`` batch → canonical
+    documents(doc_id, spans) rows.  The per-file byte walk is inherently
+    sequential per document (object graph + inflate) but documents are
+    independent, so the stage is embarrassingly parallel ``map_batches``;
+    task mode by doctrine (no expensive per-actor state — zlib and the
+    lexer are stateless; CLAUDE.md perf facts)."""
+    import os
+
+    import pyarrow as pa
+
+    from ..model import SPAN_TYPE
+
+    paths = batch.column("path").to_pylist()
+    blobs = batch.column("bytes").to_pylist()
+    doc_ids = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    spans = [tokenize_pdf_bytes(b) for b in blobs]
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.string()),
+            pa.array(spans, type=pa.list_(SPAN_TYPE)),
+        ],
+        names=["doc_id", "spans"],
+    )
+
+
+def read_pdf_documents(path: str):
+    """Streaming source: directory of PDF files → documents(doc_id, spans)
+    Dataset via byte-stream tokenization.  ``read_binary_files`` makes one
+    block per group of files (whole-file rows — a PDF is not splittable
+    mid-xref), so block sizing is file-count-driven; heavyweight-PDF skew
+    is handled downstream by the flagship's size-bucketed repartition."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(path, include_paths=True)
+    return ds.map_batches(tokenize_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Fixture corpus writer (deterministic PDFs from the span fixtures)
+# ---------------------------------------------------------------------------
+
+
+def write_pdf_corpus(path: str, num_docs: int, seed: int = 42) -> List[str]:
+    """One real PDF file per fixture document (same content as the span
+    corpus at the same seed/index — ``fixtures.make_document``), named
+    ``{doc_id}.pdf``.  Returns the sorted file list."""
+    import os
+
+    from ..fixtures import make_document
+
+    os.makedirs(path, exist_ok=True)
+    files = []
+    for i in range(num_docs):
+        doc = make_document(i, seed)
+        p = os.path.join(path, f"{doc['doc_id']}.pdf")
+        with open(p, "wb") as f:
+            f.write(build_pdf(doc["spans"]))
+        files.append(p)
+    return sorted(files)

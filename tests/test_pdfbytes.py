@@ -1,0 +1,149 @@
+"""Byte-stream PDF tokenization: the north rule's span-sequence-equality
+invariant proven at the BYTE level — real PDF files (object graph,
+FlateDecode streams, xref) round-trip through the from-scratch tokenizer
+back to the exact fixture span sequences (kind, text, media_ref, order)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from b_pdf_parser_ray.fixtures import make_document, make_table_document
+from b_pdf_parser_ray.sources.pdfbytes import (
+    PdfDocument,
+    build_pdf,
+    tokenize_pdf_bytes,
+    write_pdf_corpus,
+)
+
+KEYS = ("kind", "text", "media_ref", "offset")
+
+
+def _want(doc):
+    return [{k: s[k] for k in KEYS} for s in doc["spans"]]
+
+
+def test_span_roundtrip_all_families():
+    """60 seeded fixture docs (every family: standard/heavy/inline/
+    indonesian/truncated/no_summary/...) — byte-level round trip must be
+    span-for-span exact."""
+    for i in range(60):
+        doc = make_document(i)
+        assert tokenize_pdf_bytes(build_pdf(doc["spans"])) == _want(doc), (
+            i,
+            doc["family"],
+        )
+
+
+def test_span_roundtrip_table_docs_and_uncompressed():
+    for i in range(8):
+        doc = make_table_document(i)
+        assert tokenize_pdf_bytes(build_pdf(doc["spans"])) == _want(doc)
+    doc = make_document(3)
+    assert tokenize_pdf_bytes(build_pdf(doc["spans"], compress=False)) == _want(doc)
+
+
+def test_adversarial_strings_and_multipage():
+    spans = [
+        {"kind": "text", "text": "paren (nested (deep)) and \\ backslash",
+         "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "Im0", "offset": 1},
+        {"kind": "text", "text": "tab\there and )close( mix",
+         "media_ref": "", "offset": 2},
+        {"kind": "text", "text": "", "media_ref": "", "offset": 3},
+    ]
+    assert tokenize_pdf_bytes(build_pdf(spans)) == spans
+
+    base = make_document(7)["spans"] * 30  # ~100 pages
+    spans = [{**s, "offset": i} for i, s in enumerate(base)]
+    assert tokenize_pdf_bytes(build_pdf(spans)) == spans
+
+
+def test_pdf_structure_is_spec_shaped():
+    """The writer emits genuinely well-formed PDF: header, xref offsets
+    that land on 'N 0 obj', a trailer /Root, FlateDecode content."""
+    data = build_pdf(make_document(0)["spans"])
+    assert data.startswith(b"%PDF-1.4")
+    doc = PdfDocument(data)
+    assert doc.trailer["Size"] == max(doc.offsets) + 1
+    for num, off in doc.offsets.items():
+        assert data[off:].startswith(b"%d 0 obj" % num)
+    pages = doc.pages()
+    assert pages and all(p["Type"] == ("name", "Page") for p in pages)
+    sdict = doc.resolve(pages[0]["Contents"])[1]
+    assert sdict["Filter"] == ("name", "FlateDecode")
+
+
+def test_read_pdf_documents_matches_span_corpus(ray_session, tmp_path):
+    """The Ray stage (read_binary_files → tokenize map_batches) reproduces
+    the span-table corpus exactly for the same seed."""
+    from b_pdf_parser_ray.sources.pdfbytes import read_pdf_documents
+
+    n = 40
+    write_pdf_corpus(str(tmp_path / "pdfs"), n)
+    rows = {
+        r["doc_id"]: r["spans"]
+        for r in read_pdf_documents(str(tmp_path / "pdfs")).take_all()
+    }
+    assert len(rows) == n
+    for i in range(n):
+        doc = make_document(i)
+        got = [{k: s[k] for k in KEYS} for s in rows[doc["doc_id"]]]
+        assert got == _want(doc), (i, doc["family"])
+
+
+def test_extract_pdf_bytes_matches_span_table_path(ray_session):
+    """End-to-end: the per-strategy extraction rollup computed from PDF
+    BYTES equals the rollup computed from the span-table path over the
+    same documents — full-pipeline differential, byte layer included."""
+    import ray.data
+
+    from b_pdf_parser_ray.fixtures import corpus_table
+    from b_pdf_parser_ray.functions.agg import grouped_agg
+    from b_pdf_parser_ray.pipelines.flagship import extract_documents
+    from b_pdf_parser_ray.queries import extract_pdf_bytes
+
+    n = 120
+    got = extract_pdf_bytes("unused", n_docs=n).to_pandas()
+
+    tbl = corpus_table(n)
+    strategies = dict(
+        zip(
+            (r.as_py() for r in tbl.column("doc_id")),
+            (r.as_py() for r in tbl.column("strategy")),
+        )
+    )
+    ext = extract_documents(ray.data.from_arrow(tbl))
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([strategies[i] for i in ids], type=pa.string()),
+                pc.cast(batch.column("is_valid"), pa.int64()),
+                pc.cast(
+                    pc.list_value_length(batch.column("transactions")), pa.int64()
+                ),
+            ],
+            names=["strategy", "valid", "n_txns"],
+        )
+
+    want = (
+        grouped_agg(
+            ext.map_batches(project, batch_format="pyarrow"),
+            ["strategy"],
+            [
+                (None, "count", "n_docs"),
+                ("valid", "sum", "n_valid"),
+                ("n_txns", "sum", "total_txns"),
+            ],
+        )
+        .sort("strategy")
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    # sanity: the corpus actually extracts (not a vacuous all-invalid pass)
+    assert want["n_valid"].sum() > 0 and want["total_txns"].sum() > 0
