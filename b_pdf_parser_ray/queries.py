@@ -1880,7 +1880,9 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
     from .pipelines.flagship import extract_documents
     from .sources.pdfbytes import read_pdf_documents, write_pdf_corpus
 
-    path = f"/tmp/pdf_corpus_{n_docs}_42"
+    # v2: corpus mixes classic and PDF 1.5 structural forms (writer change
+    # invalidates the cache — same args must mean same bytes)
+    path = f"/tmp/pdf_corpus_{n_docs}_42_v2"
     marker = f"{path}._DONE"  # outside the dir: read_binary_files reads ALL files
     if not os.path.exists(marker):
         write_pdf_corpus(path, n_docs)

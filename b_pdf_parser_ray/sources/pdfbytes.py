@@ -53,7 +53,42 @@ def _esc(s: str) -> bytes:
     return out.encode("latin-1", errors="replace")
 
 
-def build_pdf(spans: List[Dict[str, object]], compress: bool = True) -> bytes:
+def _png_up_encode(rows: List[bytes]) -> bytes:
+    """PNG Up-predictor encode (filter type 2) — the encoding PDF 1.5
+    cross-reference streams conventionally use (/Predictor 12)."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def _png_undo(data: bytes, columns: int) -> bytes:
+    """Undo PNG row predictors (None/Sub/Up) over ``columns``-byte rows."""
+    row_len = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), row_len):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + row_len])
+        if ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unsupported PNG filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def build_pdf(
+    spans: List[Dict[str, object]], compress: bool = True, pdf15: bool = False
+) -> bytes:
     """Serialize a span sequence as one real PDF file.
 
     Spans must be in offset order.  Each span gets its own descending
@@ -61,6 +96,11 @@ def build_pdf(spans: List[Dict[str, object]], compress: bool = True) -> bytes:
     break when the baseline runs out.  Operator variety is deterministic
     by in-page index: every 5th text span positions with ``Tm`` instead of
     ``Td``, every 7th splits its string across a kerned ``TJ`` array.
+
+    ``pdf15=True`` emits PDF 1.5 structure instead of the classic tail:
+    all non-stream objects packed into ONE object stream (/Type /ObjStm)
+    and a cross-reference STREAM (/Type /XRef, /W [1 4 2], FlateDecode +
+    PNG Up predictor) replacing the xref table + trailer.
     """
     pages: List[List[Dict[str, object]]] = [[]]
     y = PAGE_TOP_Y
@@ -146,21 +186,72 @@ def build_pdf(spans: List[Dict[str, object]], compress: bool = True) -> bytes:
         )
         objs[page_num + 1] = stream_dict + b"\nstream\n" + data + b"\nendstream"
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: Dict[int, int] = {}
-    for num in sorted(objs):
+    if not pdf15:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets: Dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        xref_pos = len(out)
+        n_objs = max(objs) + 1
+        out += b"xref\n0 %d\n" % n_objs
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n_objs):
+            out += b"%010d %05d n \n" % (offsets[num], 0)
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n_objs, xref_pos)
+        )
+        return bytes(out)
+
+    # --- PDF 1.5 tail: object stream + cross-reference stream ---
+    stream_nums = set(img_nums.values()) | {pn + 1 for pn in page_nums}
+    packed = [n for n in sorted(objs) if n not in stream_nums]
+    objstm_num = max(objs) + 1
+    xref_num = objstm_num + 1
+
+    body = bytearray()
+    header_parts = []
+    for num in packed:
+        header_parts.append(b"%d %d" % (num, len(body)))
+        body += objs[num] + b" "
+    header = b" ".join(header_parts) + b"\n"
+    objstm_plain = bytes(header) + bytes(body)
+    objstm_data = zlib.compress(objstm_plain)
+    objs[objstm_num] = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n%s\nendstream"
+        % (len(packed), len(header), len(objstm_data), objstm_data)
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(n for n in objs if n not in packed):
         offsets[num] = len(out)
         out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
     xref_pos = len(out)
-    n_objs = max(objs) + 1
-    out += b"xref\n0 %d\n" % n_objs
-    out += b"0000000000 65535 f \n"
-    for num in range(1, n_objs):
-        out += b"%010d %05d n \n" % (offsets[num], 0)
+
+    size = xref_num + 1
+    rows: List[bytes] = []
+    packed_index = {num: i for i, num in enumerate(packed)}
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in packed_index:
+            t, f2, f3 = 2, objstm_num, packed_index[num]
+        elif num == xref_num:
+            t, f2, f3 = 1, xref_pos, 0
+        else:
+            t, f2, f3 = 1, offsets[num], 0
+        rows.append(bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big"))
+    xref_data = zlib.compress(_png_up_encode(rows))
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (n_objs, xref_pos)
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root 1 0 R /W [ 1 4 2 ] "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (xref_num, size, len(xref_data), xref_data)
     )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
 
 
@@ -340,6 +431,7 @@ class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.offsets: Dict[int, int] = {}
+        self.compressed: Dict[int, Tuple[int, int]] = {}  # num → (objstm, idx)
         self.trailer: Dict[str, object] = {}
         self._cache: Dict[int, object] = {}
         self._load_xref()
@@ -356,7 +448,7 @@ class PdfDocument:
     def _read_xref_section(self, pos: int) -> Optional[int]:
         d = self.data
         if not d.startswith(b"xref", pos):
-            raise ValueError(f"xref keyword not at offset {pos}")
+            return self._read_xref_stream(pos)  # PDF 1.5 cross-reference stream
         lx = _Lexer(d, pos + 4)
         while True:
             save = lx.pos
@@ -380,9 +472,87 @@ class PdfDocument:
                     self.offsets.setdefault(first + i, int(off))
                 lx.pos += 20
 
+    def _read_xref_stream(self, pos: int) -> Optional[int]:
+        """PDF 1.5 cross-reference stream: /Type /XRef object whose stream
+        holds /W-packed big-endian entry triples, usually FlateDecode +
+        PNG-predictor encoded; trailer keys live in the stream dict."""
+        lx = _Lexer(self.data, pos)
+        k, v = lx.next_token()
+        if k != "num":
+            raise ValueError(f"no xref table or stream at offset {pos}")
+        lx.next_token()  # generation
+        k, kw = lx.next_token()
+        assert k == "kw" and kw == "obj", (k, kw)
+        sdict = _parse_value(lx)
+        k, kw = lx.next_token()
+        assert k == "kw" and kw == "stream", "xref stream object has no stream"
+        p = lx.pos
+        if self.data[p : p + 2] == b"\r\n":
+            p += 2
+        elif self.data[p : p + 1] == b"\n":
+            p += 1
+        length = sdict.get("Length")
+        if isinstance(length, _Ref):
+            raise ValueError("indirect /Length in xref stream unsupported")
+        raw = self.data[p : p + int(length)]
+        if sdict.get("Filter") == ("name", "FlateDecode"):
+            raw = zlib.decompress(raw)
+        parms = sdict.get("DecodeParms")
+        if isinstance(parms, dict) and int(parms.get("Predictor", 1)) >= 10:
+            raw = _png_undo(raw, int(parms["Columns"]))
+        w = [int(x) for x in sdict["W"]]
+        entry_len = sum(w)
+        size = int(sdict["Size"])
+        index = sdict.get("Index") or [0, size]
+        ep = 0
+        for ri in range(0, len(index), 2):
+            first, count = int(index[ri]), int(index[ri + 1])
+            for i in range(count):
+                fields = []
+                for wi in w:
+                    fields.append(
+                        int.from_bytes(raw[ep : ep + wi], "big") if wi else None
+                    )
+                    ep += wi
+                typ = fields[0] if w[0] else 1  # w[0]=0 → type defaults to 1
+                num = first + i
+                if typ == 1 and num not in self.offsets:
+                    self.offsets.setdefault(num, fields[1])
+                elif typ == 2 and num not in self.compressed:
+                    self.compressed[num] = (fields[1], fields[2])
+        for key in ("Root", "Size", "Info"):
+            if key in sdict:
+                self.trailer.setdefault(key, sdict[key])
+        prev = sdict.get("Prev")
+        return int(prev) if prev is not None else None
+
+    def _obj_from_stream(self, num: int):
+        """Resolve a type-2 (compressed) object out of its /Type /ObjStm
+        container: inflate, read the N (num, offset) header pairs, parse
+        the object at /First + offset."""
+        objstm_num, idx = self.compressed[num]
+        container = self.obj(objstm_num)
+        sdict = container[1]
+        data = self.stream_data(container)
+        n = int(self.resolve(sdict["N"]))
+        first = int(self.resolve(sdict["First"]))
+        hdr = _Lexer(data, 0)
+        pairs = []
+        for _ in range(n):
+            _, onum = hdr.next_token()
+            _, ooff = hdr.next_token()
+            pairs.append((int(onum), int(ooff)))
+        onum, ooff = pairs[idx]
+        assert onum == num, f"ObjStm header pair mismatch: {onum} != {num}"
+        return _parse_value(_Lexer(data, first + ooff))
+
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num not in self.offsets and num in self.compressed:
+            value = self._obj_from_stream(num)
+            self._cache[num] = value
+            return value
         pos = self.offsets[num]
         lx = _Lexer(self.data, pos)
         k, v = lx.next_token()
@@ -595,7 +765,9 @@ def read_pdf_documents(path: str):
 def write_pdf_corpus(path: str, num_docs: int, seed: int = 42) -> List[str]:
     """One real PDF file per fixture document (same content as the span
     corpus at the same seed/index — ``fixtures.make_document``), named
-    ``{doc_id}.pdf``.  Returns the sorted file list."""
+    ``{doc_id}.pdf``.  Every 3rd file uses PDF 1.5 structure (object
+    stream + cross-reference stream) so a corpus read exercises both
+    structural forms.  Returns the sorted file list."""
     import os
 
     from ..fixtures import make_document
@@ -606,6 +778,6 @@ def write_pdf_corpus(path: str, num_docs: int, seed: int = 42) -> List[str]:
         doc = make_document(i, seed)
         p = os.path.join(path, f"{doc['doc_id']}.pdf")
         with open(p, "wb") as f:
-            f.write(build_pdf(doc["spans"]))
+            f.write(build_pdf(doc["spans"], pdf15=(i % 3 == 2)))
         files.append(p)
     return sorted(files)

@@ -58,6 +58,15 @@ def _is_jsonl(uri: str) -> bool:
     )
 
 
+def _is_pdf(uri: str) -> bool:
+    path = uri.rstrip("/")
+    if path.endswith(".pdf"):
+        return True
+    return os.path.isdir(path) and any(
+        f.endswith(".pdf") for f in os.listdir(path)
+    )
+
+
 def _normalize_span_documents(ds):
     """JSON-parsed document rows → the canonical span schema: the JSON
     reader infers struct field order by appearance and integers as int64,
@@ -104,7 +113,9 @@ def read_documents(uri: str, columns: Optional[List[str]] = None):
     corpora (the interchange format crawl tooling actually emits) read via
     ``ray.data.read_json`` with schema normalization back to the canonical
     span layout; note JSONL has no column pruning — convert to
-    parquet/lance for production scans.
+    parquet/lance for production scans.  ``.pdf`` files / directories of
+    PDFs read via byte-stream tokenization (``sources/pdfbytes.py``) into
+    the same canonical documents(doc_id, spans) schema.
     """
     import ray.data
 
@@ -117,6 +128,13 @@ def read_documents(uri: str, columns: Optional[List[str]] = None):
         return ray.data.read_lance(uri, columns=columns)
     if _is_jsonl(uri):
         ds = _normalize_span_documents(ray.data.read_json(uri))
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+    if _is_pdf(uri):
+        from .pdfbytes import read_pdf_documents
+
+        ds = read_pdf_documents(uri)
         if columns:
             ds = ds.select_columns(columns)
         return ds

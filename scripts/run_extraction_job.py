@@ -53,7 +53,11 @@ def main() -> None:
 
     files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
     if not files:
-        raise SystemExit(f"no parquet shards under {args.input!r}")
+        # PDF corpus: each file is one resumable shard (file-grain resume is
+        # the natural unit for byte-stream inputs)
+        files = sorted(glob.glob(os.path.join(args.input, "*.pdf")))
+    if not files:
+        raise SystemExit(f"no parquet or pdf shards under {args.input!r}")
     records = run_resumable(
         files,
         args.output,

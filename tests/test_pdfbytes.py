@@ -58,6 +58,24 @@ def test_adversarial_strings_and_multipage():
     assert tokenize_pdf_bytes(build_pdf(spans)) == spans
 
 
+def test_pdf15_xref_stream_and_objstm_roundtrip():
+    """PDF 1.5 structural form: non-stream objects packed in an ObjStm,
+    offsets resolved through a PNG-Up-predictor FlateDecode xref STREAM —
+    same exact span sequences out."""
+    for i in range(30):
+        doc = make_document(i)
+        data = build_pdf(doc["spans"], pdf15=True)
+        assert data.startswith(b"%PDF-1.5")
+        assert tokenize_pdf_bytes(data) == _want(doc), (i, doc["family"])
+    # structure really is 1.5-shaped: compressed entries present, classic
+    # trailer keyword absent
+    d = PdfDocument(build_pdf(make_document(0)["spans"], pdf15=True))
+    assert d.compressed and b"trailer" not in d.data
+    for i in range(5):
+        doc = make_table_document(i)
+        assert tokenize_pdf_bytes(build_pdf(doc["spans"], pdf15=True)) == _want(doc)
+
+
 def test_pdf_structure_is_spec_shaped():
     """The writer emits genuinely well-formed PDF: header, xref offsets
     that land on 'N 0 obj', a trailer /Root, FlateDecode content."""
@@ -147,3 +165,19 @@ def test_extract_pdf_bytes_matches_span_table_path(ray_session):
     )
     # sanity: the corpus actually extracts (not a vacuous all-invalid pass)
     assert want["n_valid"].sum() > 0 and want["total_txns"].sum() > 0
+
+
+def test_run_resumable_over_pdf_shards(ray_session, tmp_path):
+    """The resumable flagship pipeline consumes PDF files directly as
+    shards through the read_documents dispatcher: first run processes,
+    second run skips every done shard."""
+    from b_pdf_parser_ray.pipelines.flagship import run_resumable
+
+    files = write_pdf_corpus(str(tmp_path / "pdfs"), 6)[:4]
+    out = str(tmp_path / "out")
+    recs = run_resumable(files, out, max_inflight_shards=2)
+    assert len(recs) == 4
+    assert all(not r["skipped"] for r in recs)
+    assert all(r["total"] == 1 for r in recs)  # one document per PDF shard
+    again = run_resumable(files, out, max_inflight_shards=2)
+    assert all(r["skipped"] for r in again)
