@@ -1900,9 +1900,14 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
             "strategy", pa.array([strategies[i] for i in ids], type=pa.string())
         )
 
-    ext = extract_documents(read_pdf_documents(path).map_batches(
-        attach, batch_format="pyarrow"
-    ))
+    # batch_size must match the PDF source's per-task file granularity:
+    # the fused tokenize→extract task otherwise coalesces to the LARGER
+    # batch (256 docs/task → 8 tasks for 2000 files — a 4× wall hit,
+    # measured; see read_pdf_documents docstring)
+    ext = extract_documents(
+        read_pdf_documents(path).map_batches(attach, batch_format="pyarrow"),
+        batch_size=16,
+    )
 
     def project(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()

@@ -102,6 +102,34 @@ def run_flagship(n_docs: int, repeats: int = 1) -> dict:
     }
 
 
+def run_pdf_bytes(sf: float) -> dict:
+    """Byte-stream PDF extraction throughput: real PDF files (mixed classic
+    / PDF 1.5 structure) → xref/object parse + inflate + content-stream
+    tokenize → flagship extraction.  The reference's own benchmark shape
+    (PDF files in, records out) — its best backend measured 819 docs/s
+    (PyMuPDF, C) and its pure-Python backend 63 docs/s (BASELINE.md)."""
+    import ray.data  # noqa: F401  (session owned by caller)
+
+    from b_pdf_parser_ray.pipelines.flagship import extract_documents
+    from b_pdf_parser_ray.sources.pdfbytes import read_pdf_documents, write_pdf_corpus
+
+    n_docs = max(200, int(20_000 * sf))
+    path = f"/tmp/bench_pdf_{n_docs}_{SEED}"
+    marker = f"{path}._DONE"
+    if not os.path.exists(marker):
+        write_pdf_corpus(path, n_docs, seed=SEED)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+    # warmup (worker spin-up excluded, same policy as run_flagship)
+    read_pdf_documents(path).limit(64).count()
+    t0 = time.perf_counter()
+    # batch_size matched to the source's per-task file granularity — see
+    # read_pdf_documents granularity caveat
+    n = extract_documents(read_pdf_documents(path), batch_size=16).count()
+    sec = time.perf_counter() - t0
+    return {"docs": n, "sec": round(sec, 3), "docs_per_sec": round(n / sec, 1)}
+
+
 def _consume(result) -> int:
     """Force execution; return row count. Query results are small by design
     (aggregates / top-k / pair lists), so to_pandas is safe here."""
@@ -298,6 +326,10 @@ def main() -> None:
         )
         timings = {} if args.flagship_only else run_queries(args.sf_dir)
         timings["flagship_extract"] = flagship["sec"]
+        pdf_bytes = None
+        if not args.flagship_only:
+            pdf_bytes = run_pdf_bytes(sf)
+            timings["pdf_bytes_extract"] = pdf_bytes["sec"]
         total = round(sum(timings.values()), 3)
         print(json.dumps({
             "metric": "bench_total_sec (flagship span-corpus extraction + query catalog)",
@@ -307,6 +339,7 @@ def main() -> None:
             "sf": sf,
             "num_cpus": args.num_cpus,
             "flagship": flagship,
+            "pdf_bytes": pdf_bytes,
         }))
     finally:
         ray.shutdown()
