@@ -35,7 +35,10 @@ import re
 import zlib
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
 import pyarrow as pa
+
+from ..stages.layout import MIN_COLUMN_GAP, reading_order_flat
 
 PAGE_HEIGHT = 792
 PAGE_TOP_Y = 750
@@ -89,7 +92,10 @@ def _png_undo(data: bytes, columns: int) -> bytes:
 
 
 def build_pdf(
-    spans: List[Dict[str, object]], compress: bool = True, pdf15: bool = False
+    spans: List[Dict[str, object]],
+    compress: bool = True,
+    pdf15: bool = False,
+    two_column: bool = False,
 ) -> bytes:
     """Serialize a span sequence as one real PDF file.
 
@@ -103,14 +109,25 @@ def build_pdf(
     all non-stream objects packed into ONE object stream (/Type /ObjStm)
     and a cross-reference STREAM (/Type /XRef, /W [1 4 2], FlateDecode +
     PNG Up predictor) replacing the xref table + trailer.
+
+    ``two_column=True`` typesets each page in TWO columns (left column
+    fills top-down first, then the right column — newspaper order): a
+    naive y-then-x sort of such a page interleaves the columns, so only
+    column-aware reading order (``stages/layout.py``) recovers the span
+    sequence.
     """
     pages: List[List[Dict[str, object]]] = [[]]
     y = PAGE_TOP_Y
+    col = 0
     for sp in spans:
         if y < MIN_Y:
-            pages.append([])
+            if two_column and col == 0:
+                col = 1
+            else:
+                pages.append([])
+                col = 0
             y = PAGE_TOP_Y
-        pages[-1].append({**sp, "y": y})
+        pages[-1].append({**sp, "y": y, "x": TEXT_X + 278 * col})
         y -= LINE_DY
 
     media_refs: List[str] = []
@@ -152,11 +169,11 @@ def build_pdf(
     for pi, page in enumerate(pages):
         ops: List[bytes] = []
         for si, sp in enumerate(page):
-            yy = sp["y"]
+            yy, xx = sp["y"], sp["x"]
             if sp["kind"] == "media":
                 ops.append(
                     b"q 20 0 0 20 %d %d cm /%s Do Q"
-                    % (MEDIA_X, yy, str(sp["media_ref"]).encode())
+                    % (xx - 12, yy, str(sp["media_ref"]).encode())
                 )
                 continue
             text = str(sp["text"])
@@ -169,9 +186,9 @@ def build_pdf(
             else:
                 body = b"(%s) Tj" % _esc(text)
             if si % 5 == 2:
-                pos = b"1 0 0 1 %d %d Tm" % (TEXT_X, yy)
+                pos = b"1 0 0 1 %d %d Tm" % (xx, yy)
             else:
-                pos = b"%d %d Td" % (TEXT_X, yy)
+                pos = b"%d %d Td" % (xx, yy)
             ops.append(b"BT /F1 10 Tf %s %s ET" % (pos, body))
         content = b"\n".join(ops)
         if compress:
@@ -844,30 +861,60 @@ def _interpret_content_slow(
     return spans
 
 
-def tokenize_pdf_bytes(data: bytes) -> List[Dict[str, object]]:
-    """Full byte-stream tokenization: xref → page tree → content streams →
-    reading-order span sequence (kind, text, media_ref, offset)."""
+def tokenize_pdf_positions(
+    data: bytes,
+) -> List[Tuple[int, float, float, str, str]]:
+    """Positioned-span tokenization: xref → page tree → content streams →
+    raw (page, x, y, kind, payload) tuples with coordinates normalized to
+    the page MediaBox, in content-stream emission order — the
+    pre-linearization shape a layout stage consumes."""
     doc = PdfDocument(data)
+    out: List[Tuple[int, float, float, str, str]] = []
+    for pi, page in enumerate(doc.pages()):
+        raw = doc.stream_data(doc.resolve(page["Contents"]))
+        mb = doc.resolve(page.get("MediaBox")) or [0, 0, 612, PAGE_HEIGHT]
+        w = float(mb[2]) - float(mb[0]) or 1.0
+        h = float(mb[3]) - float(mb[1]) or 1.0
+        for y, x, kind, payload in _interpret_content(raw):
+            out.append((pi, (x - float(mb[0])) / w, (y - float(mb[1])) / h,
+                        kind, payload))
+    return out
+
+
+def tokenize_pdf_bytes(
+    data: bytes, min_gap: float = MIN_COLUMN_GAP
+) -> List[Dict[str, object]]:
+    """Full byte-stream tokenization: xref → page tree → content streams →
+    LAYOUT-AWARE reading-order span sequence (kind, text, media_ref,
+    offset).
+
+    Linearization is the north star's "column detection, reading-order
+    sort via y/x coordinate clustering" (``stages/layout.py``), applied
+    per page in one vectorized call (page index as the grouping key): a
+    single-column page reduces to the classic y-desc/x-asc sort, a
+    multi-column page reads each column top-down, left-to-right — where a
+    naive y-sort would interleave the columns."""
+    pos = tokenize_pdf_positions(data)
+    if not pos:
+        return []
+    page_arr = np.fromiter((p[0] for p in pos), np.int64, len(pos))
+    xs = np.fromiter((p[1] for p in pos), np.float64, len(pos))
+    ys = np.fromiter((p[2] for p in pos), np.float64, len(pos))
+    _, rank, _ = reading_order_flat(page_arr, xs, ys, min_gap)
+    order = np.lexsort((rank, page_arr))
     out: List[Dict[str, object]] = []
-    offset = 0
-    for page in doc.pages():
-        contents = doc.resolve(page["Contents"])
-        raw = doc.stream_data(contents)
-        page_spans = _interpret_content(raw)
-        # O4 reading order: y descending, x ascending (stable)
-        page_spans.sort(key=lambda s: (-s[0], s[1]))
-        for y, x, kind, payload in page_spans:
-            if kind == "text":
-                out.append(
-                    {"kind": "text", "text": payload, "media_ref": "",
-                     "offset": offset}
-                )
-            else:
-                out.append(
-                    {"kind": "media", "text": "", "media_ref": payload,
-                     "offset": offset}
-                )
-            offset += 1
+    for offset, i in enumerate(order):
+        _, _, _, kind, payload = pos[i]
+        if kind == "text":
+            out.append(
+                {"kind": "text", "text": payload, "media_ref": "",
+                 "offset": offset}
+            )
+        else:
+            out.append(
+                {"kind": "media", "text": "", "media_ref": payload,
+                 "offset": offset}
+            )
     return out
 
 

@@ -181,3 +181,24 @@ def test_run_resumable_over_pdf_shards(ray_session, tmp_path):
     assert all(r["total"] == 1 for r in recs)  # one document per PDF shard
     again = run_resumable(files, out, max_inflight_shards=2)
     assert all(r["skipped"] for r in again)
+
+
+def test_two_column_layout_aware_reading_order():
+    """Two-column typeset PDFs (newspaper order): the layout-aware
+    tokenizer (column detection + per-column y/x sort) recovers the exact
+    span sequence, while a naive y-then-x page sort provably interleaves
+    the columns — the north star's layout step demonstrated on real
+    bytes."""
+    from b_pdf_parser_ray.sources.pdfbytes import tokenize_pdf_positions
+
+    for i in range(20):
+        doc = make_document(i)
+        data = build_pdf(doc["spans"], two_column=True, pdf15=(i % 2 == 1))
+        assert tokenize_pdf_bytes(data) == _want(doc), (i, doc["family"])
+
+    doc = make_document(0)
+    pos = tokenize_pdf_positions(build_pdf(doc["spans"], two_column=True))
+    naive = sorted(pos, key=lambda p: (p[0], -p[2], p[1]))
+    naive_texts = [p[4] for p in naive if p[3] == "text"]
+    want_texts = [s["text"] for s in doc["spans"] if s["kind"] == "text"]
+    assert naive_texts != want_texts  # the naive sort really does fail
