@@ -1882,7 +1882,7 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
 
     # v2: corpus mixes classic and PDF 1.5 structural forms (writer change
     # invalidates the cache — same args must mean same bytes)
-    path = f"/tmp/pdf_corpus_{n_docs}_42_v2"
+    path = f"/tmp/pdf_corpus_{n_docs}_42_v3"
     marker = f"{path}._DONE"  # outside the dir: read_binary_files reads ALL files
     if not os.path.exists(marker):
         write_pdf_corpus(path, n_docs)
@@ -1932,6 +1932,59 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
         ],
     )
     return out.sort("strategy")
+
+
+def extract_pdf_media_assets(sf_dir: str, n_docs: int = 200):
+    """Embedded-media decode over the REAL PDF corpus — the
+    ``media_ref_fanout`` dedupe-before-decode plan REALIZED on bytes: each
+    task decodes its documents' image XObjects (Flate inflate + full
+    five-filter PNG predictor inversion, codecs shared with
+    ``stages/media.py``), emits per-(doc, ref) feature rows, and one
+    ref-keyed exchange reduces to the asset level.  Shared assets (same
+    ref ⇒ same pixels by construction) are verified by min==max feature
+    agreement across every referencing document.
+
+    Rows-only (byte decode isn't SQL); pinned by pytest pixel-exactness
+    vs the deterministic source pattern."""
+    import os
+
+    from .sources.pdfbytes import media_features_batch, write_pdf_corpus
+
+    path = f"/tmp/pdf_corpus_{n_docs}_42_v3"
+    marker = f"{path}._DONE"
+    if not os.path.exists(marker):
+        write_pdf_corpus(path, n_docs)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+    import ray.data
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".pdf")
+    )
+    ds = ray.data.from_arrow(pa.table({"path": pa.array(files)})).repartition(
+        max(1, len(files) // 16)
+    )
+    per_doc = ds.map_batches(media_features_batch, batch_format="pyarrow")
+    out = grouped_agg(
+        per_doc,
+        ["media_ref"],
+        [
+            (None, "count", "n_docs"),
+            ("px_mean_e4", "min", "px_mean_e4"),
+            ("px_mean_e4", "max", "px_mean_e4_max"),
+            ("px_std_e4", "min", "px_std_e4"),
+            ("width", "min", "width"),
+            ("height", "min", "height"),
+        ],
+    )
+
+    def consistent(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "consistent",
+            pc.equal(batch.column("px_mean_e4"), batch.column("px_mean_e4_max")),
+        ).drop_columns(["px_mean_e4_max"])
+
+    return out.map_batches(consistent, batch_format="pyarrow").sort("media_ref")
 
 
 def doc_top_terms(sf_dir: str, k: int = 20):
@@ -8423,6 +8476,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_media_captions": doc_media_captions,
     "extract_media_captions": extract_media_captions,
     "extract_pdf_bytes": extract_pdf_bytes,
+    "extract_pdf_media_assets": extract_pdf_media_assets,
     "media_ref_fanout": media_ref_fanout,
     "doc_pack_interleaved": doc_pack_interleaved,
     "source_overlap_jaccard": source_overlap_jaccard,

@@ -58,6 +58,38 @@ def _esc(s: str) -> bytes:
     return out.encode("latin-1", errors="replace")
 
 
+IMG_SIZE = 8
+
+
+def image_pixels(ref: str) -> "np.ndarray":
+    """The deterministic pixel pattern embedded for a media ref — same ref
+    ⇒ same asset bytes in every document (the shared-asset premise behind
+    ``media_ref_fanout``'s dedupe-before-decode plan)."""
+    from ..stages.media import _seed_bytes
+
+    return _seed_bytes(f"pdfimg:{ref}", IMG_SIZE * IMG_SIZE).reshape(
+        IMG_SIZE, IMG_SIZE
+    )
+
+
+def _image_xobject_stream(ref: str) -> bytes:
+    """Image XObject payload: PNG-predictor-filtered scanlines (PDF spec
+    /Predictor 15 = per-row adaptive; rows cycle through all five filter
+    types) then FlateDecode — real decode work for the asset extractor,
+    sharing the scanline codecs with ``stages/media.py``."""
+    from ..stages.media import _png_filter_row
+
+    px = image_pixels(ref)
+    prior = np.zeros(IMG_SIZE, dtype=np.uint8)
+    out = bytearray()
+    for r in range(IMG_SIZE):
+        ftype = r % 5
+        out.append(ftype)
+        out += _png_filter_row(px[r], prior, 1, ftype).tobytes()
+        prior = px[r]
+    return zlib.compress(bytes(out))
+
+
 def _png_up_encode(rows: List[bytes]) -> bytes:
     """PNG Up-predictor encode (filter type 2) — the encoding PDF 1.5
     cross-reference streams conventionally use (/Predictor 12)."""
@@ -150,11 +182,15 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
     for ref, num in img_nums.items():
+        data = _image_xobject_stream(ref)
         head = (
-            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
-            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>"
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 15 "
+            b"/Colors 1 /BitsPerComponent 8 /Columns %d >> /Length %d >>"
+            % (IMG_SIZE, IMG_SIZE, IMG_SIZE, len(data))
         )
-        objs[num] = head + b"\nstream\n\x80\nendstream"
+        objs[num] = head + b"\nstream\n" + data + b"\nendstream"
 
     xobj_entries = b" ".join(
         b"/%s %d 0 R" % (ref.encode(), num) for ref, num in img_nums.items()
@@ -918,6 +954,59 @@ def tokenize_pdf_bytes(
     return out
 
 
+def extract_media_assets(data: bytes) -> Dict[str, "np.ndarray"]:
+    """Decode every embedded image XObject: resource name → (H, W) uint8
+    pixel array.  Walks page ``/Resources /XObject`` maps, inflates the
+    stream, and inverts the PNG row predictors (/Predictor ≥ 10) with the
+    full five-filter scanline decoder shared with ``stages/media.py`` —
+    the interleaved corpus's media payloads decoded from real bytes."""
+    from ..stages.media import _png_unfilter_row
+
+    doc = PdfDocument(data)
+    out: Dict[str, np.ndarray] = {}
+    for page in doc.pages():
+        res = doc.resolve(page.get("Resources")) or {}
+        xobjs = doc.resolve(res.get("XObject")) or {}
+        for name, ref in xobjs.items():
+            if name in out:
+                continue
+            obj = doc.resolve(ref)
+            if not (isinstance(obj, tuple) and obj[0] == "stream"):
+                continue
+            sdict = obj[1]
+            if sdict.get("Subtype") != ("name", "Image"):
+                continue
+            raw = doc.stream_data(obj)
+            w = int(doc.resolve(sdict["Width"]))
+            h = int(doc.resolve(sdict["Height"]))
+            parms = doc.resolve(sdict.get("DecodeParms")) or {}
+            if int(parms.get("Predictor", 1)) >= 10:
+                cols = int(parms.get("Columns", w))
+                bpp = max(
+                    1,
+                    int(parms.get("Colors", 1))
+                    * int(parms.get("BitsPerComponent", 8))
+                    // 8,
+                )
+                row_len = cols * bpp
+                px = np.empty((h, row_len), dtype=np.uint8)
+                prior = np.zeros(row_len, dtype=np.uint8)
+                for r in range(h):
+                    start = r * (row_len + 1)
+                    ftype = raw[start]
+                    row = np.frombuffer(
+                        raw[start + 1 : start + 1 + row_len], dtype=np.uint8
+                    )
+                    px[r] = _png_unfilter_row(row, prior, bpp, ftype)
+                    prior = px[r]
+                out[name] = px[:, :w]
+            else:
+                out[name] = np.frombuffer(raw[: h * w], dtype=np.uint8).reshape(
+                    h, w
+                )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Ray stage
 # ---------------------------------------------------------------------------
@@ -973,6 +1062,38 @@ def _tokenize_paths(batch) -> "pa.Table":
             pa.array(spans, type=pa.list_(SPAN_TYPE)),
         ],
         names=["doc_id", "spans"],
+    )
+
+
+def media_features_batch(batch) -> "pa.Table":
+    """Path-list batch → per-(doc, media_ref) decoded-asset feature rows
+    (width, height, pixel mean/std as e4 ints for exact aggregation) —
+    the per-document half of the dedupe-before-decode plan; the caller
+    reduces per ref."""
+    import os
+
+    paths = batch.column("path").to_pylist()
+    doc_ids, refs, ws, hs, means, stds = [], [], [], [], [], []
+    for p in paths:
+        with open(p, "rb") as f:
+            data = f.read()
+        doc_id = os.path.splitext(os.path.basename(p))[0]
+        for ref, px in sorted(extract_media_assets(data).items()):
+            doc_ids.append(doc_id)
+            refs.append(ref)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            means.append(int(round(float(px.mean()) * 10_000)))
+            stds.append(int(round(float(px.std()) * 10_000)))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "media_ref": pa.array(refs, type=pa.string()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "px_mean_e4": pa.array(means, type=pa.int64()),
+            "px_std_e4": pa.array(stds, type=pa.int64()),
+        }
     )
 
 

@@ -114,7 +114,7 @@ def run_pdf_bytes(sf: float) -> dict:
     from b_pdf_parser_ray.sources.pdfbytes import read_pdf_documents, write_pdf_corpus
 
     n_docs = max(200, int(20_000 * sf))
-    path = f"/tmp/bench_pdf_{n_docs}_{SEED}"
+    path = f"/tmp/bench_pdf_{n_docs}_{SEED}_v2"
     marker = f"{path}._DONE"
     if not os.path.exists(marker):
         write_pdf_corpus(path, n_docs, seed=SEED)
