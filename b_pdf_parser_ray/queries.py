@@ -1987,6 +1987,81 @@ def extract_pdf_media_assets(sf_dir: str, n_docs: int = 200):
     return out.map_batches(consistent, batch_format="pyarrow").sort("media_ref")
 
 
+def extract_pdf_caption_pairs(sf_dir: str, n_docs: int = 200):
+    """VLM image↔text PAIR MINING from raw bytes — the artifact a
+    multimodal training corpus actually ships: for every media span in
+    every real PDF, its caption (text run since the previous media span,
+    the ``media_caption_pairs`` kernel over BYTE-DERIVED spans) joined
+    with the decoded asset's pixel features.  Caption mining and asset
+    decode happen in the SAME task over the same file — ZERO exchanges;
+    the asset-feature join is an in-task dict keyed by ref (shared assets
+    are ref-identical by construction, proven by
+    ``extract_pdf_media_assets``'s consistency check).
+
+    Rows-only; pinned by pytest against the span-fixture captions and the
+    deterministic pixel pattern."""
+    import os
+
+    from .sources.pdfbytes import (
+        extract_media_assets,
+        tokenize_pdf_bytes,
+        write_pdf_corpus,
+    )
+    from .model import SPAN_TYPE
+
+    path = f"/tmp/pdf_corpus_{n_docs}_42_v3"
+    marker = f"{path}._DONE"
+    if not os.path.exists(marker):
+        write_pdf_corpus(path, n_docs)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+    import ray.data
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".pdf")
+    )
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        doc_ids, span_lists = [], []
+        px_mean: Dict[str, int] = {}
+        for p in paths:
+            with open(p, "rb") as f:
+                data = f.read()
+            doc_ids.append(os.path.splitext(os.path.basename(p))[0])
+            span_lists.append(tokenize_pdf_bytes(data))
+            for ref, px in extract_media_assets(data).items():
+                if ref not in px_mean:
+                    px_mean[ref] = int(round(float(px.mean()) * 10_000))
+        spans_tbl = pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, type=pa.string()),
+                pa.array(span_lists, type=pa.list_(SPAN_TYPE)),
+            ],
+            names=["doc_id", "spans"],
+        )
+        pairs = media_caption_pairs(spans_tbl)
+        caps = pairs.column("caption")
+        n_tokens = pc.if_else(
+            pc.equal(caps, ""),
+            pa.scalar(0, pa.int64()),
+            pc.cast(pc.add(pc.count_substring(caps, " "), 1), pa.int64()),
+        )
+        means = pa.array(
+            [px_mean[r] for r in pairs.column("media_ref").to_pylist()],
+            type=pa.int64(),
+        )
+        return (
+            pairs.append_column("n_caption_tokens", n_tokens)
+            .append_column("px_mean_e4", means)
+        )
+
+    ds = ray.data.from_arrow(pa.table({"path": pa.array(files)})).repartition(
+        max(1, len(files) // 16)
+    )
+    return ds.map_batches(pairs_batch, batch_format="pyarrow")
+
+
 def doc_top_terms(sf_dir: str, k: int = 20):
     """Corpus-wide top-k terms — the vocabulary/stopword-inventory builder.
 
@@ -8477,6 +8552,7 @@ QUERIES: Dict[str, Callable] = {
     "extract_media_captions": extract_media_captions,
     "extract_pdf_bytes": extract_pdf_bytes,
     "extract_pdf_media_assets": extract_pdf_media_assets,
+    "extract_pdf_caption_pairs": extract_pdf_caption_pairs,
     "media_ref_fanout": media_ref_fanout,
     "doc_pack_interleaved": doc_pack_interleaved,
     "source_overlap_jaccard": source_overlap_jaccard,

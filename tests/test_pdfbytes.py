@@ -237,3 +237,39 @@ def test_extract_pdf_media_assets_query(ray_session):
     for _, row in df.head(5).iterrows():
         px = image_pixels(row["media_ref"])
         assert row["px_mean_e4"] == int(round(float(px.mean()) * 10_000))
+
+
+def test_extract_pdf_caption_pairs(ray_session):
+    """Byte-derived caption pairs must equal the span-fixture captions
+    (media_caption_pairs over make_document spans), carry the decoded
+    asset's pixel mean, and count caption tokens correctly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from b_pdf_parser_ray.model import SPAN_TYPE
+    from b_pdf_parser_ray.queries import extract_pdf_caption_pairs, media_caption_pairs
+    from b_pdf_parser_ray.sources.pdfbytes import image_pixels
+
+    n = 60
+    got = extract_pdf_caption_pairs("unused", n_docs=n).to_pandas()
+    got = got.sort_values(["doc_id", "media_ref"], ignore_index=True)
+
+    docs = [make_document(i) for i in range(n)]
+    spans_tbl = pa.Table.from_arrays(
+        [
+            pa.array([d["doc_id"] for d in docs]),
+            pa.array([d["spans"] for d in docs], type=pa.list_(SPAN_TYPE)),
+        ],
+        names=["doc_id", "spans"],
+    )
+    want = media_caption_pairs(spans_tbl).to_pandas()
+    want = want.sort_values(["doc_id", "media_ref"], ignore_index=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["media_ref"]) == list(want["media_ref"])
+    assert list(got["caption"]) == list(want["caption"])
+    for _, row in got.head(10).iterrows():
+        assert row["px_mean_e4"] == int(
+            round(float(image_pixels(row["media_ref"]).mean()) * 10_000)
+        )
+        n_tok = 0 if row["caption"] == "" else row["caption"].count(" ") + 1
+        assert row["n_caption_tokens"] == n_tok
