@@ -53,9 +53,18 @@ MEDIA_X = 60
 
 
 def _esc(s: str) -> bytes:
-    """PDF literal-string escaping: backslash, parens (spec 3.2.3)."""
-    out = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    return out.encode("latin-1", errors="replace")
+    """PDF literal-string escaping: backslash, parens (spec 3.2.3), plus
+    CR (an unescaped 0x0D inside a literal is read back as LF per the
+    spec's EOL normalization — escape it to survive round trip).  Text
+    bytes are UTF-8 (the Identity-encoding convention; the tokenizer
+    decodes UTF-8 with a latin-1 fallback for octal-escape byte salads)."""
+    out = (
+        s.replace("\\", "\\\\")
+        .replace("(", "\\(")
+        .replace(")", "\\)")
+        .replace("\r", "\\r")
+    )
+    return out.encode("utf-8")
 
 
 IMG_SIZE = 8
@@ -335,6 +344,15 @@ _ESC_RE = re.compile(rb"\\([0-7]{1,3}|\r\n?|\n|.)", re.S)
 _ESC_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08", b"f": b"\x0c"}
 
 
+def _decode_text(raw: bytes) -> str:
+    """String-byte decode: UTF-8 (the writer's convention) with latin-1
+    fallback for arbitrary octal-escape byte sequences."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def _unescape(inner: bytes) -> str:
     def sub(m: "re.Match[bytes]") -> bytes:
         g = m.group(1)
@@ -344,7 +362,7 @@ def _unescape(inner: bytes) -> str:
             return b""  # line continuation
         return _ESC_MAP.get(g, g)
 
-    return _ESC_RE.sub(sub, inner).decode("latin-1")
+    return _decode_text(_ESC_RE.sub(sub, inner))
 
 
 class _Lexer:
@@ -493,7 +511,7 @@ class _Lexer:
                 depth -= 1
                 if depth == 0:
                     self.pos += 1
-                    return out.decode("latin-1")
+                    return _decode_text(bytes(out))
             out.append(c)
             self.pos += 1
         raise ValueError("unterminated literal string")

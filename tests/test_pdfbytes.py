@@ -273,3 +273,82 @@ def test_extract_pdf_caption_pairs(ray_session):
         )
         n_tok = 0 if row["caption"] == "" else row["caption"].count(" ") + 1
         assert row["n_caption_tokens"] == n_tok
+
+
+def test_incremental_update_newest_object_wins():
+    """PDF incremental update (appended object + xref section with /Prev):
+    the parser must walk the /Prev chain newest-first and resolve the
+    REVISED content stream, leaving untouched objects intact."""
+    import re
+    import zlib
+
+    spans = [
+        {"kind": "text", "text": "original line", "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "Im0", "offset": 1},
+        {"kind": "text", "text": "second line", "media_ref": "", "offset": 2},
+    ]
+    base = build_pdf(spans)
+    doc = PdfDocument(base)
+    cnum = doc.pages()[0]["Contents"].num
+    old_xref = int(re.search(rb"startxref\s+(\d+)", base[-100:]).group(1))
+
+    new_content = (
+        b"BT /F1 10 Tf 72 750 Td (REVISED line) Tj ET\n"
+        b"q 20 0 0 20 60 735 cm /Im0 Do Q\n"
+        b"BT /F1 10 Tf 72 720 Td (second line) Tj ET"
+    )
+    data = zlib.compress(new_content)
+    upd = bytearray(base)
+    obj_off = len(upd)
+    upd += (
+        b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (cnum, len(data))
+        + data
+        + b"\nendstream\nendobj\n"
+    )
+    xref_pos = len(upd)
+    upd += b"xref\n0 1\n0000000000 65535 f \n%d 1\n%010d %05d n \n" % (
+        cnum, obj_off, 0,
+    )
+    upd += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (cnum + 1, old_xref, xref_pos)
+    )
+    got = tokenize_pdf_bytes(bytes(upd))
+    assert [s["text"] for s in got] == ["REVISED line", "", "second line"]
+    assert got[1]["media_ref"] == "Im0"
+
+
+def test_hypothesis_span_roundtrip_fuzz():
+    """Property: ANY span sequence (arbitrary unicode text, arbitrary
+    escape-relevant characters, any media interleaving) survives
+    build → tokenize exactly, in all four structural/layout combinations."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text_st = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+    )
+
+    @st.composite
+    def span_seqs(draw):
+        n = draw(st.integers(min_value=1, max_value=25))
+        spans = []
+        n_media = 0
+        for i in range(n):
+            if draw(st.booleans()):
+                spans.append({"kind": "media", "text": "",
+                              "media_ref": f"Im{n_media}", "offset": i})
+                n_media += 1
+            else:
+                spans.append({"kind": "text", "text": draw(text_st),
+                              "media_ref": "", "offset": i})
+        return spans
+
+    @given(spans=span_seqs(), pdf15=st.booleans(), two_col=st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def check(spans, pdf15, two_col):
+        data = build_pdf(spans, pdf15=pdf15, two_column=two_col)
+        assert tokenize_pdf_bytes(data) == spans
+
+    check()
