@@ -1161,6 +1161,22 @@ def read_pdf_documents(path: str, batch_size: int = 16):
     return ds.map_batches(tokenize_batch, batch_format="pyarrow")
 
 
+def convert_pdf_corpus(in_dir: str, out_dir: str, docs_per_shard: int = 2000):
+    """Tokenize-once materialization: directory of PDFs → canonical span
+    parquet shards (the layout every downstream query/pipeline consumes —
+    parse the bytes once, query the table many times).  Output is
+    fragment-per-shard (``ceil(files / docs_per_shard)`` blocks), the same
+    resumable unit the flagship uses.  Returns the row count written."""
+    ds = read_pdf_documents(in_dir)
+    import os
+
+    n_files = sum(1 for f in os.listdir(in_dir) if f.endswith(".pdf"))
+    n_shards = max(1, (n_files + docs_per_shard - 1) // docs_per_shard)
+    ds = ds.repartition(n_shards)
+    ds.write_parquet(out_dir, compression="none")
+    return n_files
+
+
 # ---------------------------------------------------------------------------
 # Fixture corpus writer (deterministic PDFs from the span fixtures)
 # ---------------------------------------------------------------------------

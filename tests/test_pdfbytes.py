@@ -352,3 +352,22 @@ def test_hypothesis_span_roundtrip_fuzz():
         assert tokenize_pdf_bytes(data) == spans
 
     check()
+
+
+def test_convert_pdf_corpus_roundtrip(ray_session, tmp_path):
+    """PDF dir → span parquet conversion: reading the converted table back
+    yields the exact span sequences of the source fixtures (parse the
+    bytes once, query the table forever)."""
+    from b_pdf_parser_ray.sources.pdfbytes import convert_pdf_corpus
+    from b_pdf_parser_ray.sources.tables import read_documents
+
+    n = 30
+    write_pdf_corpus(str(tmp_path / "pdfs"), n)
+    written = convert_pdf_corpus(str(tmp_path / "pdfs"), str(tmp_path / "tbl"))
+    assert written == n
+    rows = {r["doc_id"]: r["spans"] for r in read_documents(str(tmp_path / "tbl")).take_all()}
+    assert len(rows) == n
+    for i in range(n):
+        doc = make_document(i)
+        got = [{k: s[k] for k in KEYS} for s in rows[doc["doc_id"]]]
+        assert got == _want(doc)
