@@ -9,7 +9,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operator suite).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (114 of 136 as of round 3); sketch/iterative/DOM/codec operators
+  (115 of 137 as of round 3); sketch/iterative/DOM/codec operators
   (fingerprints, minhash/simhash/embedding dedup, KMV distinct, IVF ANN,
   heavy hitters, approximate quantiles, media stages) are rows-only by
   design — each pinned instead by goldens, recall/precision, tolerance,

@@ -2062,6 +2062,100 @@ def extract_pdf_caption_pairs(sf_dir: str, n_docs: int = 200):
     return ds.map_batches(pairs_batch, batch_format="pyarrow")
 
 
+def customer_yoy_outer(sf_dir: str):
+    """Year-over-year revenue reconciliation — the FULL OUTER JOIN shape
+    (completing the catalog's join matrix: inner/semi/anti/left-outer are
+    elsewhere): per-customer 1995 vs 1996 order revenue, keeping customers
+    active in EITHER year, with presence flags and the delta.
+
+    Scale shape: no physical outer join at all — the scale-safe
+    restatement is ONE aggregation exchange: each batch pre-reduces to
+    per-customer (rev95, rev96, n95, n96) partials (masked integer-cents
+    sums, Arrow C group-by inside ``grouped_agg``), the exchange sums
+    them, and COALESCE semantics fall out of 0-valued partials + count
+    flags.  An engine that shuffles two fact tables into an outer join to
+    answer this moves |orders| rows; this moves |active customers| ×
+    |blocks| partial rows."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("o_orderdate"))
+        keep = pc.or_(pc.equal(yr, 1995), pc.equal(yr, 1996))
+        t = batch.filter(keep)
+        yr = pc.year(t.column("o_orderdate"))
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        is95 = pc.equal(yr, 1995)
+        zero = pa.scalar(0, pa.int64())
+        one = pa.scalar(1, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t.column("o_custkey"),
+                pc.if_else(is95, cents, zero),
+                pc.if_else(is95, zero, cents),
+                pc.if_else(is95, one, zero),
+                pc.if_else(is95, zero, one),
+            ],
+            names=["custkey", "r95", "r96", "n95", "n96"],
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["custkey"],
+        [
+            ("r95", "sum", "rev_1995_cents"),
+            ("r96", "sum", "rev_1996_cents"),
+            ("n95", "sum", "n95"),
+            ("n96", "sum", "n96"),
+        ],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("custkey"),
+                batch.column("rev_1995_cents"),
+                batch.column("rev_1996_cents"),
+                pc.greater(batch.column("n95"), 0),
+                pc.greater(batch.column("n96"), 0),
+                pc.subtract(
+                    batch.column("rev_1996_cents"), batch.column("rev_1995_cents")
+                ),
+            ],
+            names=[
+                "custkey", "rev_1995_cents", "rev_1996_cents",
+                "in_1995", "in_1996", "delta_cents",
+            ],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+CUSTOMER_YOY_OUTER_SQL = """
+WITH a AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+),
+b AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+)
+SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+       CAST(COALESCE(a.r, 0) AS BIGINT) AS rev_1995_cents,
+       CAST(COALESCE(b.r, 0) AS BIGINT) AS rev_1996_cents,
+       a.custkey IS NOT NULL AS in_1995,
+       b.custkey IS NOT NULL AS in_1996,
+       CAST(COALESCE(b.r, 0) - COALESCE(a.r, 0) AS BIGINT) AS delta_cents
+FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+"""
+
+
 def doc_top_terms(sf_dir: str, k: int = 20):
     """Corpus-wide top-k terms — the vocabulary/stopword-inventory builder.
 
@@ -8553,6 +8647,7 @@ QUERIES: Dict[str, Callable] = {
     "extract_pdf_bytes": extract_pdf_bytes,
     "extract_pdf_media_assets": extract_pdf_media_assets,
     "extract_pdf_caption_pairs": extract_pdf_caption_pairs,
+    "customer_yoy_outer": customer_yoy_outer,
     "media_ref_fanout": media_ref_fanout,
     "doc_pack_interleaved": doc_pack_interleaved,
     "source_overlap_jaccard": source_overlap_jaccard,
@@ -8700,6 +8795,7 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
     "customer_rollup_hierarchy": CUSTOMER_ROLLUP_SQL,
     "customer_order_distribution": CUSTOMER_ORDER_DIST_SQL,
+    "customer_yoy_outer": CUSTOMER_YOY_OUTER_SQL,
     "events_user_running_total": EVENTS_RUNNING_TOTAL_SQL,
     "doc_lang_length_quantiles": DOC_LANG_QUANTILES_SQL,
     "orders_monthly_trend": ORDERS_MONTHLY_TREND_SQL,
