@@ -9,12 +9,14 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operator suite).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (115 of 137 as of round 3); sketch/iterative/DOM/codec operators
-  (fingerprints, minhash/simhash/embedding dedup, KMV distinct, IVF ANN,
-  heavy hitters, approximate quantiles, media stages) are rows-only by
+  (115 of 137 as of round 3); sketch/iterative/DOM/codec/byte-parse
+  operators (fingerprints, minhash/simhash/embedding dedup, KMV distinct,
+  IVF ANN, heavy hitters, approximate quantiles, media stages, the
+  byte-stream PDF pipeline family extract_pdf_*) are rows-only by
   design — each pinned instead by goldens, recall/precision, tolerance,
-  or real-codec ground-truth assertions in pytest
-  (tests/test_dedup_ann.py, tests/test_queries.py, tests/test_html_media.py).
+  real-codec ground-truth, or byte-level span-equality differentials in
+  pytest (tests/test_dedup_ann.py, tests/test_queries.py,
+  tests/test_html_media.py, tests/test_pdfbytes.py).
 """
 
 from __future__ import annotations
