@@ -582,10 +582,15 @@ class PdfDocument:
         self._load_xref()
 
     def _load_xref(self):
-        tail = self.data[-256:]
-        m = re.search(rb"startxref\s+(\d+)\s*%%EOF", tail)
-        if not m:
+        # the LAST startxref wins: an incrementally-updated file carries one
+        # per revision and several can fall inside the search window
+        tail = self.data[-2048:]
+        idx = tail.rfind(b"startxref")
+        if idx < 0:
             raise ValueError("startxref not found")
+        m = re.match(rb"startxref\s+(\d+)\s*%%EOF", tail[idx:])
+        if not m:
+            raise ValueError("malformed startxref tail")
         pos = int(m.group(1))
         while pos is not None:
             pos = self._read_xref_section(pos)

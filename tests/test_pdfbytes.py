@@ -371,3 +371,51 @@ def test_convert_pdf_corpus_roundtrip(ray_session, tmp_path):
         doc = make_document(i)
         got = [{k: s[k] for k in KEYS} for s in rows[doc["doc_id"]]]
         assert got == _want(doc)
+
+
+def test_double_incremental_update_last_startxref_wins():
+    """Two stacked incremental updates whose startxref markers BOTH fall in
+    the parser's tail window: the newest (last) startxref must win, and
+    object resolution must see the second revision."""
+    import re
+    import zlib
+
+    spans = [{"kind": "text", "text": "v1", "media_ref": "", "offset": 0}]
+    data = build_pdf(spans)
+    for rev in ("v2", "v3"):
+        doc = PdfDocument(bytes(data))
+        cnum = doc.pages()[0]["Contents"].num
+        old_xref = int(re.search(rb"startxref\s+(\d+)", data[-2048:][
+            data[-2048:].rfind(b"startxref"):]).group(1))
+        content = b"BT /F1 10 Tf 72 750 Td (%s) Tj ET" % rev.encode()
+        z = zlib.compress(content)
+        upd = bytearray(data)
+        obj_off = len(upd)
+        upd += (b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % (cnum, len(z)) + z + b"\nendstream\nendobj\n")
+        xref_pos = len(upd)
+        upd += b"xref\n%d 1\n%010d %05d n \n" % (cnum, obj_off, 0)
+        upd += (b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (cnum + 1, old_xref, xref_pos))
+        data = bytes(upd)
+    got = tokenize_pdf_bytes(data)
+    assert [s["text"] for s in got] == ["v3"]
+
+
+def test_hex_string_and_comment_content_ops():
+    """Content-stream corners the writer never emits but the spec allows:
+    hex-string text showing (<...> Tj), hex parts inside TJ arrays, and
+    % comments between operators — all through the fast interpreter."""
+    from b_pdf_parser_ray.sources.pdfbytes import _interpret_content
+
+    content = (
+        b"BT /F1 10 Tf 72 750 Td <48656c6c6f> Tj ET  % a comment\n"
+        b"BT /F1 10 Tf 72 735 Td [ <4869> -200 (there) ] TJ ET\n"
+        b"q 10 0 0 10 60 700 cm /Im0 Do Q"
+    )
+    spans = _interpret_content(content)
+    assert spans == [
+        (750.0, 72.0, "text", "Hello"),
+        (735.0, 72.0, "text", "Hithere"),
+        (700.0, 60.0, "media", "Im0"),
+    ]
