@@ -1146,12 +1146,25 @@ def read_pdf_documents(path: str, batch_size: int = 16):
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path) if f.endswith(".pdf")
         )
+        # heavyweight-PDF skew control at the source: snake-stripe the path
+        # list by file size (driver-side stat — names and sizes only, no
+        # bytes) so every task's file group carries a balanced byte total;
+        # a naive name-ordered split can hand one task a run of 500-txn
+        # heavy documents and make it the straggler that bounds the wall
+        n_blocks = max(1, min(len(files), (len(files) + batch_size - 1) // batch_size))
+        by_size = sorted(files, key=os.path.getsize, reverse=True)
+        bins: List[List[str]] = [[] for _ in range(n_blocks)]
+        for i, f in enumerate(by_size):
+            lap, pos = divmod(i, n_blocks)
+            bins[pos if lap % 2 == 0 else n_blocks - 1 - pos].append(f)
+        striped = [f for b in bins for f in b]
         ds = ray.data.from_arrow(
-            pa.table({"path": pa.array(files, type=pa.string())})
+            pa.table({"path": pa.array(striped, type=pa.string())})
         )
         # from_arrow yields ONE block = one task; split the path list so
-        # the tokenize stage actually fans out (~batch_size files/task)
-        n_blocks = max(1, min(len(files), (len(files) + batch_size - 1) // batch_size))
+        # the tokenize stage actually fans out (~batch_size files/task);
+        # repartition splits contiguous equal-count ranges, which the
+        # flattened bins were built to match
         return ds.repartition(n_blocks).map_batches(
             _tokenize_paths, batch_format="pyarrow", batch_size=batch_size
         )

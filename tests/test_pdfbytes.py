@@ -419,3 +419,29 @@ def test_hex_string_and_comment_content_ops():
         (735.0, 72.0, "text", "Hithere"),
         (700.0, 60.0, "media", "Im0"),
     ]
+
+
+def test_corrupt_pdf_shard_contained_and_retried(ray_session, tmp_path):
+    """A truncated PDF shard must not kill the run: on_error='record'
+    writes a failed manifest and continues; after the file is repaired, a
+    re-run retries exactly the failed shard and completes it."""
+    from b_pdf_parser_ray.pipelines.flagship import run_resumable
+
+    files = write_pdf_corpus(str(tmp_path / "pdfs"), 3)
+    good = open(files[1], "rb").read()
+    with open(files[1], "wb") as f:
+        f.write(good[: len(good) // 2])  # truncate mid-object
+    out = str(tmp_path / "out")
+    recs = run_resumable(files, out, on_error="record")
+    by_status = {r.get("status", "done" if r.get("total") is not None else "?")
+                 for r in recs}
+    failed = [r for r in recs if r.get("status") == "failed"]
+    done = [r for r in recs if r.get("status") != "failed"]
+    assert len(failed) == 1 and len(done) == 2, (by_status, recs)
+
+    with open(files[1], "wb") as f:
+        f.write(good)
+    again = run_resumable(files, out, on_error="record")
+    assert all(r.get("status") != "failed" for r in again)
+    retried = [r for r in again if not r["skipped"]]
+    assert len(retried) == 1  # only the repaired shard re-ran
