@@ -1869,7 +1869,10 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
     ``read_binary_files`` → xref/object parse + inflate + content-stream
     tokenization into reading-order spans → the flagship extraction kernel
     → per-strategy rollup.  The strategy sidecar is a broadcast dict (the
-    small-side lookup pattern), since PDF bytes don't carry it.
+    small-side lookup pattern), since PDF bytes don't carry it; at corpus
+    scale the sidecar is a real table and the attach goes through the
+    size-gated lookup join (functions/joins.py) instead — the dict here is
+    the under-cap branch of that same plan.
 
     Rows-only: PDF parsing is not SQL-expressible; pinned by
     tests/test_pdfbytes.py — byte-level span-sequence equality vs the span
