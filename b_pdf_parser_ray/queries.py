@@ -8361,7 +8361,10 @@ def source_overlap_jaccard(sf_dir: str, num_partitions: int = None):
     In-partition the pair counts come from one incidence matmul
     (|words| × |sources| 0/1 matrix, MᵀM), and each partition emits only
     S(S+1)/2 partial count rows — the driver folds P × 210 ints for 20
-    sources, corpus-size-independent."""
+    sources, corpus-size-independent.  The S² pair matrix bounds the
+    operator to modest source counts (≲10³ — the usual scale of crawl
+    provenance labels); a 10⁶-domain breakdown needs the LSH near-dup
+    family instead, which never enumerates pairs."""
     from .functions.textstats import token_hash64
     from .sources.tables import salted_partitions, table_rows
 

@@ -445,3 +445,72 @@ def test_corrupt_pdf_shard_contained_and_retried(ray_session, tmp_path):
     assert all(r.get("status") != "failed" for r in again)
     retried = [r for r in again if not r["skipped"]]
     assert len(retried) == 1  # only the repaired shard re-ran
+
+
+def test_lexer_fast_slow_equivalence_fuzz():
+    """The regex fast path and the per-char slow path must tokenize any
+    serialized object stream identically — property-fuzzed over random
+    PDF values (nested dicts/arrays, names, escaped strings, numbers)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from b_pdf_parser_ray.sources.pdfbytes import _Lexer, _esc
+
+    def serialize(v) -> bytes:
+        if isinstance(v, bool):
+            return b"true" if v else b"false"
+        if v is None:
+            return b"null"
+        if isinstance(v, int):
+            return str(v).encode()
+        if isinstance(v, float):
+            return (b"%.4f" % v)
+        if isinstance(v, str):
+            if v.startswith("/"):
+                return v.encode()
+            return b"(" + _esc(v) + b")"
+        if isinstance(v, list):
+            return b"[ " + b" ".join(serialize(x) for x in v) + b" ]"
+        if isinstance(v, dict):
+            return (b"<< " + b" ".join(
+                b"/%s %s" % (k.encode(), serialize(x)) for k, x in v.items()
+            ) + b" >>")
+        raise TypeError(v)
+
+    scalar = st.one_of(
+        st.integers(-10**9, 10**9),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20),
+        st.booleans(),
+        st.none(),
+        st.from_regex(r"/[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True),
+    )
+    values = st.recursive(
+        scalar,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=4),
+            st.dictionaries(
+                st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True),
+                inner, max_size=4,
+            ),
+        ),
+        max_leaves=12,
+    )
+
+    def drain(lx, slow):
+        toks = []
+        while True:
+            k, v = (lx._next_token_slow() if slow else lx.next_token())
+            if k == "eof":
+                return toks
+            toks.append((k, v))
+
+    @given(vs=st.lists(values, min_size=1, max_size=5))
+    @settings(max_examples=80, deadline=None)
+    def check(vs):
+        data = b" ".join(serialize(v) for v in vs)
+        fast = drain(_Lexer(data), slow=False)
+        slow_ = drain(_Lexer(data), slow=True)
+        assert fast == slow_
+
+    check()
