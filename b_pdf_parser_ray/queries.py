@@ -2028,12 +2028,16 @@ def extract_pdf_caption_pairs(sf_dir: str, n_docs: int = 200):
         paths = batch.column("path").to_pylist()
         doc_ids, span_lists = [], []
         px_mean: Dict[str, int] = {}
+        from .sources.pdfbytes import PdfDocument
+
         for p in paths:
             with open(p, "rb") as f:
                 data = f.read()
             doc_ids.append(os.path.splitext(os.path.basename(p))[0])
-            span_lists.append(tokenize_pdf_bytes(data))
-            for ref, px in extract_media_assets(data).items():
+            # ONE structural parse serves tokenization and asset decode
+            pdoc = PdfDocument(data)
+            span_lists.append(tokenize_pdf_bytes(doc=pdoc))
+            for ref, px in extract_media_assets(doc=pdoc).items():
                 if ref not in px_mean:
                     px_mean[ref] = int(round(float(px.mean()) * 10_000))
         spans_tbl = pa.Table.from_arrays(

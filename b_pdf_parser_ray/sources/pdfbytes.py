@@ -921,13 +921,16 @@ def _interpret_content_slow(
 
 
 def tokenize_pdf_positions(
-    data: bytes,
+    data: Optional[bytes] = None, *, doc: Optional[PdfDocument] = None
 ) -> List[Tuple[int, float, float, str, str]]:
     """Positioned-span tokenization: xref → page tree → content streams →
     raw (page, x, y, kind, payload) tuples with coordinates normalized to
     the page MediaBox, in content-stream emission order — the
-    pre-linearization shape a layout stage consumes."""
-    doc = PdfDocument(data)
+    pre-linearization shape a layout stage consumes.  Pass ``doc=`` to
+    reuse an already-parsed ``PdfDocument`` (one structural parse serves
+    tokenization AND asset extraction)."""
+    if doc is None:
+        doc = PdfDocument(data)
     out: List[Tuple[int, float, float, str, str]] = []
     for pi, page in enumerate(doc.pages()):
         raw = doc.stream_data(doc.resolve(page["Contents"]))
@@ -941,7 +944,10 @@ def tokenize_pdf_positions(
 
 
 def tokenize_pdf_bytes(
-    data: bytes, min_gap: float = MIN_COLUMN_GAP
+    data: Optional[bytes] = None,
+    min_gap: float = MIN_COLUMN_GAP,
+    *,
+    doc: Optional[PdfDocument] = None,
 ) -> List[Dict[str, object]]:
     """Full byte-stream tokenization: xref → page tree → content streams →
     LAYOUT-AWARE reading-order span sequence (kind, text, media_ref,
@@ -953,7 +959,7 @@ def tokenize_pdf_bytes(
     single-column page reduces to the classic y-desc/x-asc sort, a
     multi-column page reads each column top-down, left-to-right — where a
     naive y-sort would interleave the columns."""
-    pos = tokenize_pdf_positions(data)
+    pos = tokenize_pdf_positions(data, doc=doc)
     if not pos:
         return []
     page_arr = np.fromiter((p[0] for p in pos), np.int64, len(pos))
@@ -977,15 +983,19 @@ def tokenize_pdf_bytes(
     return out
 
 
-def extract_media_assets(data: bytes) -> Dict[str, "np.ndarray"]:
+def extract_media_assets(
+    data: Optional[bytes] = None, *, doc: Optional[PdfDocument] = None
+) -> Dict[str, "np.ndarray"]:
     """Decode every embedded image XObject: resource name → (H, W) uint8
     pixel array.  Walks page ``/Resources /XObject`` maps, inflates the
     stream, and inverts the PNG row predictors (/Predictor ≥ 10) with the
     full five-filter scanline decoder shared with ``stages/media.py`` —
-    the interleaved corpus's media payloads decoded from real bytes."""
+    the interleaved corpus's media payloads decoded from real bytes.
+    Pass ``doc=`` to reuse an already-parsed ``PdfDocument``."""
     from ..stages.media import _png_unfilter_row
 
-    doc = PdfDocument(data)
+    if doc is None:
+        doc = PdfDocument(data)
     out: Dict[str, np.ndarray] = {}
     for page in doc.pages():
         res = doc.resolve(page.get("Resources")) or {}
