@@ -162,14 +162,24 @@ _FP_SEED = 14695981039346656037
 _MASK64 = 0xFFFFFFFFFFFFFFFF
 
 
+_TOKEN_HASH_MEMO: dict = {}
+
+
 def token_hash64(tok: str) -> int:
     """Deterministic 64-bit token hash (process-independent — Python's
-    builtin hash() is salted per process and must never be used here)."""
-    import hashlib
+    builtin hash() is salted per process and must never be used here).
+    Memoized per worker (vocabulary-bounded, the BPE/DSIR memo pattern):
+    a corpus token recurs in nearly every batch, and the dict hit is ~20×
+    cheaper than the blake2b."""
+    h = _TOKEN_HASH_MEMO.get(tok)
+    if h is None:
+        import hashlib
 
-    return int.from_bytes(
-        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-    )
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        _TOKEN_HASH_MEMO[tok] = h
+    return h
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
