@@ -1189,6 +1189,36 @@ def read_pdf_documents(path: str, batch_size: int = 16):
     return ds.map_batches(tokenize_batch, batch_format="pyarrow")
 
 
+def _write_one_pdf(args: Tuple[str, int, int]) -> None:
+    path, i, seed = args
+    import os
+
+    from ..fixtures import make_document
+
+    doc = make_document(i, seed)
+    with open(os.path.join(path, f"{doc['doc_id']}.pdf"), "wb") as f:
+        f.write(build_pdf(doc["spans"], pdf15=(i % 3 == 2)))
+
+
+def write_pdf_corpus_parallel(
+    path: str, num_docs: int, seed: int = 42, workers: int = 16
+) -> None:
+    """`write_pdf_corpus` fanned out over a process pool (document
+    generation is seeded per index, so parallel generation is
+    order-independent and byte-identical to the serial writer) — 10k
+    files in under a minute instead of ~7."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(path, exist_ok=True)
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(
+            _write_one_pdf,
+            ((path, i, seed) for i in range(num_docs)),
+            chunksize=100,
+        ))
+
+
 def convert_pdf_corpus(in_dir: str, out_dir: str, docs_per_shard: int = 2000):
     """Tokenize-once materialization: directory of PDFs → canonical span
     parquet shards (the layout every downstream query/pipeline consumes —
