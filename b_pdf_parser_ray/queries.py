@@ -2069,6 +2069,76 @@ def extract_pdf_caption_pairs(sf_dir: str, n_docs: int = 200):
     return ds.map_batches(pairs_batch, batch_format="pyarrow")
 
 
+def events_type_distinct_approx(sf_dir: str, k: int = 1024):
+    """Grouped KMV — approximate ``COUNT(DISTINCT user_id) GROUP BY
+    event_type`` with a mergeable sketch PER KEY: the missing sibling of
+    the global KMV (``approx_distinct_orders``) and of the exact grouped
+    distinct (``q16_supplier_variety``).  At 10⁹ users per type the exact
+    plan's exchange is (type, user)-grain; this one carries ≤k sketch rows
+    per (type, block) — the shape that makes grouped distinct countable at
+    100 TB.
+
+    Scale shape: in-batch Arrow C distinct → per-type k-smallest Weyl
+    hashes via one lexsort (no per-type Python); ONE exchange keyed on the
+    low-cardinality type; in-group merge is a vectorized unique-truncate.
+    Rows-only (a sketch); pinned by a pytest tolerance test vs DuckDB's
+    exact per-type distinct (rel err ≤ 3/√k)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        distinct = batch.group_by(
+            ["event_type", "user_id"], use_threads=False
+        ).aggregate([])
+        users = (
+            distinct.column("user_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            h = users * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(32)
+        types = distinct.column("event_type").to_numpy(zero_copy_only=False)
+        tuniq, tcodes = np.unique(types, return_inverse=True)
+        order = np.lexsort((h, tcodes))
+        tc, hs = tcodes[order], h[order]
+        starts = np.r_[0, np.flatnonzero(tc[1:] != tc[:-1]) + 1, len(tc)]
+        keep = np.concatenate(
+            [
+                np.arange(starts[i], min(starts[i] + k, starts[i + 1]))
+                for i in range(len(starts) - 1)
+            ]
+        ) if len(tc) else np.empty(0, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(tuniq[tc[keep]]),
+                pa.array(hs[keep].view(np.int64)),
+            ],
+            names=["event_type", "kmv"],
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        merged = np.unique(g["kmv"].to_numpy().view(np.uint64))[:k]
+        if len(merged) < k:
+            est = float(len(merged))
+        else:
+            est = (k - 1) / (float(merged[-1]) / float(2**64))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "estimated_distinct": [int(round(est))],
+                "sketch_k": [k],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def customer_yoy_outer(sf_dir: str):
     """Year-over-year revenue reconciliation — the FULL OUTER JOIN shape
     (completing the catalog's join matrix: inner/semi/anti/left-outer are
@@ -8658,6 +8728,7 @@ QUERIES: Dict[str, Callable] = {
     "extract_pdf_media_assets": extract_pdf_media_assets,
     "extract_pdf_caption_pairs": extract_pdf_caption_pairs,
     "customer_yoy_outer": customer_yoy_outer,
+    "events_type_distinct_approx": events_type_distinct_approx,
     "media_ref_fanout": media_ref_fanout,
     "doc_pack_interleaved": doc_pack_interleaved,
     "source_overlap_jaccard": source_overlap_jaccard,

@@ -762,3 +762,26 @@ def test_dsir_planted_target_like_doc(ray_session, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
     want = _normalize(con.sql(DOC_DSIR_SQL).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_kmv_within_tolerance(ray_session, ddb):
+    """Per-type KMV estimates vs DuckDB exact per-type distinct users:
+    every group within 3/sqrt(k) relative error, and the tiny-cardinality
+    exact path (merged < k) returns the exact count."""
+    import math
+
+    from b_pdf_parser_ray.queries import events_type_distinct_approx
+
+    k = 1024
+    got = _to_pandas(events_type_distinct_approx(SF_DIR, k=k))
+    want = ddb.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS d FROM events GROUP BY 1"
+    ).df().set_index("event_type")["d"]
+    assert set(got["event_type"]) == set(want.index)
+    tol = 3.0 / math.sqrt(k)
+    for _, row in got.iterrows():
+        exact = int(want[row["event_type"]])
+        err = abs(row["estimated_distinct"] - exact) / exact
+        assert err <= tol, (row["event_type"], row["estimated_distinct"], exact)
+        if exact < k:  # saw-everything path must be exact
+            assert row["estimated_distinct"] == exact
