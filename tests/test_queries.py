@@ -785,3 +785,40 @@ def test_grouped_kmv_within_tolerance(ray_session, ddb):
         assert err <= tol, (row["event_type"], row["estimated_distinct"], exact)
         if exact < k:  # saw-everything path must be exact
             assert row["estimated_distinct"] == exact
+
+
+def test_grouped_kmv_estimation_path_planted(ray_session, tmp_path):
+    """The sf corpus has fewer users than k, so only the exact path runs
+    there — plant a high-cardinality events table (distinct user counts
+    far above k per type) to exercise the real estimation path per group."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import events_type_distinct_approx
+
+    rng = np.random.default_rng(7)
+    rows = []
+    truth = {"a": 5000, "b": 20000, "c": 600}
+    for t, n_users in truth.items():
+        users = rng.choice(n_users * 10, size=n_users, replace=False)
+        users = np.repeat(users, 2)  # repeats must not inflate the count
+        rows.append(pa.table({
+            "event_id": pa.array(np.arange(len(users)), type=pa.int64()),
+            "ts": pa.array([0] * len(users), type=pa.timestamp("us")),
+            "user_id": pa.array(users, type=pa.int64()),
+            "event_type": pa.array([t] * len(users)),
+            "value": pa.array([1.0] * len(users)),
+            "props": pa.array(["{}"] * len(users)),
+        }))
+    pq.write_table(pa.concat_tables(rows), tmp_path / "events.parquet")
+
+    k = 256
+    got = events_type_distinct_approx(str(tmp_path), k=k).to_pandas()
+    tol = 3.0 / math.sqrt(k)
+    for _, row in got.iterrows():
+        exact = truth[row["event_type"]]
+        err = abs(row["estimated_distinct"] - exact) / exact
+        assert err <= tol, (row["event_type"], row["estimated_distinct"], exact)
