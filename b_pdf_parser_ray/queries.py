@@ -2233,6 +2233,86 @@ FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
 """
 
 
+def extract_multi_source(sf_dir: str):
+    """One pipeline over EVERY corpus format the engine reads — the "a
+    user of the reference could switch" proof run as a query: three
+    disjoint slices of the same fixture corpus materialized as parquet
+    fragments, JSONL interchange, and real PDF files, each ingested
+    through the ``read_documents`` format dispatcher, UNIONed into one
+    Dataset, and extracted once.  Output: per-format rollup
+    (n_docs, n_valid, total_txns).
+
+    Rows-only; pinned by a pytest equality test against the single-source
+    span-table path over the identical 100 documents."""
+    import os
+
+    import ray.data
+
+    from .fixtures import corpus_table
+    from .pipelines.flagship import extract_documents
+    from .sources.pdfbytes import write_pdf_corpus
+    from .sources.tables import read_documents, write_documents
+
+    base = "/tmp/multi_source_corpus_v1"
+    marker = f"{base}._DONE"
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        pq_dir = os.path.join(base, "parquet")
+        os.makedirs(pq_dir, exist_ok=True)
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(
+            corpus_table(40).select(["doc_id", "spans"]),
+            os.path.join(pq_dir, "part0.parquet"),
+        )
+        write_documents(
+            ray.data.from_arrow(
+                corpus_table(30, start=40).select(["doc_id", "spans"])
+            ),
+            os.path.join(base, "docs.jsonl"),
+        )
+        write_pdf_corpus(os.path.join(base, "pdfs"), 30, start=70)
+        with open(marker, "w") as f:
+            f.write("100")
+
+    branches = [
+        read_documents(os.path.join(base, sub)).select_columns(
+            ["doc_id", "spans"]
+        )
+        for sub in ("parquet", "docs.jsonl", "pdfs")
+    ]
+    unioned = branches[0].union(branches[1]).union(branches[2])
+    ext = extract_documents(unioned)
+
+    # doc index ranges identify the source format (disjoint by construction)
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        idx = [int(d.rsplit("_", 1)[-1]) for d in ids]
+        fmt = [
+            "parquet" if i < 40 else ("jsonl" if i < 70 else "pdf") for i in idx
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(fmt, type=pa.string()),
+                pc.cast(batch.column("is_valid"), pa.int64()),
+                pc.cast(
+                    pc.list_value_length(batch.column("transactions")), pa.int64()
+                ),
+            ],
+            names=["source_format", "valid", "n_txns"],
+        )
+
+    return grouped_agg(
+        ext.map_batches(project, batch_format="pyarrow"),
+        ["source_format"],
+        [
+            (None, "count", "n_docs"),
+            ("valid", "sum", "n_valid"),
+            ("n_txns", "sum", "total_txns"),
+        ],
+    ).sort("source_format")
+
+
 def doc_top_terms(sf_dir: str, k: int = 20):
     """Corpus-wide top-k terms — the vocabulary/stopword-inventory builder.
 
@@ -8727,6 +8807,7 @@ QUERIES: Dict[str, Callable] = {
     "extract_pdf_bytes": extract_pdf_bytes,
     "extract_pdf_media_assets": extract_pdf_media_assets,
     "extract_pdf_caption_pairs": extract_pdf_caption_pairs,
+    "extract_multi_source": extract_multi_source,
     "customer_yoy_outer": customer_yoy_outer,
     "events_type_distinct_approx": events_type_distinct_approx,
     "media_ref_fanout": media_ref_fanout,

@@ -1240,7 +1240,9 @@ def convert_pdf_corpus(in_dir: str, out_dir: str, docs_per_shard: int = 2000):
 # ---------------------------------------------------------------------------
 
 
-def write_pdf_corpus(path: str, num_docs: int, seed: int = 42) -> List[str]:
+def write_pdf_corpus(
+    path: str, num_docs: int, seed: int = 42, start: int = 0
+) -> List[str]:
     """One real PDF file per fixture document (same content as the span
     corpus at the same seed/index — ``fixtures.make_document``), named
     ``{doc_id}.pdf``.  Every 3rd file uses PDF 1.5 structure (object
@@ -1252,7 +1254,7 @@ def write_pdf_corpus(path: str, num_docs: int, seed: int = 42) -> List[str]:
 
     os.makedirs(path, exist_ok=True)
     files = []
-    for i in range(num_docs):
+    for i in range(start, start + num_docs):
         doc = make_document(i, seed)
         p = os.path.join(path, f"{doc['doc_id']}.pdf")
         with open(p, "wb") as f:

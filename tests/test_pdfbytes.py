@@ -514,3 +514,31 @@ def test_lexer_fast_slow_equivalence_fuzz():
         assert fast == slow_
 
     check()
+
+
+def test_extract_multi_source_equals_single_source(ray_session):
+    """The heterogeneous-source union (parquet + JSONL + PDF slices of the
+    same fixture corpus through the read_documents dispatcher) must
+    produce the same per-document extraction totals as the single
+    span-table path over the identical 100 documents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from b_pdf_parser_ray.fixtures import corpus_table
+    from b_pdf_parser_ray.pipelines.flagship import extract_documents
+    from b_pdf_parser_ray.queries import extract_multi_source
+
+    got = extract_multi_source("unused").to_pandas()
+    assert list(got["n_docs"]) == [30, 40, 30]  # jsonl, parquet, pdf (sorted)
+
+    ext = extract_documents(
+        ray.data.from_arrow(corpus_table(100).select(["doc_id", "spans"]))
+    )
+    valid = 0
+    txns = 0
+    for b in ext.iter_batches(batch_format="pyarrow"):
+        valid += pc.sum(pc.cast(b.column("is_valid"), pa.int64())).as_py() or 0
+        txns += pc.sum(pc.list_value_length(b.column("transactions"))).as_py() or 0
+    assert int(got["n_valid"].sum()) == valid
+    assert int(got["total_txns"].sum()) == txns
