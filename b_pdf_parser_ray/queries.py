@@ -6259,6 +6259,185 @@ GROUP BY p_brand, p_size
 """
 
 
+def q11_important_parts(sf_dir: str, nation_like: str = "NATION_1%",
+                        fraction: float = 0.001, num_partitions: int = 8):
+    """Important parts by revenue concentration (TPC-H Q11 shape, bridged
+    through lineitem — no partsupp table; reference has no analogue, this
+    is an engine-native query): per-part revenue from suppliers in the
+    ``nation_like`` nation group, keeping parts whose revenue exceeds
+    ``fraction`` of the group total.
+
+    Scale shape — the global-scalar-threshold pattern: per-part revenue
+    is one partkey-grain grouped sum fed by map-side e-4 integer partials
+    (exact — the threshold compare can't flip on float summation order);
+    the global total is ``Dataset.sum`` over the partkey-grain aggregate
+    (a distributed fold, one number reaches the driver); the threshold
+    broadcasts back as a scalar into a filter map.  The output is
+    provably bounded regardless of corpus size: at most ``1/fraction``
+    parts can each exceed ``fraction`` of the total.  Supplier membership
+    flows through the size-gated semi join; the nation group resolves on
+    the driver from the always-tiny nation dimension."""
+    from .functions.joins import semi_join
+    from .sources.tables import read_arrow, table_rows
+
+    nations = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    key_list = nations.filter(
+        pc.match_like(nations.column("n_name"), nation_like)
+    ).column("n_nationkey").to_pylist()
+
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(
+                b.column("s_nationkey"),
+                value_set=pa.array(key_list, type=b.column("s_nationkey").type),
+            )
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = semi_join(
+        li, supp, "l_suppkey", "s_suppkey",
+        right_source_rows=table_rows(sf_dir, "supplier"),
+        num_partitions=num_partitions,
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("l_partkey"), _rev_e4(batch)],
+            names=["l_partkey", "rev_e4"],
+        )
+
+    vals = grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_partkey"], [("rev_e4", "sum", "value_e4")],
+    ).materialize()
+
+    total = vals.sum("value_e4") or 0
+    threshold = float(total) * fraction
+
+    important = vals.map_batches(
+        lambda b: b.filter(
+            pc.greater(
+                pc.cast(b.column("value_e4"), pa.float64()), pa.scalar(threshold)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["value"] = sql_round(b["value_e4"] / 10_000.0, 2)
+        return b[["l_partkey", "value"]]
+
+    return important.map_batches(finish, batch_format="pandas")
+
+
+Q11_SQL = """
+WITH vals AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS value_e4
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name LIKE 'NATION_1%'
+  GROUP BY l_partkey)
+SELECT l_partkey, round(value_e4 / 10000.0, 2) AS value
+FROM vals
+WHERE CAST(value_e4 AS DOUBLE) > (SELECT CAST(sum(value_e4) AS DOUBLE) FROM vals) * 0.001
+"""
+
+
+def q12_priority_class_lines(sf_dir: str, year: int = 1996, num_partitions: int = 8):
+    """Priority mix of shipped lines (TPC-H Q12 shape reshaped to this
+    star schema — the tables carry no shipmode/commitdate/receiptdate, so
+    the pivot key is ``l_returnflag``): per return flag, how many ``year``
+    shipments belong to critical-priority orders (1-URGENT / 2-HIGH) vs
+    not.
+
+    Scale shape: lineitem prunes map-side to the date window before the
+    one exchange; ``o_orderpriority`` arrives through the size-gated
+    lookup join (orderkey is high-cardinality and uniform — no skew); the
+    conditional pivot pre-reduces to (returnflag, high, low) per block so
+    ≤ |flags| rows per block cross the final exchange."""
+    from .functions.joins import lookup_join
+    from .sources.tables import table_rows
+
+    lo = pa.scalar(pd.Timestamp(f"{year}-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(f"{year + 1}-01-01"), type=pa.timestamp("us"))
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            )
+        ).select(["l_orderkey", "l_returnflag"]),
+        batch_format="pyarrow",
+    )
+
+    enriched = lookup_join(
+        li,
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+        "l_orderkey", "o_orderkey", ["o_orderpriority"],
+        right_source_rows=table_rows(sf_dir, "orders"),
+        num_partitions=num_partitions,
+    )
+
+    high_set = pa.array(["1-URGENT", "2-HIGH"], type=pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        is_high = pc.cast(
+            pc.is_in(batch.column("o_orderpriority"), value_set=high_set),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [
+                batch.column("l_returnflag"),
+                is_high,
+                pc.subtract(pa.scalar(1, type=pa.int64()), is_high),
+            ],
+            names=["l_returnflag", "high", "low"],
+        )
+        out = t.group_by(["l_returnflag"], use_threads=False).aggregate(
+            [("high", "sum"), ("low", "sum")]
+        )
+        return out.rename_columns(
+            ["l_returnflag", "high_line_count", "low_line_count"]
+        )
+
+    return grouped_agg(
+        enriched.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [
+            ("high_line_count", "sum", "high_line_count"),
+            ("low_line_count", "sum", "low_line_count"),
+        ],
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
 def q20_potential_promotion(
     sf_dir: str, min_qty: float = 150.0, num_partitions: int = 8
 ):
@@ -8865,6 +9044,8 @@ QUERIES: Dict[str, Callable] = {
     "q22_lapsed_high_balance": q22_lapsed_high_balance,
     "q9_product_profit": q9_product_profit,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_class_lines": q12_priority_class_lines,
     "q16_supplier_variety": q16_supplier_variety,
     "q20_potential_promotion": q20_potential_promotion,
     "doc_quality_filter": doc_quality_filter,
@@ -8989,6 +9170,8 @@ ORACLE_SQL: Dict[str, str] = {
     "q22_lapsed_high_balance": Q22_SQL,
     "q9_product_profit": Q9_SQL,
     "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_priority_class_lines": Q12_SQL,
     "q16_supplier_variety": Q16_SQL,
     "q20_potential_promotion": Q20_SQL,
     "doc_quality_filter": DOC_QUALITY_FILTER_SQL,
