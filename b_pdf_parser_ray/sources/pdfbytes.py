@@ -524,21 +524,24 @@ class _Ref:
         self.num = num
 
 
+# "g R" indirect-reference suffix after a number token: one C-regex probe
+# replaces two speculative next_token calls + rewinds (the miss case — a
+# plain numeric dict value — fails the match in a few bytes).  The
+# generation accepts the same numeric shapes as the num token so the
+# lookahead decision is bit-identical to the token-path one.
+_REF_SUFFIX_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*[+-]?(?:\d+\.\d*|\.\d+|\d+)"
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*R(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
+
+
 def _parse_value(lx: _Lexer, first: Optional[Tuple[str, object]] = None):
     kind, val = first if first is not None else lx.next_token()
     if kind == "num":
-        # lookahead for "g R" indirect reference
-        save = lx.pos
-        k2, v2 = lx.next_token()
-        if k2 == "num":
-            save2 = lx.pos
-            k3, v3 = lx.next_token()
-            if k3 == "kw" and v3 == "R":
-                return _Ref(int(val))
-            lx.pos = save2
-            lx.pos = save  # two numbers: rewind fully, return first
-            return val
-        lx.pos = save
+        m = _REF_SUFFIX_RE.match(lx.data, lx.pos)
+        if m is not None:
+            lx.pos = m.end()
+            return _Ref(int(val))
         return val
     if kind in ("name", "str"):
         return (kind, val) if kind == "name" else val
@@ -766,7 +769,73 @@ class PdfDocument:
 # ---------------------------------------------------------------------------
 
 
+# One whole-statement match per C-regex step.  PDF producers emit content
+# as self-contained single-statement lines (``BT … Tf x y Td (s) Tj ET``,
+# ``1 0 0 1 x y Tm`` absolute positioning, two-string kerned TJ arrays,
+# ``q sx 0 0 sy x y cm /Im Do Q`` image placements) — because every
+# statement opens with BT (resetting the text matrix) or q…Q (balancing the
+# CTM), no operator state survives between statements and each match maps
+# directly to one span.  The statement shapes below cover that idiom; any
+# stream byte NOT tiled by these shapes (cumulative Td runs inside one BT
+# block, general Tm matrices, nested unescaped parens, hex strings, …)
+# falls back to the per-token interpreter, which is behavior-identical
+# (equivalence fuzz-pinned in tests/test_pdfbytes.py).
+_FP_N = rb"-?\d+(?:\.\d+)?"
+_FP_STR = rb"(?:[^()\\]|\\.)*"
+_FAST_STMT_RE = re.compile(
+    rb"BT /\w+ " + _FP_N + rb" Tf "
+    rb"(?:(?P<tdx>" + _FP_N + rb") (?P<tdy>" + _FP_N + rb") Td"
+    rb"|1 0 0 1 (?P<tmx>" + _FP_N + rb") (?P<tmy>" + _FP_N + rb") Tm) "
+    rb"(?:\((?P<tj>" + _FP_STR + rb")\) Tj"
+    rb"|\[ (?P<tja>(?:\(" + _FP_STR + rb"\)|" + _FP_N + rb"| )+) \] TJ) ET"
+    rb"|q (?P<isx>" + _FP_N + rb") 0 0 (?P<isy>" + _FP_N + rb") "
+    rb"(?P<icx>" + _FP_N + rb") (?P<icy>" + _FP_N + rb") cm "
+    rb"/(?P<img>\w+) Do Q"
+)
+_FP_ARR_STR_RE = re.compile(rb"\((" + _FP_STR + rb")\)")
+
+
 def _interpret_content(content: bytes) -> List[Tuple[float, float, str, str]]:
+    """Statement-level fast path over the content stream.
+
+    Walks ``_FAST_STMT_RE`` matches and checks they TILE the stream (only
+    whitespace between consecutive matches) — any non-whitespace gap means
+    an operator outside the self-contained statement shapes could carry
+    state across statements, so the whole stream re-runs through the
+    general per-token interpreter.  ~6× fewer Python-loop iterations than
+    token dispatch on conforming streams (one per statement vs one per
+    token)."""
+    spans: List[Tuple[float, float, str, str]] = []
+    pos = 0
+    for m in _FAST_STMT_RE.finditer(content):
+        if content[pos:m.start()].strip():
+            return _interpret_content_tokens(content)
+        pos = m.end()
+        g = m.group
+        if m.lastgroup == "img":
+            spans.append(
+                (float(g("icy")), float(g("icx")), "media",
+                 g("img").decode("latin-1"))
+            )
+            continue
+        tx = g("tdx") or g("tmx")
+        ty = g("tdy") or g("tmy")
+        tj = g("tj")
+        if tj is not None:
+            text = _unescape(tj)
+        else:
+            text = "".join(
+                _unescape(p) for p in _FP_ARR_STR_RE.findall(g("tja"))
+            )
+        spans.append((float(ty), float(tx), "text", text))
+    if content[pos:].strip():
+        return _interpret_content_tokens(content)
+    return spans
+
+
+def _interpret_content_tokens(
+    content: bytes,
+) -> List[Tuple[float, float, str, str]]:
     """Run the text/XObject subset of the content-stream operator set.
 
     Returns (y, x, kind, payload) tuples — payload is the decoded text for
@@ -785,7 +854,15 @@ def _interpret_content(content: bytes) -> List[Tuple[float, float, str, str]]:
     tx = ty = 0.0
     ctm_stack: List[Tuple[float, float]] = []
     cx = cy = 0.0
+    pos = 0
     for m in _TOK_RE.finditer(content):
+        # tiling check: finditer silently skips bytes no token group can
+        # match (e.g. the '(' opening a nested-paren string), which would
+        # desync the operand stack — any gap sends the whole stream to the
+        # lexer-driven interpreter (whose _lit_string handles nesting)
+        if m.start() != pos:
+            return _interpret_content_slow(content)
+        pos = m.end()
         g = m.lastgroup
         if g == "num":
             tok = m.group("num")
@@ -850,6 +927,8 @@ def _interpret_content(content: bytes) -> List[Tuple[float, float, str, str]]:
             )
         else:  # dict tokens inside content (e.g. BDC property lists)
             stack.clear()
+    if content[pos:].strip():  # untokenizable tail (same tiling rule)
+        return _interpret_content_slow(content)
     return spans
 
 

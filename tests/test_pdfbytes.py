@@ -516,6 +516,67 @@ def test_lexer_fast_slow_equivalence_fuzz():
     check()
 
 
+def test_statement_fast_path_token_path_equivalence_fuzz():
+    """The statement-level content interpreter (one regex match per
+    ``BT…ET`` / ``q…Q`` line) and the per-token interpreter must emit
+    identical span lists — property-fuzzed over streams mixing conforming
+    single-statement lines with non-conforming corners (cumulative Td
+    runs, general Tm matrices, hex strings, nested parens) that force the
+    tiling check to fall back mid-stream."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from b_pdf_parser_ray.sources.pdfbytes import (
+        _esc,
+        _interpret_content,
+        _interpret_content_tokens,
+    )
+
+    num = st.integers(-999, 999)
+    txt = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+    )
+
+    def conforming(x, y, s, shape):
+        body = (
+            b"(%s) Tj" % _esc(s)
+            if shape % 2
+            else b"[ (%s) -250 (%s) ] TJ" % (_esc(s[: len(s) // 2]), _esc(s[len(s) // 2:]))
+        )
+        pos = (
+            b"%d %d Td" % (x, y)
+            if shape % 3
+            else b"1 0 0 1 %d %d Tm" % (x, y)
+        )
+        return b"BT /F1 10 Tf %s %s ET" % (pos, body)
+
+    def nonconforming(x, y, s, shape):
+        k = shape % 4
+        if k == 0:  # cumulative Td run inside one BT block
+            return (b"BT /F1 10 Tf %d %d Td (%s) Tj 0 -14 Td (%s) Tj ET"
+                    % (x, y, _esc(s), _esc(s)))
+        if k == 1:  # general text matrix
+            return b"BT /F1 10 Tf 2 0 0 2 %d %d Tm (%s) Tj ET" % (x, y, _esc(s))
+        if k == 2:  # hex string
+            return b"BT /F1 10 Tf %d %d Td <48656c6c6f> Tj ET" % (x, y)
+        return b"BT /F1 10 Tf %d %d Td (a(b)c) Tj ET" % (x, y)  # nested parens
+
+    line = st.tuples(num, num, txt, st.integers(0, 11), st.booleans()).map(
+        lambda t: conforming(*t[:4]) if t[4] else nonconforming(*t[:4])
+    )
+    img = st.tuples(num, num).map(
+        lambda t: b"q 20 0 0 20 %d %d cm /Im0 Do Q" % t
+    )
+
+    @given(lines=st.lists(st.one_of(line, img), min_size=0, max_size=8))
+    @settings(max_examples=120, deadline=None)
+    def check(lines):
+        content = b"\n".join(lines)
+        assert _interpret_content(content) == _interpret_content_tokens(content)
+
+    check()
+
+
 def test_extract_multi_source_equals_single_source(ray_session):
     """The heterogeneous-source union (parquet + JSONL + PDF slices of the
     same fixture corpus through the read_documents dispatcher) must
