@@ -1881,7 +1881,11 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
 
     from .fixtures import make_document
     from .pipelines.flagship import extract_documents
-    from .sources.pdfbytes import read_pdf_documents, write_pdf_corpus
+    from .sources.pdfbytes import (
+        pdf_batch_size,
+        read_pdf_documents,
+        write_pdf_corpus,
+    )
 
     # v2: corpus mixes classic and PDF 1.5 structural forms (writer change
     # invalidates the cache — same args must mean same bytes)
@@ -1907,9 +1911,12 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
     # the fused tokenize→extract task otherwise coalesces to the LARGER
     # batch (256 docs/task → 8 tasks for 2000 files — a 4× wall hit,
     # measured; see read_pdf_documents docstring)
+    bs = pdf_batch_size(path)
     ext = extract_documents(
-        read_pdf_documents(path).map_batches(attach, batch_format="pyarrow"),
-        batch_size=16,
+        read_pdf_documents(path, batch_size=bs).map_batches(
+            attach, batch_format="pyarrow", batch_size=bs
+        ),
+        batch_size=bs,
     )
 
     def project(batch: pa.Table) -> pa.Table:

@@ -394,6 +394,15 @@ class _Lexer:
                 return ("str", self._lit_string())
             return self._next_token_slow()
         g = m.lastgroup
+        # dispatch ordered by measured object-layer frequency: num 44%,
+        # name 38%, dict delimiters 12%, kw 4% (strings are content-layer)
+        if g == "num":
+            self.pos = m.end()
+            tok = m.group("num")
+            return ("num", float(tok) if b"." in tok else int(tok))
+        if g == "name":
+            self.pos = m.end()
+            return ("name", m.group("name")[1:].decode("latin-1"))
         if g == "lstr":
             inner = m.group("lstr")[1:-1]
             # a '(' surviving escape-pair removal means the string nests
@@ -404,11 +413,6 @@ class _Lexer:
             self.pos = m.end()
             return ("str", _unescape(inner))
         self.pos = m.end()
-        if g == "num":
-            tok = m.group("num")
-            return ("num", float(tok) if b"." in tok else int(tok))
-        if g == "name":
-            return ("name", m.group("name")[1:].decode("latin-1"))
         if g == "kw":
             return ("kw", m.group("kw").decode("latin-1"))
         if g == "dopen":
@@ -1209,28 +1213,58 @@ def media_features_batch(batch) -> "pa.Table":
     )
 
 
-def read_pdf_documents(path: str, batch_size: int = 16):
+def pdf_batch_size(path_or_count) -> int:
+    """Files-per-task for the PDF byte pipeline, balancing fixed task
+    overhead against fan-out: ``clamp(n_files / (cpus × 8), 16, 64)``
+    (≥ ~8 waves of tasks per CPU for stripe balance, ≤ 64 because the
+    per-task overhead is fully amortized by then).  Measured on the
+    10k-file scaling corpus: 16 files/task = 664 / 2,006 docs/s at
+    4 / 16 CPUs (eff 0.76 — overhead-bound after the statement-level
+    interpreter sped the kernel 2×); 64 files/task = 1,001 / 3,470
+    (eff 0.87) and 5,121 docs/s at 32 CPUs; 128 is flat-to-worse.
+    Small corpora stay at 16 so the stage still fans out (2,000 files
+    at 64 would leave 32 CPUs starved at 31 tasks)."""
+    import os
+
+    import ray
+
+    if isinstance(path_or_count, int):
+        n_files = path_or_count
+    else:
+        n_files = sum(
+            1 for f in os.listdir(path_or_count) if f.endswith(".pdf")
+        ) if os.path.isdir(path_or_count) else 1
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(16, min(64, n_files // max(1, cpus * 8)))
+
+
+def read_pdf_documents(path: str, batch_size: Optional[int] = None):
     """Streaming source: directory of PDF files → documents(doc_id, spans)
     Dataset via byte-stream tokenization.
 
     Local inputs take the many-small-files fast path: the driver lists
     paths (names only — no bytes), the path LIST becomes the Dataset, and
     each task opens + tokenizes its own files (``batch_size`` files per
-    task keeps ~32 concurrent tasks fed without per-file task overhead; a
-    PDF is not splittable mid-xref, so the file is the natural unit).
-    Non-local URIs fall back to ``read_binary_files``.  Heavyweight-PDF
-    skew is handled downstream by the flagship's size-bucketed
-    repartition.
+    task — default ``pdf_batch_size(path)``, sized to keep every CPU fed
+    in ~8 task waves without per-file task overhead; a PDF is not
+    splittable mid-xref, so the file is the natural unit).  Non-local
+    URIs fall back to ``read_binary_files``.  Heavyweight-PDF skew is
+    handled downstream by the flagship's size-bucketed repartition.
 
     Granularity caveat: a downstream ``map_batches`` that FUSES with this
     stage inherits the larger batch size — chaining the default-256
     extractor coalesced 2000 files into 8 tasks (5.5 s vs 1.4 s wall,
     measured at 32 CPUs).  Pass the same ``batch_size`` to the downstream
-    stage (``extract_documents(ds, batch_size=16)``) to keep the fan-out."""
+    stage (``extract_documents(ds, batch_size=pdf_batch_size(path))``) to
+    keep the fan-out."""
     import os
 
     import ray.data
 
+    if batch_size is None:
+        batch_size = pdf_batch_size(path)
     if os.path.isdir(path):
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path) if f.endswith(".pdf")

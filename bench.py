@@ -111,7 +111,11 @@ def run_pdf_bytes(sf: float) -> dict:
     import ray.data  # noqa: F401  (session owned by caller)
 
     from b_pdf_parser_ray.pipelines.flagship import extract_documents
-    from b_pdf_parser_ray.sources.pdfbytes import read_pdf_documents, write_pdf_corpus
+    from b_pdf_parser_ray.sources.pdfbytes import (
+        pdf_batch_size,
+        read_pdf_documents,
+        write_pdf_corpus,
+    )
 
     n_docs = max(200, int(20_000 * sf))
     path = f"/tmp/bench_pdf_{n_docs}_{SEED}_v2"
@@ -125,7 +129,9 @@ def run_pdf_bytes(sf: float) -> dict:
     t0 = time.perf_counter()
     # batch_size matched to the source's per-task file granularity — see
     # read_pdf_documents granularity caveat
-    n = extract_documents(read_pdf_documents(path), batch_size=16).count()
+    bs = pdf_batch_size(path)
+    n = extract_documents(read_pdf_documents(path, batch_size=bs),
+                          batch_size=bs).count()
     sec = time.perf_counter() - t0
     return {"docs": n, "sec": round(sec, 3), "docs_per_sec": round(n / sec, 1)}
 
@@ -271,14 +277,18 @@ def main() -> None:
             import ray
 
             from b_pdf_parser_ray.pipelines.flagship import extract_documents
-            from b_pdf_parser_ray.sources.pdfbytes import read_pdf_documents
+            from b_pdf_parser_ray.sources.pdfbytes import (
+                pdf_batch_size,
+                read_pdf_documents,
+            )
 
             read_pdf_documents(path).limit(64).count()
+            bs = pdf_batch_size(path)
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 n = extract_documents(
-                    read_pdf_documents(path), batch_size=16
+                    read_pdf_documents(path, batch_size=bs), batch_size=bs
                 ).count()
                 sec = time.perf_counter() - t0
                 best = sec if best is None else min(best, sec)
