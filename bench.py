@@ -102,6 +102,25 @@ def run_flagship(n_docs: int, repeats: int = 1) -> dict:
     }
 
 
+def ensure_pdf_corpus(sf: float) -> str:
+    """Generate (once) and return the byte-bench corpus path — 100k×sf
+    files (10k at the sf0.1 headline): at 2k files the stage is
+    floor-dominated (~1 s fixed wall hides the kernel entirely — measured
+    1,827 docs/s at 2k vs 5,121 at 10k on identical code).  MUST run
+    before ``ray.init``: the parallel writer forks a process pool, and
+    forking a Ray-initialized driver can deadlock."""
+    from b_pdf_parser_ray.sources.pdfbytes import write_pdf_corpus_parallel
+
+    n_docs = max(200, int(100_000 * sf))
+    path = f"/tmp/bench_pdf_{n_docs}_{SEED}_v2"
+    marker = f"{path}._DONE"
+    if not os.path.exists(marker):
+        write_pdf_corpus_parallel(path, n_docs, seed=SEED)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+    return path
+
+
 def run_pdf_bytes(sf: float) -> dict:
     """Byte-stream PDF extraction throughput: real PDF files (mixed classic
     / PDF 1.5 structure) → xref/object parse + inflate + content-stream
@@ -114,16 +133,9 @@ def run_pdf_bytes(sf: float) -> dict:
     from b_pdf_parser_ray.sources.pdfbytes import (
         pdf_batch_size,
         read_pdf_documents,
-        write_pdf_corpus,
     )
 
-    n_docs = max(200, int(20_000 * sf))
-    path = f"/tmp/bench_pdf_{n_docs}_{SEED}_v2"
-    marker = f"{path}._DONE"
-    if not os.path.exists(marker):
-        write_pdf_corpus(path, n_docs, seed=SEED)
-        with open(marker, "w") as f:
-            f.write(str(n_docs))
+    path = ensure_pdf_corpus(sf)
     # warmup (worker spin-up excluded, same policy as run_flagship)
     read_pdf_documents(path).limit(64).count()
     t0 = time.perf_counter()
@@ -387,6 +399,8 @@ def main() -> None:
         ray.shutdown()
         return
 
+    if not args.flagship_only:
+        ensure_pdf_corpus(sf)  # pre-Ray: the parallel writer forks
     _init_ray(args.num_cpus)
     import ray
 
