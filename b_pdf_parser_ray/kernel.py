@@ -247,12 +247,44 @@ def _stripped_lines(text: str) -> List[str]:
     return [l.strip() for l in text.split("\n")]
 
 
+# Per-line class bitmask for the transaction state machine's EVERY-LINE
+# scans (anchor detection + description-break).  Only these two classes are
+# evaluated on every line, so only they are worth batch-vectorizing; the
+# rare per-field classifiers (user-id/amount, ≤2 per transaction) stay as
+# lazy re.match calls.  The extractor stage computes the mask over every
+# line of a batch in one Arrow RE2 pass per pattern; non-ASCII lines are
+# reclassified with this Python function because RE2's \d/\s are
+# ASCII-only while re's are Unicode-aware — so the mask is bit-identical
+# to per-line re.match everywhere.
+CLS_ANCHOR, CLS_NUMERIC = 1, 2
+
+
+def classify_line(line: str) -> int:
+    """Ground-truth (Python ``re``) line classification; first-char
+    prechecks only skip regexes that cannot match (both patterns require
+    a leading ``\\d`` / ``[\\d,.]``, subsets of the precheck classes)."""
+    if not line:
+        return 0
+    c0 = line[0]
+    c = 0
+    digit = c0.isdigit()
+    if digit and RX_TXN_DATE_ANCHOR.match(line):
+        c |= CLS_ANCHOR
+    if (digit or c0 in ",.") and RX_NUMERIC_LINE.match(line):
+        c |= CLS_NUMERIC
+    return c
+
+
 def extract_transactions(
-    text: str = "", lines: Optional[List[str]] = None
+    text: str = "",
+    lines: Optional[List[str]] = None,
+    cls=None,
 ) -> List[Dict[str, str]]:
     """Line-oriented transaction state machine (utils.py:237-360).
     ``lines``, when given, must be the pre-stripped line list
-    (``_stripped_lines``); ``text`` is then ignored.
+    (``_stripped_lines``); ``text`` is then ignored.  ``cls``, when given,
+    must be the per-line ``classify_line`` bitmask aligned to ``lines``
+    (the extractor stage precomputes it batch-vectorized).
 
     Behavioral contract (fidelity cases, see FIXTURES.md §2.3):
       * a row is anchored by ``DD/MM/YY HH:MM:SS`` at line start; the whole
@@ -270,6 +302,10 @@ def extract_transactions(
     """
     slines = _stripped_lines(text) if lines is None else lines
     n = len(slines)
+    if cls is None:
+        cls = [classify_line(s) for s in slines]
+    elif not isinstance(cls, list):
+        cls = cls.tolist()  # numpy slice → list (scalar indexing is faster)
     rows: List[Dict[str, str]] = []
     i = 0
 
@@ -279,24 +315,20 @@ def extract_transactions(
         return j
 
     while i < n:
-        line = slines[i]
-        # anchor lines always start with a digit — skip the regex otherwise
-        if not line or not line[0].isdigit() or not RX_TXN_DATE_ANCHOR.match(line):
+        if not (cls[i] & CLS_ANCHOR):
             i += 1
             continue
-        if not RX_DATE_PREFIX.match(line):
+        if not RX_DATE_PREFIX.match(slines[i]):  # anchor lines only (rare)
             i += 1
             continue
-        date = line
+        date = slines[i]
 
         i += 1
         desc_parts: List[str] = []
         while i < n:
+            if cls[i] & (CLS_ANCHOR | CLS_NUMERIC):
+                break
             nxt = slines[i]
-            # both break-patterns require a leading digit/','/'.' char
-            if nxt and (nxt[0].isdigit() or nxt[0] in ",."):
-                if RX_TXN_DATE_ANCHOR.match(nxt) or RX_NUMERIC_LINE.match(nxt):
-                    break
             if nxt:
                 desc_parts.append(nxt)
             i += 1
@@ -668,6 +700,7 @@ def parse_document(
     strategy: str = "column",
     verify: bool = True,
     lines: Optional[List[str]] = None,
+    line_cls=None,
 ) -> Dict[str, object]:
     """Parse one document's rendered text layer end-to-end.
 
@@ -690,7 +723,12 @@ def parse_document(
 
     slines = _stripped_lines(text) if lines is None else lines
     txn_fn = TRANSACTION_STRATEGIES.get(strategy, extract_transactions)
-    transactions = txn_fn(lines=slines)
+    if txn_fn is extract_transactions:
+        # the batch-vectorized line classes apply to the column state
+        # machine only (inline/table use their own patterns)
+        transactions = txn_fn(lines=slines, cls=line_cls if lines is not None else None)
+    else:
+        transactions = txn_fn(lines=slines)
 
     summary = extract_summary_totals(text, lines=slines)
     for key in SUMMARY_KEYS:

@@ -39,6 +39,40 @@ _EMPTY_METADATA = dict.fromkeys(
     (f.name for f in METADATA_TYPE), ""
 )
 
+# RE2 twins of the kernel's line classifiers (kernel.py RX_*), applied to
+# EVERY stripped line of a batch in one Arrow pass per pattern.  RE2's \d
+# and \s are ASCII-only while Python re's are Unicode-aware, so non-ASCII
+# lines are reclassified with kernel.classify_line (the ground truth) —
+# the mask is therefore bit-identical to per-line re.match.
+_CLS_RE2 = (
+    ("CLS_ANCHOR", r"^\d{2}/\d{2}/\d{2}\s+\d{2}:\d{2}:\d{2}"),
+    ("CLS_NUMERIC", r"^[\d,.]+\s*$"),
+)
+
+
+def _classify_lines(stripped: "pa.Array") -> np.ndarray:
+    """Vectorized ``kernel.classify_line`` over a flat line array."""
+    import pyarrow.compute as pc
+
+    n = len(stripped)
+    cls = np.zeros(n, dtype=np.uint8)
+    if n == 0:
+        return cls
+    if stripped.null_count:
+        stripped = pc.fill_null(stripped, "")
+    for name, pat in _CLS_RE2:
+        hit = pc.match_substring_regex(stripped, pat).to_numpy(
+            zero_copy_only=False
+        )
+        cls |= np.where(hit, np.uint8(getattr(kernel, name)), np.uint8(0))
+    ascii_ok = pc.string_is_ascii(stripped).to_numpy(zero_copy_only=False)
+    if not ascii_ok.all():
+        idx = np.flatnonzero(~ascii_ok)
+        vals = stripped.take(pa.array(idx)).to_pylist()
+        for j, s in zip(idx, vals):
+            cls[j] = kernel.classify_line(s)
+    return cls
+
 
 def _verification_struct(v: Optional[Dict[str, object]]) -> Optional[Dict[str, object]]:
     if v is None:
@@ -115,11 +149,16 @@ class Extractor:
             pa.array(text_counts_prefix, type=pa.int32()), kept_text
         )
         full_texts = pc.binary_join(raw_rows, "\n").to_pylist()
+        stripped_flat = pc.utf8_trim_whitespace(kept_text)
         stripped_rows = pa.ListArray.from_arrays(
-            pa.array(text_counts_prefix, type=pa.int32()),
-            pc.utf8_trim_whitespace(kept_text),
+            pa.array(text_counts_prefix, type=pa.int32()), stripped_flat
         )
         stripped_texts = pc.binary_join(stripped_rows, "\n").to_pylist()
+        # per-line class bitmask for the WHOLE batch in 2 Arrow passes —
+        # replaces the per-line Python re.match calls of the kernel state
+        # machine's every-line scans (anchor + description-break); one
+        # tolist so the per-row handoff is a cheap list slice
+        line_cls_flat = _classify_lines(stripped_flat).tolist()
 
         texts: Optional[List] = None  # per-span list, built only if needed
 
@@ -163,13 +202,23 @@ class Extractor:
             n_spans_out.append(hi - lo)
             try:
                 n_chars_out.append(len(text))
+                use_lines = texts_are_lines or not text
                 res = kernel.parse_document(
                     doc_ids[i],
                     text,
                     strategy=strategies[i],
                     verify=self.verify,
                     # span texts ARE the lines — skip the kernel's re-split
-                    lines=row_lines if (texts_are_lines or not text) else None,
+                    lines=row_lines if use_lines else None,
+                    # the flat mask aligns with row_lines only on the sorted
+                    # path with a non-empty text (row_lines == flat slice)
+                    line_cls=(
+                        line_cls_flat[
+                            text_counts_prefix[i]:text_counts_prefix[i + 1]
+                        ]
+                        if (row_sorted and use_lines and text)
+                        else None
+                    ),
                 )
                 md = dict(_EMPTY_METADATA)
                 md.update(res["metadata"])

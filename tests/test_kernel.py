@@ -307,3 +307,38 @@ def test_date_anchor_always_anchors(date):
 def test_number_fuzz_parity(reference, s):
     assert kernel.parse_indonesian_number(s) == reference.utils.parse_indonesian_number(s)
     assert kernel.format_number_for_csv(s) == reference.utils._format_number_for_csv(s)
+
+
+def test_vectorized_line_classes_match_python():
+    """The extractor's Arrow-RE2 line-class mask must equal
+    ``kernel.classify_line`` per line — including the unicode corners
+    where RE2 (\\d/\\s ASCII-only) and Python re (unicode-aware) differ,
+    which the ASCII-gated fallback reclassifies."""
+    import numpy as np
+    import pyarrow as pa
+
+    from b_pdf_parser_ray.stages.extract import _classify_lines
+
+    lines = [
+        "", "12/04/25 10:11:12", "12/04/25  rest", "12/04/25",
+        "1,234.56", "12345678", "1234567", ",,..", "123,456.78",
+        "abc", "12/04/2510:11:12", "12.04.25 10:11:12",
+        "١٢/٠٤/٢٥ ١٠:١١:١٢",      # arabic-indic digits: re \d matches, RE2 \d doesn't
+        "12/04/25 10:11:12",  # NBSP: re \s matches, RE2 \s doesn't
+        "1,2,3.", "42", "0" * 200,
+    ]
+    got = _classify_lines(pa.array(lines, type=pa.string()))
+    want = np.array([kernel.classify_line(s) for s in lines], dtype=np.uint8)
+    assert got.tolist() == want.tolist()
+
+    @given(st.lists(st.text(max_size=24), max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def fuzz(ls):
+        ls = [s.strip() for s in ls]
+        # the extractor feeds newline-free stripped lines
+        ls = [s.replace("\n", " ").replace("\r", " ") for s in ls]
+        g = _classify_lines(pa.array(ls, type=pa.string()))
+        w = [kernel.classify_line(s) for s in ls]
+        assert g.tolist() == w
+
+    fuzz()
