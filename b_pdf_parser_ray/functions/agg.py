@@ -10,6 +10,24 @@ doesn't.
 
 Supported specs: sum / count / min / max, plus mean = sum ÷ count computed
 in the tiny final stage.
+
+Two physical plans, chosen by the caller-declared key-cardinality bound:
+
+* default (``max_groups=None`` or > SMALL_GROUPS_CAP): Ray's sort-exchange
+  ``groupby().aggregate()`` over the partial rows — scales to any key
+  cardinality, but pays the exchange's fixed per-partition floor (~1.5 s
+  at test sizes regardless of input).
+* **small-keys plan** (``max_groups ≤ SMALL_GROUPS_CAP``): a coalescing
+  re-reduce ``map_batches`` (65 536 partial rows/task, output ≤ |keys|
+  rows/task) followed by ``repartition(1)`` + one final combine task —
+  no sort exchange at all.  Measured 4.5× faster (0.44 s vs 1.97 s,
+  sf0.1 lineitem, 3-key group).  Scale bound: the final task receives
+  ≤ ceil(|partials|/65 536) × max_groups rows; at the 65 536 cap and a
+  10⁶-block corpus that is worker-heap-sized, and for the typical
+  dimension keys (flags, priorities, nations, hours) it is trivially
+  tiny.  The bound is the CALLER'S promise — pass it only when the key
+  domain is provably bounded (enum columns, calendar buckets), never for
+  data-dependent keys (orderkey, partkey, terms).
 """
 
 from __future__ import annotations
@@ -23,9 +41,22 @@ Spec = Tuple[Optional[str], str, str]
 
 _PARTIAL_OPS = {"sum": "sum", "count": "size", "min": "min", "max": "max"}
 
+# max key cardinality for the no-exchange plan; callers promise ≤ this
+SMALL_GROUPS_CAP = 65_536
+_COMBINE_BATCH = 65_536
 
-def grouped_agg(ds, keys: Sequence[str], specs: Sequence[Spec]):
+
+def grouped_agg(
+    ds,
+    keys: Sequence[str],
+    specs: Sequence[Spec],
+    max_groups: Optional[int] = None,
+):
     """Distributed grouped aggregation with map-side partials.
+
+    ``max_groups``: caller-declared upper bound on the number of distinct
+    key tuples — when ≤ ``SMALL_GROUPS_CAP`` the exchange is replaced by a
+    coalescing re-reduce + single final combine task (see module doc).
 
     Returns a Dataset with columns ``list(keys) + [alias for each spec]``.
     """
@@ -62,18 +93,43 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[Spec]):
         new_names = keys + [alias for _, _, alias in partial_specs]
         return out.rename_columns(new_names)
 
-    from ray.data.aggregate import Max, Min, Sum
+    if max_groups is not None and max_groups <= SMALL_GROUPS_CAP:
+        # no-exchange plan: combine ops on the PARTIAL columns (sum of
+        # sums, sum of counts, min of mins, max of maxes)
+        combine_pa = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
-    combine = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
-    aggs = []
-    for col, op, alias in partial_specs:
-        aggs.append(combine[op](alias, alias_name=alias))
+        def combine_batch(batch):
+            out = batch.group_by(keys, use_threads=False).aggregate(
+                [(alias, combine_pa[op]) for _, op, alias in partial_specs]
+            )
+            assert out.column_names[: len(keys)] == keys
+            return out.rename_columns(
+                keys + [alias for _, _, alias in partial_specs]
+            )
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(*aggs)
-    )
+        merged = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(
+                combine_batch, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+            )
+            .repartition(1)
+            # batch_size=None: the whole single block as ONE batch — a
+            # default-sized batch split would emit duplicate key rows
+            .map_batches(combine_batch, batch_format="pyarrow", batch_size=None)
+        )
+    else:
+        from ray.data.aggregate import Max, Min, Sum
+
+        combine = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
+        aggs = []
+        for col, op, alias in partial_specs:
+            aggs.append(combine[op](alias, alias_name=alias))
+
+        merged = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(keys)
+            .aggregate(*aggs)
+        )
 
     has_mean = any(kind == "mean" for _, kind in finals)
     if not has_mean:

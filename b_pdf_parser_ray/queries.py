@@ -74,6 +74,7 @@ def q1_pricing_summary(sf_dir: str):
             ("l_quantity", "mean", "avg_qty"),
             (None, "count", "count_order"),
         ],
+        max_groups=64,  # enum domains: |flags| x |statuses|
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -260,6 +261,7 @@ def q5_nation_revenue(sf_dir: str, num_partitions: int = 8):
         with_nation.map_batches(to_nation, batch_format="pyarrow"),
         ["n_name"],
         [("revenue", "sum", "revenue")],
+        max_groups=64,  # nation dimension
     )
 
     def round_rev(b: pd.DataFrame) -> pd.DataFrame:
@@ -367,6 +369,7 @@ def q4_order_priority(sf_dir: str, num_partitions: int = 8):
         kept.select_columns(["o_orderpriority"]),
         ["o_orderpriority"],
         [(None, "count", "order_count")],
+        max_groups=64,  # priority enum
     ).sort("o_orderpriority")
 
 
@@ -412,6 +415,7 @@ def parts_price_band_join(sf_dir: str):
         ds.map_batches(band, batch_format="pyarrow"),
         ["band"],
         [(None, "count", "n_parts"), ("p_retailprice", "mean", "avg_price")],
+        max_groups=64,  # fixed band list
     )
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
@@ -581,7 +585,10 @@ FROM documents JOIN embeddings ON doc_id = vec_id
 
 def orders_priority_counts(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
-    return grouped_agg(ds, ["o_orderpriority"], [(None, "count", "n_orders")])
+    return grouped_agg(
+        ds, ["o_orderpriority"], [(None, "count", "n_orders")],
+        max_groups=64,  # priority enum
+    )
 
 
 ORDERS_PRIORITY_SQL = """
@@ -614,6 +621,7 @@ def customer_nation_rollup(sf_dir: str):
         cust.map_batches(add_nation, batch_format="pyarrow"),
         ["n_name"],
         [(None, "count", "n_customers"), ("c_acctbal", "sum", "total_acctbal")],
+        max_groups=64,  # nation dimension
     )
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
@@ -675,6 +683,7 @@ def events_hourly(sf_dir: str):
         ds.map_batches(add_hour, batch_format="pyarrow"),
         ["event_type", "hour"],
         [(None, "count", "n_events"), ("value", "sum", "sum_value")],
+        max_groups=50_000,  # calendar-bounded: |types| x hourly buckets (~9k/type/yr)
     )
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
@@ -702,6 +711,7 @@ def events_type_stats(sf_dir: str):
             ("value", "min", "min_value"),
             ("value", "max", "max_value"),
         ],
+        max_groups=64,  # type enum
     )
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
@@ -800,6 +810,7 @@ def events_hourly_moving_avg(sf_dir: str):
         ds.map_batches(add_hour, batch_format="pyarrow"),
         ["event_type", "hour"],
         [("value", "sum", "sum_value")],
+        max_groups=50_000,  # calendar-bounded hourly buckets
     )
 
     def window(g: pd.DataFrame) -> pd.DataFrame:
@@ -1858,6 +1869,7 @@ def extract_rollup_by_strategy(sf_dir: str):
             ("valid", "sum", "n_valid"),
             ("n_txns", "sum", "total_txns"),
         ],
+        max_groups=64,  # strategy enum
     )
     return out.sort("strategy")
 
@@ -1940,6 +1952,7 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
             ("valid", "sum", "n_valid"),
             ("n_txns", "sum", "total_txns"),
         ],
+        max_groups=64,  # strategy enum
     )
     return out.sort("strategy")
 
@@ -2317,6 +2330,7 @@ def extract_multi_source(sf_dir: str):
             ("valid", "sum", "n_valid"),
             ("n_txns", "sum", "total_txns"),
         ],
+        max_groups=64,  # source-format enum
     ).sort("source_format")
 
 
@@ -3615,6 +3629,7 @@ def customer_rollup_hierarchy(sf_dir: str):
         cust.map_batches(add_nation, batch_format="pyarrow"),
         ["c_mktsegment", "n_name"],
         [(None, "count", "n_cust"), ("c_acctbal", "sum", "bal")],
+        max_groups=512,  # |segments| x |nations|
     ).to_pandas()  # |segments| × |nations| rows — bounded by dimension sizes
 
     seg = finest.groupby("c_mktsegment", as_index=False).agg(
@@ -3839,6 +3854,7 @@ def orders_monthly_trend(sf_dir: str):
             ds.map_batches(add_month, batch_format="pyarrow"),
             ["month"],
             [("o_totalprice", "sum", "revenue")],
+            max_groups=4096,  # calendar months
         )
         .to_pandas()  # |months| rows
         .sort_values("month", ignore_index=True)
@@ -4060,6 +4076,7 @@ def events_type_share(sf_dir: str, num_partitions: int = 8):
             (None, "count", "n_users"),
             ("type_total", "max", "type_total"),
         ],
+        max_groups=64,  # type enum
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -4193,6 +4210,7 @@ def q7_nation_pair_volume(sf_dir: str, num_partitions: int = 8):
         joined.map_batches(to_pair, batch_format="pyarrow"),
         ["supp_nation", "cust_nation", "l_year"],
         [("rev_e4", "sum", "rev_e4")],
+        max_groups=8192,  # |nations|^2 x years
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -4821,6 +4839,7 @@ def events_cohort_retention(sf_dir: str, num_partitions: int = 8):
         joined.map_batches(offset, batch_format="pyarrow"),
         ["cohort_idx", "week_offset"],
         [(None, "count", "n_users")],
+        max_groups=4096,  # calendar weeks^2
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -5677,6 +5696,7 @@ def q8_market_share(
         with_cust.map_batches(share_partial, batch_format="pyarrow"),
         ["o_year"],
         [("nat_e4", "sum", "nat_e4"), ("tot_e4", "sum", "tot_e4")],
+        max_groups=64,  # calendar years
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -5953,6 +5973,7 @@ def q22_lapsed_high_balance(
         lapsed.map_batches(nation_partial, batch_format="pyarrow"),
         ["c_nationkey"],
         [("numcust", "sum", "numcust"), ("cents", "sum", "cents")],
+        max_groups=64,  # nation dimension
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -6067,6 +6088,7 @@ def q9_product_profit(sf_dir: str, name_token: str = "red", num_partitions: int 
         with_ord.map_batches(nation_year_partial, batch_format="pyarrow"),
         ["nation", "o_year"],
         [("rev_e4", "sum", "rev_e4")],
+        max_groups=512,  # |nations| x years
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -6252,6 +6274,7 @@ def q16_supplier_variety(sf_dir: str, max_size: int = 15, num_partitions: int = 
         triples.map_batches(count_partial, batch_format="pyarrow"),
         ["p_brand", "p_size"],
         [("supplier_cnt", "sum", "supplier_cnt")],
+        max_groups=8192,  # |brands| x |sizes|
     )
     return out
 
@@ -6428,6 +6451,7 @@ def q12_priority_class_lines(sf_dir: str, year: int = 1996, num_partitions: int 
             ("high_line_count", "sum", "high_line_count"),
             ("low_line_count", "sum", "low_line_count"),
         ],
+        max_groups=64,  # flag enum
     )
 
 
@@ -7241,6 +7265,7 @@ def lang_confusion_matrix(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"),
         ["lang", "lang_pred"],
         [("n_docs", "sum", "n_docs")],
+        max_groups=512,  # |langs|^2
     )
 
 
@@ -7954,6 +7979,7 @@ def events_hourly_anomalies(sf_dir: str):
         ds.map_batches(add_hour, batch_format="pyarrow"),
         ["event_type", "hour"],
         [(None, "count", "n_events")],
+        max_groups=50_000,  # calendar-bounded hourly buckets
     )
 
     def zscore(df: pd.DataFrame) -> pd.DataFrame:
@@ -8865,6 +8891,7 @@ def doc_dsir_weights(sf_dir: str, target_lang: str = "en"):
         ds.map_batches(count_partial, batch_format="pyarrow"),
         ["b"],
         [("raw", "sum", "raw"), ("tgt", "sum", "tgt")],
+        max_groups=m,  # fixed DSIR bucket count (gated inside grouped_agg)
     ).to_pandas()
     cr = np.zeros(m, dtype=np.float64)
     ct = np.zeros(m, dtype=np.float64)

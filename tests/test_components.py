@@ -321,3 +321,41 @@ def test_bpe_apply_matches_python_encode(ray_session):
     raw = {d: sum(len(_symbolize(w)) for w in t.split(" "))
            for d, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())}
     assert any(want[d][1] < raw[d] for d in want)
+
+
+def test_grouped_agg_small_keys_plan_matches_exchange(ray_session):
+    """The no-exchange small-keys plan (coalescing re-reduce +
+    repartition(1) single-task combine) must produce exactly the exchange
+    plan's result — sum/count/min/max/mean, multi-key, and an input sized
+    to span many blocks so the final combine really merges partials."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from b_pdf_parser_ray.functions.agg import grouped_agg
+
+    rng = np.random.default_rng(7)
+    n = 50_000
+    t = pa.table({
+        "k1": rng.integers(0, 5, n),
+        "k2": rng.integers(0, 3, n),
+        "v": rng.normal(size=n),
+    })
+    ds = ray.data.from_arrow(t).repartition(37)
+    specs = [
+        ("v", "sum", "s"), (None, "count", "c"),
+        ("v", "min", "lo"), ("v", "max", "hi"), ("v", "mean", "mu"),
+    ]
+
+    def norm(df):
+        return df.sort_values(["k1", "k2"], ignore_index=True)
+
+    a = norm(grouped_agg(ds, ["k1", "k2"], specs).to_pandas())
+    b = norm(grouped_agg(ds, ["k1", "k2"], specs, max_groups=64).to_pandas())
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+    # empty input: both plans yield zero rows without crashing
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    assert len(grouped_agg(empty, ["k1"], [("v", "sum", "s")],
+                           max_groups=64).to_pandas()) == 0
