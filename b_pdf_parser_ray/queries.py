@@ -1121,6 +1121,7 @@ def lang_counts(sf_dir: str):
         read_table(sf_dir, "documents", columns=["lang"]),
         ["lang"],
         [(None, "count", "n_docs")],
+        max_groups=512,  # language enum
     )
 
 
@@ -1133,6 +1134,7 @@ def top_sources_by_chars(sf_dir: str):
             read_table(sf_dir, "documents", columns=["source", "n_chars"]),
             ["source"],
             [("n_chars", "sum", "total_chars"), (None, "count", "n_docs")],
+            max_groups=512,  # source enum
         )
         .sort(["total_chars", "source"], descending=[True, False])
         .limit(5)
@@ -4031,6 +4033,7 @@ def events_type_share(sf_dir: str, num_partitions: int = 8):
         read_table(sf_dir, "events", columns=["event_type"]),
         ["event_type"],
         [(None, "count", "type_total")],
+        max_groups=64,  # type enum
     ).materialize()
     # hot keys for free from the count table itself: at most
     # 2·num_partitions keys can each exceed total/(2·num_partitions), so
@@ -7048,6 +7051,7 @@ def nation_party_mix(sf_dir: str):
         supp.union(cust),
         ["nationkey"],
         [("n_parties", "sum", "n_parties"), ("cents", "sum", "cents")],
+        max_groups=64,  # nation dimension
     )
 
     nation_t = read_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
@@ -7408,6 +7412,7 @@ def cross_source_leakage(sf_dir: str, num_partitions: int = None):
         pairs.groupby("part").map_groups(hist_in_partition, batch_format="pandas"),
         ["n_sources"],
         [("n_texts", "sum", "n_texts")],
+        max_groups=512,  # bounded by the source enum size
     )
 
 
