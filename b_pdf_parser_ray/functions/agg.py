@@ -51,12 +51,21 @@ def grouped_agg(
     keys: Sequence[str],
     specs: Sequence[Spec],
     max_groups: Optional[int] = None,
+    coalesce: bool = True,
 ):
     """Distributed grouped aggregation with map-side partials.
 
     ``max_groups``: caller-declared upper bound on the number of distinct
     key tuples — when ≤ ``SMALL_GROUPS_CAP`` the exchange is replaced by a
     coalescing re-reduce + single final combine task (see module doc).
+
+    ``coalesce=False`` (small plan only) drops the 65 536-row re-reduce
+    stage: Ray fuses map chains to the LARGEST member batch size, so a
+    pipeline whose upstream stages need a small explicit batch to fan out
+    (the PDF byte source's 16-files-per-task granularity) would coalesce
+    into a handful of giant tasks.  Callers downstream of such stages
+    trade the extra reduction (final task sees |blocks| × |keys| rows —
+    fine for enum keys) for keeping the upstream fan-out.
 
     Returns a Dataset with columns ``list(keys) + [alias for each spec]``.
     """
@@ -107,12 +116,13 @@ def grouped_agg(
                 keys + [alias for _, _, alias in partial_specs]
             )
 
-        merged = (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .map_batches(
+        merged = ds.map_batches(partial, batch_format="pyarrow")
+        if coalesce:
+            merged = merged.map_batches(
                 combine_batch, batch_format="pyarrow", batch_size=_COMBINE_BATCH
             )
-            .repartition(1)
+        merged = (
+            merged.repartition(1)
             # batch_size=None: the whole single block as ONE batch — a
             # default-sized batch split would emit duplicate key rows
             .map_batches(combine_batch, batch_format="pyarrow", batch_size=None)

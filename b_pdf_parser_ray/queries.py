@@ -1872,6 +1872,7 @@ def extract_rollup_by_strategy(sf_dir: str):
             ("n_txns", "sum", "total_txns"),
         ],
         max_groups=64,  # strategy enum
+        coalesce=False,  # upstream PDF/extract stages need their small batch fan-out
     )
     return out.sort("strategy")
 
@@ -1955,6 +1956,7 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
             ("n_txns", "sum", "total_txns"),
         ],
         max_groups=64,  # strategy enum
+        coalesce=False,  # upstream PDF/extract stages need their small batch fan-out
     )
     return out.sort("strategy")
 
@@ -2333,6 +2335,7 @@ def extract_multi_source(sf_dir: str):
             ("n_txns", "sum", "total_txns"),
         ],
         max_groups=64,  # source-format enum
+        coalesce=False,  # upstream union carries a 16-files-per-task PDF slice
     ).sort("source_format")
 
 
