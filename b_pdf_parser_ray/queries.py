@@ -5244,21 +5244,15 @@ def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
 
     uni = grouped_agg(
         ds.map_batches(term_partial, batch_format="pyarrow"), ["w"], [("c", "sum", "c")]
-    )
+    ).materialize()  # consumed twice (top-k sort AND the total fold) — one pass
     vocab_tbl = pa.Table.from_pandas(
         uni.sort(["c", "w"], descending=[True, False]).limit(vocab_k).to_pandas(),
         preserve_index=False,
     )
-    total_tokens = int(
-        ds.map_batches(
-            lambda b: pa.Table.from_pydict(
-                {"n": [int(pc.sum(
-                    pc.list_value_length(pc.split_pattern(b.column("text"), " "))
-                ).as_py() or 0)]}
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()["n"].sum()
-    )
+    # Σ unigram counts IS the corpus token total — the former dedicated
+    # split-and-count pass re-scanned every document for a number the
+    # term-grain aggregate already holds (one fewer full-corpus pass)
+    total_tokens = int(uni.sum("c") or 0)
     vocab_words = vocab_tbl.column("w").to_pylist()
     vocab_count_list = [int(x) for x in vocab_tbl.column("c").to_pylist()]
     unk_count = total_tokens - sum(vocab_count_list)
