@@ -33,6 +33,33 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SEED = 42
 
 
+def _cpu_sample():
+    """(steal_jiffies, busy_jiffies) from /proc/stat — None off-Linux.
+
+    This VM shares its host: /proc/stat's steal field counts time the
+    hypervisor ran OTHER guests while this one had runnable work.  Steal
+    arrives in minute-scale bursts (measured 2026-08-19: identical code,
+    back-to-back runs, 1,525 → 10,400 docs/s; in-run steal 2-45% of busy
+    time), so every bench JSON self-reports the steal fraction measured
+    over ITS OWN timed window — the reader can tell a contended reading
+    from a regression without rerunning."""
+    try:
+        f = open("/proc/stat").readline().split()
+        vals = [int(x) for x in f[1:9]]
+        # busy = everything but idle(3) and iowait(4)
+        return vals[7], sum(vals) - vals[3] - vals[4]
+    except Exception:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    """Steal as % of non-idle host time across the sampled window."""
+    if before is None or after is None:
+        return None
+    ds, db = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / db, 1) if db > 0 else None
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -161,15 +188,22 @@ def _consume(result) -> int:
     return len(result.to_pandas())
 
 
-def run_queries(sf_dir: str) -> dict:
+def run_queries(sf_dir: str) -> tuple[dict, dict]:
+    """(timings, errors) — a query that raises is recorded and skipped so
+    one failure doesn't void the other 140 measurements (Ray-level faults
+    still kill the process; Python-level ones shouldn't)."""
     from b_pdf_parser_ray.queries import QUERIES
 
     timings = {}
+    errors = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
-        _consume(fn(sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-    return timings
+        try:
+            _consume(fn(sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — keep benching, report at end
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+    return timings, errors
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -229,6 +263,7 @@ def main() -> None:
         # level's measurements across the full run decorrelates them
         # (single-sweep efficiency ranged 0.79-0.97; interleaved is stable).
         results = {}
+        steal_log = {}
         sweeps = int(os.environ.get("GRAFT_SCALING_SWEEPS", "2"))
         for sweep in range(sweeps):
             for cpus in (4, 8, 16, 32):
@@ -245,6 +280,7 @@ def main() -> None:
                     sys.stderr.write(out.stderr[-4000:])
                     raise SystemExit(f"scaling child (num_cpus={cpus}) failed")
                 r = json.loads(out.stdout.strip().splitlines()[-1])
+                steal_log[f"{cpus}cpu_sweep{sweep}"] = r.get("host_steal_pct")
                 prev = results.get(cpus)
                 if prev is None or r["flagship"]["sec"] < prev["flagship"]["sec"]:
                     results[cpus] = r
@@ -268,6 +304,9 @@ def main() -> None:
             "docs_per_sec": {str(c): tput[c] for c in results},
             "scaling_efficiency_4_to_16": round(eff_4_16, 3),
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+            # per-child-run host steal %, keyed {cpus}cpu_sweep{n} — a level
+            # whose best run carried high steal explains a depressed pair
+            "host_steal_pct_per_run": steal_log,
         }))
         return
 
@@ -405,10 +444,11 @@ def main() -> None:
     import ray
 
     try:
+        t_before = _cpu_sample()
         flagship = run_flagship(
             n_docs, repeats=int(os.environ.get("GRAFT_BENCH_REPEATS", "1"))
         )
-        timings = {} if args.flagship_only else run_queries(args.sf_dir)
+        timings, q_errors = ({}, {}) if args.flagship_only else run_queries(args.sf_dir)
         timings["flagship_extract"] = flagship["sec"]
         pdf_bytes = None
         if not args.flagship_only:
@@ -424,6 +464,9 @@ def main() -> None:
             "num_cpus": args.num_cpus,
             "flagship": flagship,
             "pdf_bytes": pdf_bytes,
+            # host-contention context for this exact window (see _cpu_sample)
+            "host_steal_pct": _steal_pct(t_before, _cpu_sample()),
+            "query_errors": q_errors,
         }))
     finally:
         ray.shutdown()
