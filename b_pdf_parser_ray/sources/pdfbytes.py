@@ -354,6 +354,9 @@ def _decode_text(raw: bytes) -> str:
 
 
 def _unescape(inner: bytes) -> str:
+    if b"\\" not in inner:  # no escapes (the common case): C scan, no regex
+        return _decode_text(inner)
+
     def sub(m: "re.Match[bytes]") -> bytes:
         g = m.group(1)
         if g[:1] in b"01234567":
