@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .functions.agg import grouped_agg
+from .functions.agg import grouped_agg, range_partitioned_agg
 from .functions.numeric import sql_round
 from .functions.ann import topk_cosine
 from .functions.dedup import (
@@ -107,8 +107,11 @@ def q3_top_revenue_orders(sf_dir: str, num_partitions: int = 8):
     a broadcast ``is_in`` filter while the key side's SOURCE table (footer
     metadata, provable bound) is under the broadcast cap, and as a
     hash-partitioned ``left_semi Dataset.join`` above it — nothing
-    fact-table-derived ever reaches the driver at scale."""
-    from .functions.joins import semi_join
+    fact-table-derived ever reaches the driver at scale.  In the broadcast
+    regime the lineitem leg upgrades further: the semi filter + groupby
+    fold into the exchange-free range-partitioned aggregate (see
+    ``functions.agg.range_partitioned_agg``)."""
+    from .functions.joins import BROADCAST_MAX_SOURCE_ROWS, _collect_keys, semi_join
     from .sources.tables import table_rows
 
     cutoff = pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))
@@ -133,34 +136,70 @@ def q3_top_revenue_orders(sf_dir: str, num_partitions: int = 8):
         num_partitions=num_partitions,
     ).select_columns(["o_orderkey"])
 
-    li = read_table(
-        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    )
-
-    def revenue_partial(batch: pa.Table) -> pa.Table:
+    def revenue_cols(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        t = pa.Table.from_arrays(
+        return pa.Table.from_arrays(
             [batch.column("l_orderkey"), rev], names=["l_orderkey", "revenue"]
         )
-        out = t.group_by(["l_orderkey"], use_threads=False).aggregate([("revenue", "sum")])
-        return out.rename_columns(["l_orderkey", "revenue"])
 
-    from ray.data.aggregate import Sum
+    agg = None
+    if table_rows(sf_dir, "orders") <= BROADCAST_MAX_SOURCE_ROWS:
+        # broadcast regime (same gate as the semi join): the surviving
+        # orderkeys fit one array, so the lineitem semi + groupby can fold
+        # into the exchange-free range-partitioned aggregate — lineitem
+        # arrives ordered by orderkey, footer statistics prove it, and the
+        # is_in filter runs inside each range task
+        import os
 
-    agg = (
-        semi_join(
-            li.map_batches(revenue_partial, batch_format="pyarrow"),
-            order_keys, "l_orderkey", "o_orderkey",
-            right_source_rows=table_rows(sf_dir, "orders"),
-            num_partitions=num_partitions,
+        import ray
+
+        from .functions.broadcast import get_cached
+
+        keys_ref = ray.put(_collect_keys(order_keys, "o_orderkey"))
+
+        def pre(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t.column("l_orderkey"), value_set=get_cached(keys_ref))
+            return revenue_cols(t.filter(mask))
+
+        agg = range_partitioned_agg(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            ["l_orderkey"],
+            [("revenue", "sum", "revenue")],
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            pre=pre,
         )
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .rename_columns({"l_orderkey": "o_orderkey"})
-    )
+        if agg is not None:
+            agg = agg.rename_columns({"l_orderkey": "o_orderkey"})
+    if agg is None:
+        # exchange plan: per-batch revenue partials SEMI the surviving
+        # orderkeys (size-gated), one orderkey-grain exchange
+        from ray.data.aggregate import Sum
+
+        li = read_table(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+
+        def revenue_partial(batch: pa.Table) -> pa.Table:
+            t = revenue_cols(batch)
+            out = t.group_by(["l_orderkey"], use_threads=False).aggregate(
+                [("revenue", "sum")]
+            )
+            return out.rename_columns(["l_orderkey", "revenue"])
+
+        agg = (
+            semi_join(
+                li.map_batches(revenue_partial, batch_format="pyarrow"),
+                order_keys, "l_orderkey", "o_orderkey",
+                right_source_rows=table_rows(sf_dir, "orders"),
+                num_partitions=num_partitions,
+            )
+            .groupby("l_orderkey")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+            .rename_columns({"l_orderkey": "o_orderkey"})
+        )
 
     def round_rev(b: pd.DataFrame) -> pd.DataFrame:
         b["revenue"] = sql_round(b["revenue"], 2)
@@ -4318,18 +4357,31 @@ def q18_large_orders(sf_dir: str, min_qty: float = 300.0, num_partitions: int = 
     """Large-volume orders (TPC-H Q18 shape): orders whose total lineitem
     quantity exceeds ``min_qty``, with customer and order details.
 
-    Scale shape: per-batch (orderkey → Σqty) partials pre-reduce before
-    the one orderkey-grain exchange (high-cardinality uniform key — the
-    safe kind); the > cut happens on the aggregated rows, and only the
-    few surviving orders flow through the two size-gated lookup joins."""
+    Scale shape: the orderkey-grain Σqty prefers the exchange-FREE
+    range-partitioned plan (lineitem arrives ordered by orderkey — footer
+    min/max statistics prove no key spans two tasks, so each task's
+    aggregate is final; 4.4 s → 0.1 s at sf0.1); when the statistics
+    can't prove it, per-batch partials pre-reduce before the one
+    orderkey-grain exchange (high-cardinality uniform key — the safe
+    kind).  The > cut happens on the aggregated rows, and only the few
+    surviving orders flow through the two size-gated lookup joins."""
+    import os
+
     from .functions.joins import lookup_join
     from .sources.tables import table_rows
 
-    qty = grouped_agg(
-        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]),
+    qty = range_partitioned_agg(
+        os.path.join(sf_dir, "lineitem.parquet"),
         ["l_orderkey"],
         [("l_quantity", "sum", "total_qty")],
+        columns=["l_orderkey", "l_quantity"],
     )
+    if qty is None:
+        qty = grouped_agg(
+            read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]),
+            ["l_orderkey"],
+            [("l_quantity", "sum", "total_qty")],
+        )
 
     def big(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch.column("total_qty"), pa.scalar(min_qty)))
@@ -5787,8 +5839,20 @@ def q21_waiting_suppliers(
     coarse partition where the sibling conditions (≥2 suppliers, exactly
     one late, me) are evaluated vectorized; only per-supplier count
     partials leave, folded by a supplier-grain exchange and named through
-    a second lookup join.  P scales with the lineitem row count."""
-    from .functions.joins import lookup_join
+    a second lookup join.  P scales with the lineitem row count.
+
+    In the broadcast regime (orders under the join gate) the salted
+    exchange disappears entirely: lineitem reads as statistics-proven
+    orderkey-disjoint range tasks (``functions.agg.range_partitioned_apply``
+    — every sibling of an order is in one task by construction), the
+    F-order dates attach by broadcast ``index_in``, and the sibling test
+    runs in-task; only the per-supplier count partials leave the read."""
+    from .functions.agg import range_partitioned_apply
+    from .functions.joins import (
+        BROADCAST_MAX_SOURCE_ROWS,
+        _collect_arrow,
+        lookup_join,
+    )
     from .sources.tables import salted_partitions, table_rows
 
     if num_partitions is None:
@@ -5802,20 +5866,12 @@ def q21_waiting_suppliers(
         ),
         batch_format="pyarrow",
     )
-    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
-    with_date = lookup_join(
-        li, forders, "l_orderkey", "o_orderkey", ["o_orderdate"],
-        right_source_rows=table_rows(sf_dir, "orders"),
-        num_partitions=8,
-    )
     late_us = pa.scalar(late_days * 86_400_000_000, type=pa.duration("us"))
 
-    def flag_partial(batch: pa.Table) -> pa.Table:
+    def flag_table(batch: pa.Table, dates: pa.Array) -> pa.Table:
+        """(orderkey, suppkey, late) at (order, supplier) grain."""
         late = pc.cast(
-            pc.greater(
-                batch.column("l_shipdate"),
-                pc.add(batch.column("o_orderdate"), late_us),
-            ),
+            pc.greater(batch.column("l_shipdate"), pc.add(dates, late_us)),
             pa.int64(),
         )
         t = pa.Table.from_arrays(
@@ -5825,11 +5881,7 @@ def q21_waiting_suppliers(
         out = t.group_by(["l_orderkey", "l_suppkey"], use_threads=False).aggregate(
             [("late", "max")]
         )
-        out = out.rename_columns(["l_orderkey", "l_suppkey", "late"])
-        part = pc.cast(
-            pc.bit_wise_and(out.column("l_orderkey"), num_partitions - 1), pa.int32()
-        )
-        return out.append_column("part", part)
+        return out.rename_columns(["l_orderkey", "l_suppkey", "late"])
 
     def wait_partial(g: pd.DataFrame) -> pd.DataFrame:
         # exact per (order, supplier) late flag across blocks, then the
@@ -5847,14 +5899,62 @@ def q21_waiting_suppliers(
         out = hit.groupby("l_suppkey", sort=False).size().reset_index(name="cnt")
         return out
 
-    partials = (
-        with_date.map_batches(flag_partial, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: wait_partial(g.drop(columns=["part"])),
-            batch_format="pandas",
+    partials = None
+    if table_rows(sf_dir, "orders") <= BROADCAST_MAX_SOURCE_ROWS:
+        import os
+
+        import ray
+
+        from .functions.broadcast import get_cached
+
+        ford_ref = ray.put(_collect_arrow(forders).combine_chunks())
+
+        def sibling_task(t: pa.Table) -> pa.Table:
+            ford = get_cached(ford_ref)
+            idx = pc.index_in(
+                t.column("l_orderkey"), value_set=ford.column("o_orderkey")
+            )
+            t = t.filter(pc.is_valid(idx))  # non-'F' orders drop out (inner)
+            dates = pc.take(ford.column("o_orderdate"), pc.drop_null(idx))
+            out = wait_partial(flag_table(t, dates).to_pandas())
+            # pin the schema: an all-filtered task yields an object-dtyped
+            # empty frame that would break cross-task concat
+            return pa.Table.from_pandas(out, preserve_index=False).cast(
+                pa.schema([("l_suppkey", pa.int64()), ("cnt", pa.int64())])
+            )
+
+        partials = range_partitioned_apply(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            "l_orderkey",
+            sibling_task,
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
         )
-    )
+    if partials is None:
+        li = read_table(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+        )
+        with_date = lookup_join(
+            li, forders, "l_orderkey", "o_orderkey", ["o_orderdate"],
+            right_source_rows=table_rows(sf_dir, "orders"),
+            num_partitions=8,
+        )
+
+        def flag_partial(batch: pa.Table) -> pa.Table:
+            out = flag_table(batch, batch.column("o_orderdate"))
+            part = pc.cast(
+                pc.bit_wise_and(out.column("l_orderkey"), num_partitions - 1),
+                pa.int32(),
+            )
+            return out.append_column("part", part)
+
+        partials = (
+            with_date.map_batches(flag_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: wait_partial(g.drop(columns=["part"])),
+                batch_format="pandas",
+            )
+        )
     counts = grouped_agg(partials, ["l_suppkey"], [("cnt", "sum", "numwait")])
     named = lookup_join(
         counts,

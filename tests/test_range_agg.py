@@ -1,0 +1,194 @@
+"""Range-partitioned (exchange-free) aggregation — functions/agg.py.
+
+The plan's correctness rests on one claim: ``key_range_tasks`` never puts
+the same key value in two different tasks.  These tests pin the claim's
+edges (boundary-spanning keys, unsorted inputs, missing statistics), the
+plan-vs-exchange output equality, and the query-level fallback when the
+statistics can't prove the plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from b_pdf_parser_ray.functions.agg import (
+    grouped_agg,
+    key_range_tasks,
+    range_partitioned_agg,
+    range_partitioned_apply,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write(path, keys, vals, row_group_size=None, write_statistics=True):
+    t = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.float64())})
+    pq.write_table(
+        t, path, row_group_size=row_group_size or len(keys),
+        write_statistics=write_statistics,
+    )
+    return t
+
+
+def _expected(keys, vals):
+    return (
+        pd.DataFrame({"k": keys, "v": vals})
+        .groupby("k", sort=True)["v"].sum().reset_index(name="s")
+    )
+
+
+def test_matches_exchange_plan_on_testdata(ray_session):
+    p = os.path.join(SF_DIR, "lineitem.parquet")
+    spec = (["l_orderkey"], [("l_quantity", "sum", "total_qty")])
+    got = (
+        range_partitioned_agg(p, *spec, columns=["l_orderkey", "l_quantity"])
+        .to_pandas().sort_values("l_orderkey").reset_index(drop=True)
+    )
+    import ray.data
+
+    exch = (
+        grouped_agg(
+            ray.data.read_parquet(p, columns=["l_orderkey", "l_quantity"]), *spec
+        )
+        .to_pandas().sort_values("l_orderkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exch)
+
+
+def test_multi_row_group_sorted_splits_into_tasks(ray_session, tmp_path):
+    keys = np.repeat(np.arange(200), 5)  # sorted, 1000 rows
+    vals = np.arange(1000, dtype=np.float64)
+    p = str(tmp_path / "sorted.parquet")
+    _write(p, keys, vals, row_group_size=100)
+    tasks = key_range_tasks(p, "k")
+    assert tasks is not None and len(tasks) > 1
+    got = (
+        range_partitioned_agg(p, ["k"], [("v", "sum", "s")])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _expected(keys, vals))
+
+
+def test_boundary_spanning_key_stays_in_one_task(ray_session, tmp_path):
+    # key 9 spans row groups 0 and 1 (equal min/max boundary) — the groups
+    # must merge into one task or its sum would split
+    keys = np.array([0] * 5 + [9] * 10 + [20] * 5, dtype=np.int64)
+    vals = np.ones(20, dtype=np.float64)
+    p = str(tmp_path / "boundary.parquet")
+    _write(p, keys, vals, row_group_size=10)
+    tasks = key_range_tasks(p, "k")
+    assert tasks is not None
+    got = (
+        range_partitioned_agg(p, ["k"], [("v", "sum", "s")])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got.loc[got["k"] == 9, "s"].item() == 10.0
+    pd.testing.assert_frame_equal(got, _expected(keys, vals))
+
+
+def test_unsorted_small_collapses_to_one_correct_task(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 50, size=400)
+    vals = rng.random(400)
+    p = str(tmp_path / "shuffled.parquet")
+    _write(p, keys, vals, row_group_size=50)
+    tasks = key_range_tasks(p, "k")
+    assert tasks is not None and len(tasks) == 1  # overlap chains merge
+    got = (
+        range_partitioned_agg(p, ["k"], [("v", "sum", "s")])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _expected(keys, vals))
+
+
+def test_unsorted_past_row_cap_returns_none(tmp_path):
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 50, size=400)
+    p = str(tmp_path / "big_shuffled.parquet")
+    _write(p, keys, np.ones(400), row_group_size=50)
+    assert key_range_tasks(p, "k", max_task_rows=100) is None
+    assert (
+        range_partitioned_agg(
+            p, ["k"], [("v", "sum", "s")], max_task_rows=100
+        )
+        is None
+    )
+
+
+def test_missing_statistics_returns_none(tmp_path):
+    p = str(tmp_path / "nostats.parquet")
+    _write(p, np.arange(10), np.ones(10), write_statistics=False)
+    assert key_range_tasks(p, "k") is None
+
+
+def test_missing_key_column_returns_none():
+    p = os.path.join(SF_DIR, "lineitem.parquet")
+    assert key_range_tasks(p, "no_such_column") is None
+
+
+def test_directory_of_fragments(ray_session, tmp_path):
+    # production layout: one fragment per shard, ranges disjoint across files
+    d = tmp_path / "frags"
+    d.mkdir()
+    _write(str(d / "a.parquet"), np.arange(0, 100), np.ones(100))
+    _write(str(d / "b.parquet"), np.arange(100, 200), np.ones(100))
+    tasks = key_range_tasks(str(d), "k")
+    assert tasks is not None and len(tasks) == 2
+    got = range_partitioned_agg(str(d), ["k"], [("v", "sum", "s")]).to_pandas()
+    assert len(got) == 200 and (got["s"] == 1.0).all()
+
+
+def test_mean_spec(ray_session, tmp_path):
+    keys = np.repeat([1, 2], 4)
+    vals = np.array([1.0, 2, 3, 4, 10, 20, 30, 40])
+    p = str(tmp_path / "mean.parquet")
+    _write(p, keys, vals)
+    got = (
+        range_partitioned_agg(p, ["k"], [("v", "mean", "m")])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["m"].tolist() == [2.5, 25.0]
+    assert list(got.columns) == ["k", "m"]
+
+
+def test_apply_sees_every_row_of_each_key(ray_session, tmp_path):
+    # per-key row counts computed in-task must be globally exact — the
+    # sibling-test precondition q21's range plan relies on
+    keys = np.repeat(np.arange(50), 7)
+    p = str(tmp_path / "apply.parquet")
+    _write(p, keys, np.ones(350), row_group_size=70)
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = t.group_by(["k"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["k", "n"])
+
+    got = range_partitioned_apply(str(p), "k", fn).to_pandas()
+    assert sorted(got["k"].tolist()) == list(range(50))
+    assert (got["n"] == 7).all()
+
+
+@pytest.mark.parametrize("qname", ["q18", "q3", "q21"])
+def test_query_fallback_plan_equality(ray_session, monkeypatch, qname):
+    """Force the statistics gate shut: the exchange fallback must produce
+    the identical result the range plan does."""
+    from b_pdf_parser_ray import queries
+    from b_pdf_parser_ray.functions import agg as agg_mod
+
+    fn = {
+        "q18": queries.q18_large_orders,
+        "q3": queries.q3_top_revenue_orders,
+        "q21": queries.q21_waiting_suppliers,
+    }[qname]
+    fast = fn(SF_DIR).to_pandas()
+    monkeypatch.setattr(agg_mod, "key_range_tasks", lambda *a, **k: None)
+    slow = fn(SF_DIR).to_pandas()
+    cols = sorted(fast.columns)
+    fast = fast[cols].sort_values(cols).reset_index(drop=True)
+    slow = slow[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
