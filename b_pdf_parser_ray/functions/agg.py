@@ -26,8 +26,13 @@ Two physical plans, chosen by the caller-declared key-cardinality bound:
   10⁶-block corpus that is worker-heap-sized, and for the typical
   dimension keys (flags, priorities, nations, hours) it is trivially
   tiny.  The bound is the CALLER'S promise — pass it only when the key
-  domain is provably bounded (enum columns, calendar buckets), never for
-  data-dependent keys (orderkey, partkey, terms).
+  domain is provably bounded: enum columns, calendar buckets, or fact
+  keys whose domain is a DIMENSION table's key space (custkey, suppkey,
+  partkey — pass ``table_rows(sf_dir, dim)``; the footer-proven count
+  grows with the corpus and the ``> SMALL_GROUPS_CAP`` fallback restores
+  the exchange automatically).  Never for open-ended data-dependent keys
+  (orderkey, doc_id, user_id, terms, content hashes), whose cardinality
+  has no dimension to bound it.
 """
 
 from __future__ import annotations

@@ -2215,7 +2215,10 @@ def customer_yoy_outer(sf_dir: str):
     them, and COALESCE semantics fall out of 0-valued partials + count
     flags.  An engine that shuffles two fact tables into an outer join to
     answer this moves |orders| rows; this moves |active customers| ×
-    |blocks| partial rows."""
+    |blocks| partial rows — and the key domain is provably ≤ |customer|
+    (footer rows), so under the cap the exchange disappears entirely."""
+    from .sources.tables import table_rows
+
     ds = read_table(
         sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
@@ -2252,6 +2255,9 @@ def customer_yoy_outer(sf_dir: str):
             ("n95", "sum", "n95"),
             ("n96", "sum", "n96"),
         ],
+        # provable bound: custkey ⊆ customer's key domain (footer rows);
+        # grouped_agg falls back to the exchange past SMALL_GROUPS_CAP
+        max_groups=table_rows(sf_dir, "customer"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -3730,7 +3736,11 @@ def customer_order_distribution(sf_dir: str):
     n_customers = table_rows(sf_dir, "customer")
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
 
-    per_cust = grouped_agg(orders, ["o_custkey"], [(None, "count", "c_count")])
+    per_cust = grouped_agg(
+        orders, ["o_custkey"], [(None, "count", "c_count")],
+        # provable bound: o_custkey ⊆ customer's key domain (footer rows)
+        max_groups=n_customers,
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.Table.from_arrays([batch.column("c_count")], names=["c_count"])
@@ -5069,7 +5079,11 @@ def q10_returned_items(sf_dir: str, num_partitions: int = 8):
         num_partitions=num_partitions,
     )
 
-    per_cust = grouped_agg(joined, ["o_custkey"], [("rev_e4", "sum", "rev_e4")])
+    per_cust = grouped_agg(
+        joined, ["o_custkey"], [("rev_e4", "sum", "rev_e4")],
+        # provable bound: o_custkey ⊆ customer's key domain (footer rows)
+        max_groups=table_rows(sf_dir, "customer"),
+    )
     top = per_cust.sort(["rev_e4", "o_custkey"], descending=[True, False]).limit(20)
 
     cust = read_arrow(
@@ -5462,6 +5476,8 @@ def q15_top_supplier(sf_dir: str, num_partitions: int = 8):
     rev = grouped_agg(
         li.map_batches(prep, batch_format="pyarrow"),
         ["s_suppkey"], [("rev_e4", "sum", "rev_e4")],
+        # provable bound: l_suppkey ⊆ supplier's key domain (footer rows)
+        max_groups=table_rows(sf_dir, "supplier"),
     ).materialize()
     best = rev.max("rev_e4")
 
@@ -5559,6 +5575,8 @@ def q17_small_quantity_revenue(
         li_brand().map_batches(qty_partial, batch_format="pyarrow"),
         ["l_partkey"],
         [("q_sum_e2", "sum", "q_sum_e2"), ("q_cnt", "sum", "q_cnt")],
+        # provable bound: l_partkey ⊆ part's key domain (footer rows)
+        max_groups=table_rows(sf_dir, "part"),
     )
 
     joined = lookup_join(
@@ -5955,7 +5973,11 @@ def q21_waiting_suppliers(
                 batch_format="pandas",
             )
         )
-    counts = grouped_agg(partials, ["l_suppkey"], [("cnt", "sum", "numwait")])
+    counts = grouped_agg(
+        partials, ["l_suppkey"], [("cnt", "sum", "numwait")],
+        # provable bound: l_suppkey ⊆ supplier's key domain (footer rows)
+        max_groups=table_rows(sf_dir, "supplier"),
+    )
     named = lookup_join(
         counts,
         read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
@@ -6267,6 +6289,8 @@ def q2_min_cost_supplier(sf_dir: str, min_size: int = 25, num_partitions: int = 
     winners = grouped_agg(
         li.map_batches(argmin_partial, batch_format="pyarrow"),
         ["p_partkey"], [("comb", "min", "comb")],
+        # provable bound: l_partkey ⊆ part's key domain (footer rows)
+        max_groups=table_rows(sf_dir, "part"),
     )
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -6446,6 +6470,8 @@ def q11_important_parts(sf_dir: str, nation_like: str = "NATION_1%",
     vals = grouped_agg(
         li.map_batches(prep, batch_format="pyarrow"),
         ["l_partkey"], [("rev_e4", "sum", "value_e4")],
+        # provable bound: l_partkey ⊆ part's key domain (footer rows)
+        max_groups=table_rows(sf_dir, "part"),
     ).materialize()
 
     total = vals.sum("value_e4") or 0
@@ -6626,6 +6652,8 @@ def q20_potential_promotion(
     sums = grouped_agg(
         li.map_batches(qty_partial, batch_format="pyarrow"),
         ["s_suppkey"], [("q100", "sum", "q100")],
+        # provable bound: l_suppkey ⊆ supplier's key domain (footer rows)
+        max_groups=table_rows(sf_dir, "supplier"),
     )
     thr = int(round(min_qty * 100))
     heavy = sums.map_batches(
