@@ -4505,53 +4505,61 @@ WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 
 
 def purchase_error_user_overlap(sf_dir: str, num_partitions: int = 8):
-    """Set operations over derived row sets — INTERSECT / EXCEPT expressed
-    through the size-gated semi/anti planner: users who purchased vs users
-    who hit an error.  Each side pre-reduces to distinct (user) partials
-    per block before anything crosses an exchange; the semi/anti filters
-    are broadcast ``is_in`` under the cap and hash-partitioned joins above
-    it.  Output: one row of exact counts."""
-    from .functions.joins import anti_join, semi_join
-    from .sources.tables import table_rows
+    """Set operations over derived row sets — INTERSECT / EXCEPT collapsed
+    into ONE membership aggregation: users who purchased vs users who hit
+    an error.  Instead of materializing each distinct-user set and running
+    three semi/anti join pipelines (2 exchanges + 3 joins), each block
+    pre-reduces to per-user (bought, errored) max-flags, ONE user-grain
+    exchange merges them, and the three INTERSECT/EXCEPT counts fall out
+    of a per-block count partial + a driver fold over |blocks| rows —
+    nothing user-grain ever reaches the driver.  (The semi/anti planner
+    itself is exercised by ``customers_without_orders`` and the q-suite.)
+    Output: one row of exact counts."""
 
-    ev_rows = table_rows(sf_dir, "events")
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
 
-    def users_of(event_type: str):
-        ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        is_b = pc.equal(batch.column("event_type"), "purchase")
+        is_e = pc.equal(batch.column("event_type"), "error")
+        t = pa.Table.from_arrays(
+            [
+                batch.column("user_id"),
+                pc.cast(is_b, pa.int64()),
+                pc.cast(is_e, pa.int64()),
+            ],
+            names=["user_id", "b", "e"],
+        ).filter(pc.or_(is_b, is_e))
+        out = t.group_by(["user_id"], use_threads=False).aggregate(
+            [("b", "max"), ("e", "max")]
+        )
+        return out.rename_columns(["user_id", "b", "e"])
 
-        def distinct_users(batch: pa.Table) -> pa.Table:
-            keep = batch.filter(pc.equal(batch.column("event_type"), event_type))
-            return pa.Table.from_arrays(
-                [pc.unique(keep.column("user_id"))], names=["user_id"]
-            )
+    flags = grouped_agg(
+        ds.map_batches(flag_partial, batch_format="pyarrow"),
+        ["user_id"],
+        [("b", "max", "b"), ("e", "max", "e")],
+    )
 
-        # block-level distinct partials, then one (user)-grain exchange to
-        # global distinct — |users| rows, never |events|.  Materialized:
-        # each side is consumed by three joins below, and without it every
-        # consumption re-scans the events table (6 scans → 2)
-        return grouped_agg(
-            ds.map_batches(distinct_users, batch_format="pyarrow"),
-            ["user_id"],
-            [(None, "count", "__n")],
-        ).drop_columns(["__n"]).materialize()
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(bool)
+        e = batch.column("e").to_numpy(zero_copy_only=False).astype(bool)
+        return pa.Table.from_pydict(
+            {
+                "n_both": pa.array([int(np.sum(b & e))], type=pa.int64()),
+                "n_purchase_only": pa.array([int(np.sum(b & ~e))], type=pa.int64()),
+                "n_error_only": pa.array([int(np.sum(e & ~b))], type=pa.int64()),
+            }
+        )
 
-    buyers = users_of("purchase")
-    erroring = users_of("error")
-
-    n_both = semi_join(
-        buyers, erroring, "user_id", "user_id",
-        right_source_rows=ev_rows, num_partitions=num_partitions,
-    ).count()
-    n_buy_only = anti_join(
-        buyers, erroring, "user_id", "user_id",
-        right_source_rows=ev_rows, num_partitions=num_partitions,
-    ).count()
-    n_err_only = anti_join(
-        erroring, buyers, "user_id", "user_id",
-        right_source_rows=ev_rows, num_partitions=num_partitions,
-    ).count()
+    parts = flags.map_batches(count_partial, batch_format="pyarrow").to_pandas()
     return pd.DataFrame(
-        [{"n_both": n_both, "n_purchase_only": n_buy_only, "n_error_only": n_err_only}]
+        [
+            {
+                "n_both": int(parts["n_both"].sum()),
+                "n_purchase_only": int(parts["n_purchase_only"].sum()),
+                "n_error_only": int(parts["n_error_only"].sum()),
+            }
+        ]
     )
 
 
