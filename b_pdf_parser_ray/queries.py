@@ -3985,37 +3985,75 @@ FROM events GROUP BY day ORDER BY day
 """
 
 
+# dense-histogram cap: 2M bins = one 16 MB int64 vector per block partial
+_DENSE_HISTO_CAP = 2_000_000
+
+
 def orders_price_decile_counts(sf_dir: str):
     """Decile bucketing of a continuous column — the two-pass
-    broadcast-stats pattern: pass 1 builds a distributed value histogram of
-    ``floor(price)`` (domain-bounded: |distinct integer prices|, not
-    |orders|) and folds the 9 decile boundaries on the driver at exact
+    broadcast-stats pattern: pass 1 builds a value histogram of
+    ``floor(price)``, the driver folds the 9 decile boundaries at exact
     ``quantile_disc`` ranks; pass 2 re-streams orders, assigns each row
     ``#boundaries < value`` with one vectorized ``searchsorted`` against
     the broadcast boundary array, and pre-counts per block.  Nothing
     corpus-sized ever leaves the workers, and the input is read twice
-    rather than sorted once — the right trade at 100 TB."""
+    rather than sorted once — the right trade at 100 TB.
+
+    Pass 1 is statistics-proven exchange-FREE when the integer price
+    domain fits ``_DENSE_HISTO_CAP``: footer min/max bound ``floor(price)``
+    (``column_min_max`` — the domain is set by the VALUE range, not the
+    corpus, so the same plan holds at 100 TB), each block emits one dense
+    ``np.bincount`` vector, and ``summed_vector`` folds them with zero
+    exchange.  Zero-count bins cannot move a boundary: ``searchsorted``
+    (side='left') lands on the first bin whose cumulative count reaches
+    the rank, which is always a populated bin.  Missing statistics or an
+    oversized domain fall back to the distinct-value sort exchange.
+    Pass 2's 10-key rollup takes the ``grouped_agg`` no-exchange plan."""
     import math
+    import os
     from fractions import Fraction
 
-    from ray.data.aggregate import Sum
+    from .functions.agg import column_min_max, summed_vector
+    from .sources.tables import table_rows
 
-    def floors(batch: pa.Table) -> pa.Table:
-        v = pc.cast(pc.floor(batch.column("o_totalprice")), pa.int64())
-        t = pa.Table.from_arrays([v], names=["v"])
-        out = t.group_by(["v"], use_threads=False).aggregate([([], "count_all")])
-        return out.rename_columns(["v", "n"])
+    path = os.path.join(sf_dir, "orders.parquet")
+    mm = column_min_max(path, "o_totalprice")
+    src = read_table(sf_dir, "orders", columns=["o_totalprice"])
 
-    hist = (
-        read_table(sf_dir, "orders", columns=["o_totalprice"])
-        .map_batches(floors, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # |distinct integer prices| rows — domain-bounded
-        .sort_values("v", ignore_index=True)
-    )
-    cum = hist["n"].cumsum().to_numpy()
-    values = hist["v"].to_numpy()
+    def floor_i64(batch: pa.Table) -> np.ndarray:
+        return pc.cast(pc.floor(batch.column("o_totalprice")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+
+    if mm is not None and (int(math.floor(mm[1])) - int(math.floor(mm[0]))) < _DENSE_HISTO_CAP:
+        lo = int(math.floor(mm[0]))
+        width = int(math.floor(mm[1])) - lo + 1
+        dense = summed_vector(
+            src,
+            lambda b: np.bincount(floor_i64(b) - lo, minlength=width),
+            width,
+            source_rows=table_rows(sf_dir, "orders"),
+        )
+        values = np.arange(lo, lo + width, dtype=np.int64)
+        cum = dense.cumsum()
+    else:  # unprovable domain — distinct-value exchange plan
+        from ray.data.aggregate import Sum
+
+        def floors(batch: pa.Table) -> pa.Table:
+            t = pa.Table.from_arrays([pa.array(floor_i64(batch))], names=["v"])
+            out = t.group_by(["v"], use_threads=False).aggregate([([], "count_all")])
+            return out.rename_columns(["v", "n"])
+
+        hist = (
+            src.map_batches(floors, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()  # |distinct integer prices| rows — domain-bounded
+            .sort_values("v", ignore_index=True)
+        )
+        cum = hist["n"].cumsum().to_numpy()
+        values = hist["v"].to_numpy()
+
     total = int(cum[-1])
     boundaries = np.array(
         [
@@ -4028,23 +4066,22 @@ def orders_price_decile_counts(sf_dir: str):
     )
 
     def bucket(batch: pa.Table) -> pa.Table:
-        v = pc.cast(pc.floor(batch.column("o_totalprice")), pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        decile = np.searchsorted(boundaries, v, side="left")
+        decile = np.searchsorted(boundaries, floor_i64(batch), side="left")
         t = pa.Table.from_arrays(
             [pa.array(decile, type=pa.int64())], names=["decile"]
         )
         out = t.group_by(["decile"], use_threads=False).aggregate([([], "count_all")])
         return out.rename_columns(["decile", "n"])
 
-    return (
-        read_table(sf_dir, "orders", columns=["o_totalprice"])
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby("decile")
-        .aggregate(Sum("n", alias_name="n"))
-        .sort("decile")
+    out = grouped_agg(
+        read_table(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+            bucket, batch_format="pyarrow"
+        ),
+        ["decile"],
+        [("n", "sum", "n")],
+        max_groups=16,  # ≤10 deciles by construction
     )
+    return out.to_pandas().sort_values("decile", ignore_index=True)
 
 
 ORDERS_DECILE_SQL = """
@@ -4853,22 +4890,31 @@ SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
 """
 
 
-def events_cohort_retention(sf_dir: str, num_partitions: int = 8):
+def events_cohort_retention(sf_dir: str, num_partitions: int = None):
     """Cohort retention matrix — the classic product-analytics rollup:
     users bucketed by first-activity WEEK (epoch-day // 7; the synthetic
     corpus spans one month, so weeks give a real matrix), counted in each
     later week they were active.
 
-    Scale shape: one pass builds per-block distinct (user, week) partials
-    (Arrow C group-by), a user/week-grain exchange dedups them globally;
-    per-user cohorts come from a map-side min over those SAME partials
-    (no second scan of the corpus), and the activity→cohort attachment is
-    the size-gated ``lookup_join`` keyed on user.  Everything that crosses
-    an exchange is user-grain or smaller; the |cohorts|×|offsets| result
-    folds at the end."""
-    from .functions.joins import lookup_join
-    from .sources.tables import table_rows
+    Scale shape — ONE salted user-grain exchange instead of the textbook
+    three (distinct-pair dedup, per-user min, activity→cohort join): each
+    block emits its distinct (user, week) pairs (Arrow C group-by) salted
+    by ``hash(user) & (P-1)``, so every user's pairs land in exactly one
+    coarse partition; inside the partition one vectorized pandas pass
+    dedups globally, takes the per-user min week (the cohort), subtracts
+    it from each active week, and pre-counts (cohort, offset) — the only
+    thing that leaves the partition is its |weeks|²-bounded count partial,
+    folded by the ``grouped_agg`` no-exchange plan.  P scales with the
+    events row count (``salted_partitions``) so one partition-group stays
+    worker-sized at any corpus."""
+    from .sources.tables import salted_partitions, table_rows
 
+    if num_partitions is None:
+        # floor=16, not 64: the in-group kernel is a trivial dedup+reduceat
+        # (no per-row Python), so the exchange's per-partition floor costs
+        # more than extra parallelism buys; P still scales with row count
+        # and the output is P-invariant (users never split across parts)
+        num_partitions = salted_partitions(table_rows(sf_dir, "events"), floor=16)
     ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
     def pair_partial(batch: pa.Table) -> pa.Table:
@@ -4879,42 +4925,51 @@ def events_cohort_retention(sf_dir: str, num_partitions: int = 8):
         t = pa.Table.from_arrays(
             [batch.column("user_id"), w], names=["user_id", "week_idx"]
         )
-        return (
-            t.group_by(["user_id", "week_idx"], use_threads=False)
-            .aggregate([])
+        out = t.group_by(["user_id", "week_idx"], use_threads=False).aggregate([])
+        part = pc.cast(
+            pc.bit_wise_and(out.column("user_id"), num_partitions - 1), pa.int32()
         )
+        return out.append_column("part", part)
 
-    # materialized: consumed three times below (cohort aggregation, the
-    # join's left side, and the gated join's key collection) — without it
-    # each consumption re-scans the events table
-    pairs = grouped_agg(
-        ev.map_batches(pair_partial, batch_format="pyarrow"),
-        ["user_id", "week_idx"],
-        [(None, "count", "__n")],
-    ).drop_columns(["__n"]).materialize()
+    def cohort_part(g: pd.DataFrame) -> pd.DataFrame:
+        # global dedup + per-user min + offset counts, all inside the one
+        # partition that owns these users — fully vectorized
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"cohort_idx": pd.Series([], dtype="int64"),
+                 "week_offset": pd.Series([], dtype="int64"),
+                 "n_users": pd.Series([], dtype="int64")}
+            )
+        g = g.drop_duplicates(["user_id", "week_idx"])
+        g = g.sort_values(["user_id", "week_idx"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        wk = g["week_idx"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        cohort = wk[np.nonzero(new_user)[0]]  # first (min) week per user
+        cohort_of_row = np.repeat(cohort, np.diff(np.r_[np.nonzero(new_user)[0], len(uid)]))
+        off = wk - cohort_of_row
+        out = (
+            pd.DataFrame({"cohort_idx": cohort_of_row, "week_offset": off})
+            .groupby(["cohort_idx", "week_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return out.astype({"cohort_idx": "int64", "week_offset": "int64",
+                           "n_users": "int64"})
 
-    cohorts = grouped_agg(pairs, ["user_id"], [("week_idx", "min", "cohort_idx")])
-
-    joined = lookup_join(
-        pairs, cohorts, "user_id", "user_id", ["cohort_idx"],
-        # provable bound: |users| ≤ |events| (footer rows)
-        right_source_rows=table_rows(sf_dir, "events"),
-        num_partitions=num_partitions,
+    partials = (
+        ev.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: cohort_part(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
     )
 
-    def offset(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                batch.column("cohort_idx"),
-                pc.subtract(batch.column("week_idx"), batch.column("cohort_idx")),
-            ],
-            names=["cohort_idx", "week_offset"],
-        )
-
     out = grouped_agg(
-        joined.map_batches(offset, batch_format="pyarrow"),
+        partials,
         ["cohort_idx", "week_offset"],
-        [(None, "count", "n_users")],
+        [("n_users", "sum", "n_users")],
         max_groups=4096,  # calendar weeks^2
     )
 

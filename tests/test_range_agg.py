@@ -192,3 +192,104 @@ def test_query_fallback_plan_equality(ray_session, monkeypatch, qname):
     fast = fast[cols].sort_values(cols).reset_index(drop=True)
     slow = slow[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+# ---------------------------------------------------------------------------
+# Domain-bounded vector aggregation (column_min_max + summed_vector) and the
+# dense-histogram decile plan built on them
+# ---------------------------------------------------------------------------
+
+
+def test_column_min_max_reads_footer_stats(tmp_path):
+    from b_pdf_parser_ray.functions.agg import column_min_max
+
+    p = str(tmp_path / "mm.parquet")
+    _write(p, [5, 3, 9, 7], [1.0, 2.0, 3.0, 4.0], row_group_size=2)
+    assert column_min_max(p, "k") == (3, 9)
+    assert column_min_max(p, "v") == (1.0, 4.0)
+    assert column_min_max(p, "missing") is None
+
+
+def test_column_min_max_none_without_statistics(tmp_path):
+    from b_pdf_parser_ray.functions.agg import column_min_max
+
+    p = str(tmp_path / "nostat.parquet")
+    _write(p, [1, 2], [1.0, 2.0], write_statistics=False)
+    assert column_min_max(p, "k") is None
+
+
+def test_summed_vector_sums_across_blocks(ray_session):
+    import ray.data
+
+    from b_pdf_parser_ray.functions.agg import summed_vector
+
+    vals = np.arange(1000) % 7
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(vals, pa.int64())})
+    ).repartition(8)  # force multiple single-vector partials
+    got = summed_vector(
+        ds,
+        lambda b: np.bincount(
+            b.column("x").to_numpy(zero_copy_only=False), minlength=7
+        ),
+        7,
+    )
+    assert got.tolist() == np.bincount(vals, minlength=7).tolist()
+
+
+def test_summed_vector_empty_dataset(ray_session):
+    import ray.data
+
+    from b_pdf_parser_ray.functions.agg import summed_vector
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    got = summed_vector(ds, lambda b: np.zeros(3, dtype=np.int64), 3)
+    assert got.tolist() == [0, 0, 0]
+
+
+def test_summed_vector_tree_level_same_result(ray_session):
+    # source_rows past the threshold engages the intermediate fold level;
+    # the result must be identical
+    import ray.data
+
+    from b_pdf_parser_ray.functions.agg import summed_vector
+
+    vals = np.arange(500) % 5
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})).repartition(4)
+    fn = lambda b: np.bincount(
+        b.column("x").to_numpy(zero_copy_only=False), minlength=5
+    )
+    assert (
+        summed_vector(ds, fn, 5, source_rows=60_000_000).tolist()
+        == np.bincount(vals, minlength=5).tolist()
+    )
+
+
+def test_decile_dense_plan_matches_exchange_fallback(ray_session, monkeypatch):
+    """The statistics-proven dense-histogram plan and the distinct-value
+    exchange plan must agree bin-for-bin (zero-count bins cannot move a
+    boundary)."""
+    from b_pdf_parser_ray import queries
+    from b_pdf_parser_ray.functions import agg as agg_mod
+
+    fast = queries.orders_price_decile_counts(SF_DIR)
+    monkeypatch.setattr(agg_mod, "column_min_max", lambda *a, **k: None)
+    slow = queries.orders_price_decile_counts(SF_DIR)
+    pd.testing.assert_frame_equal(
+        fast.sort_values("decile", ignore_index=True),
+        slow.sort_values("decile", ignore_index=True),
+    )
+
+
+def test_cohort_partition_count_invariance(ray_session):
+    # users never split across salt partitions, so the retention matrix is
+    # P-invariant — the scale knob cannot change the answer
+    from b_pdf_parser_ray import queries
+
+    a = queries.events_cohort_retention(SF_DIR, num_partitions=4).to_pandas()
+    b = queries.events_cohort_retention(SF_DIR, num_partitions=64).to_pandas()
+    key = ["cohort_week", "week_offset"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key, ignore_index=True)[key + ["n_users"]],
+        b.sort_values(key, ignore_index=True)[key + ["n_users"]],
+    )
