@@ -5343,9 +5343,16 @@ def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
     Scale shape, two passes + one scoring pipeline, nothing
     vocabulary-unbounded on the driver:
 
-    * vocabulary: term-grain ``grouped_agg`` → distributed sort by
-      (count desc, term) → ``limit(vocab_k)`` — only k rows ever leave
-      the cluster; ``<unk>``'s count derives from total−Σvocab, no
+    * vocabulary: ONE salted term-grain exchange (``token_hash64(w) &
+      (P-1)`` — a term never splits across partitions, so in-partition
+      term totals are globally final, any global top-k term is in its
+      partition's local top-k, and partition token-totals add); each
+      partition emits its top-k rows plus one null-marker total row, the
+      driver folds P×(k+1) rows.  (Replaces materialize + full
+      ``Dataset.sort`` + sum fold — 3 executions and a key-grain sort
+      exchange → 1; wall-time parity at sf0.1 where both are
+      floor-bound, the win is the removed sort grain and 2 executions
+      at scale.)  ``<unk>``'s count derives from total−Σvocab, no
       second pass;
     * bigram model: per-batch Arrow pre-count of MAPPED token pairs →
       one (wa,wb)-grain exchange;
@@ -5365,25 +5372,54 @@ def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
         vocab_k = LM_VOCAB_K
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    from .functions.textstats import token_hash64
+
+    # 16 term-salt partitions: the in-group kernel is a trivial pandas
+    # combine+nlargest, so the exchange floor dominates extra parallelism
+    # (same floor=16 rationale as events_cohort_retention)
+    VP = 16
+
     def term_partial(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
         t = pa.Table.from_arrays([toks], names=["w"])
         out = t.group_by(["w"], use_threads=False).aggregate([([], "count_all")])
-        return out.rename_columns(["w", "c"])
+        out = out.rename_columns(["w", "c"])
+        # one memoized blake2b per DISTINCT term per block (the token_hash64
+        # memo pattern — corpus terms recur in nearly every batch)
+        part = pa.array(
+            [token_hash64(w) & (VP - 1) for w in out.column("w").to_pylist()],
+            type=pa.int32(),
+        )
+        return out.append_column("part", part)
 
-    uni = grouped_agg(
-        ds.map_batches(term_partial, batch_format="pyarrow"), ["w"], [("c", "sum", "c")]
-    ).materialize()  # consumed twice (top-k sort AND the total fold) — one pass
-    vocab_tbl = pa.Table.from_pandas(
-        uni.sort(["c", "w"], descending=[True, False]).limit(vocab_k).to_pandas(),
-        preserve_index=False,
+    def vocab_part(g: pd.DataFrame) -> pd.DataFrame:
+        # in-partition term totals are globally final (a term never splits
+        # across salt partitions); emit local top-k by (c desc, w asc) —
+        # any global top-k term is in its partition's local top-k — plus
+        # one null-w total marker row (split tokens are never null)
+        agg = g.groupby("w", as_index=False)["c"].sum()
+        top = agg.sort_values(
+            ["c", "w"], ascending=[False, True], kind="stable"
+        ).head(vocab_k)
+        total = pd.DataFrame({"w": [None], "c": [int(agg["c"].sum())]})
+        return pd.concat([top, total], ignore_index=True).astype({"c": "int64"})
+
+    folded = (
+        ds.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: vocab_part(g.drop(columns=["part"])), batch_format="pandas"
+        )
+        .to_pandas()  # ≤ VP×(k+1) rows — bounded by parameters, not corpus
     )
-    # Σ unigram counts IS the corpus token total — the former dedicated
-    # split-and-count pass re-scanned every document for a number the
-    # term-grain aggregate already holds (one fewer full-corpus pass)
-    total_tokens = int(uni.sum("c") or 0)
-    vocab_words = vocab_tbl.column("w").to_pylist()
-    vocab_count_list = [int(x) for x in vocab_tbl.column("c").to_pylist()]
+    total_tokens = int(folded.loc[folded["w"].isna(), "c"].sum())
+    vocab_df = (
+        folded.dropna(subset=["w"])
+        .sort_values(["c", "w"], ascending=[False, True], kind="stable")
+        .head(vocab_k)
+    )
+    vocab_words = vocab_df["w"].tolist()
+    vocab_count_list = [int(x) for x in vocab_df["c"]]
     unk_count = total_tokens - sum(vocab_count_list)
     v_size = len(vocab_words) + (1 if unk_count > 0 else 0)
     vocab_set_ref = ray.put(pa.array(vocab_words, type=pa.string()))
