@@ -822,3 +822,44 @@ def test_grouped_kmv_estimation_path_planted(ray_session, tmp_path):
         exact = truth[row["event_type"]]
         err = abs(row["estimated_distinct"] - exact) / exact
         assert err <= tol, (row["event_type"], row["estimated_distinct"], exact)
+
+
+def test_lm_score_vocab_boundary_ties_across_partitions(ray_session, tmp_path):
+    """The salted vocab fold's top-k must survive maximal tie pressure at
+    the k boundary: 2,600 distinct terms where ranks past 100 all tie at
+    count 1, so the LM_VOCAB_K=2000 cut falls inside the tie block and is
+    decided purely by the (c DESC, w ASC) tiebreak — any per-partition
+    top-k that orders differently from the oracle's ORDER BY changes
+    which singletons become <unk> and shifts every score."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import DOC_LM_SCORE_SQL, doc_lm_score
+
+    rng = np.random.default_rng(13)
+    head = [f"t{i:04d}" for i in range(100)]          # count 3 each
+    tail = [f"t{i:04d}" for i in range(100, 2600)]    # count 1 each — ties
+    stream = head * 3 + tail
+    rng.shuffle(stream)
+    docs = [
+        " ".join(stream[i: i + 10]) for i in range(0, len(stream), 10)
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(len(docs)), type=pa.int64()),
+            "text": pa.array(docs),
+        }),
+        tmp_path / "documents.parquet",
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = _normalize(_to_pandas(doc_lm_score(str(tmp_path))))
+    want = _normalize(con.sql(DOC_LM_SCORE_SQL).df())
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-9)
