@@ -94,22 +94,90 @@ def window_hashes(
     return acc[valid], doc_idx, start
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+# hex-prefix value sets for the vectorized salt decode, keyed by width
+_HEX_PREFIX: Dict[int, "pa.Array"] = {}
+
+# above this P the salted plan's per-partition frame bound is unprovable
+# from one 16-bit salt — fall back to the any-cardinality sort exchange
+_SALTED_DEDUP_MAX_P = 65_536
+
+
+def _hash_salt(col, num_partitions: int):
+    """Salt partition from a hex content hash's leading 1-2 bytes —
+    blake2b output is uniform, so the prefix splits evenly; ``index_in``
+    against the 16^n prefixes is the vectorized hex decode."""
+    n = 2 if num_partitions <= 256 else 4
+    vs = _HEX_PREFIX.get(n)
+    if vs is None:
+        vs = _HEX_PREFIX[n] = pa.array([format(i, f"0{n}x") for i in range(16 ** n)])
+    byte = pc.index_in(pc.utf8_slice_codeunits(col, 0, n), value_set=vs)
+    return pc.cast(
+        pc.bit_wise_and(pc.cast(byte, pa.int32()), num_partitions - 1), pa.int32()
+    )
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: Optional[int] = None,
+                source_rows: Optional[int] = None):
     """One representative (min id) + copy count per distinct text.
 
-    groupby key is the 128-bit content hash, so the shuffle never carries
-    document bodies.
+    ONE salted hash-grain exchange: per-block Arrow partials pre-reduce to
+    (content_hash, min id, count), salt by the 128-bit hash's leading
+    bytes & (P-1) — a hash never splits across salt partitions, so the
+    in-partition min/sum are globally final and no key-grain sort
+    exchange is needed.  The shuffle never carries document bodies.
+
+    Size-gated like the join planner: P derives from ``source_rows``
+    (footer metadata — ``sources.tables.salted_partitions``) so one
+    partition-group stays worker-sized; past ``_SALTED_DEDUP_MAX_P``
+    (16-bit salt, ~10^11 rows at the 2M-row partition target) the plan
+    falls back to Ray's any-cardinality sort-exchange groupby — never a
+    wrong answer, the salted plan is the common-case fast path.
     """
     from ray.data.aggregate import Count, Min
 
-    hashed = ds.map_batches(
-        lambda b: content_hash_batch(b, text_col).select([id_col, "content_hash"]),
-        batch_format="pyarrow",
-    )
+    from ..sources.tables import salted_partitions
+
+    if num_partitions is None:
+        num_partitions = (
+            salted_partitions(source_rows) if source_rows is not None else 64
+        )
+    if num_partitions > _SALTED_DEDUP_MAX_P:
+        hashed = ds.map_batches(
+            lambda b: content_hash_batch(b, text_col).select([id_col, "content_hash"]),
+            batch_format="pyarrow",
+        )
+        return (
+            hashed.groupby("content_hash")
+            .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
+            .select_columns([id_col, "n_copies"])
+        )
+    if num_partitions & (num_partitions - 1):
+        raise ValueError(f"num_partitions must be a power of two, got {num_partitions}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = content_hash_batch(b, text_col).select([id_col, "content_hash"])
+        out = t.group_by(["content_hash"], use_threads=False).aggregate(
+            [(id_col, "min"), ([], "count_all")]
+        )
+        out = out.rename_columns(["content_hash", id_col, "n_copies"])
+        return out.append_column(
+            "part", _hash_salt(out.column("content_hash"), num_partitions)
+        )
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            g.groupby("content_hash", as_index=False)
+            .agg({id_col: "min", "n_copies": "sum"})
+        )
+        return out[[id_col, "n_copies"]].astype({"n_copies": "int64"})
+
     return (
-        hashed.groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
-        .select_columns([id_col, "n_copies"])
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: combine(g.drop(columns=["part"])), batch_format="pandas"
+        )
     )
 
 

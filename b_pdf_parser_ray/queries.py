@@ -1188,7 +1188,12 @@ ORDER BY total_chars DESC, source LIMIT 5
 
 
 def dedup_exact_docs(sf_dir: str):
-    return exact_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    from .sources.tables import table_rows
+
+    return exact_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        source_rows=table_rows(sf_dir, "documents"),
+    )
 
 
 DEDUP_EXACT_SQL = """
@@ -2496,7 +2501,7 @@ def dedup_exact_keep(sf_dir: str, num_partitions: int = 8):
     from .sources.tables import table_rows
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    reps = exact_dedup(docs)  # (doc_id, n_copies), doc_id = min per text
+    reps = exact_dedup(docs, source_rows=table_rows(sf_dir, "documents"))
     kept = lookup_join(
         read_table(sf_dir, "documents", columns=["doc_id", "n_chars"]),
         reps,
@@ -7458,7 +7463,9 @@ def corpus_build_pipeline(sf_dir: str, num_partitions: int = 8):
         return batch.filter(pc.greater_equal(e4, pa.scalar(thr, type=pa.int64())))
 
     kept = docs.map_batches(keep, batch_format="pyarrow")
-    reps = exact_dedup(kept).map_batches(
+    reps = exact_dedup(
+        kept, source_rows=table_rows(sf_dir, "documents")
+    ).map_batches(
         lambda b: b.select(["doc_id"]), batch_format="pyarrow"
     )
     survivors = semi_join(

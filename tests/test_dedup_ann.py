@@ -496,3 +496,27 @@ def test_pca_project_truncated_and_deterministic(ray_session):
     np.testing.assert_allclose(
         np.var(Pa, axis=0), evals, rtol=1e-4
     )
+
+
+def test_exact_dedup_salted_equals_sort_exchange_plan(ray_session, dup_corpus):
+    """The salted hash-grain plan and the any-cardinality sort-exchange
+    fallback (forced via a past-cap P) must agree row-for-row."""
+    import ray
+
+    from b_pdf_parser_ray.functions import dedup as dmod
+
+    ds = ray.data.from_arrow(dup_corpus)
+    fast = (
+        exact_dedup(ds, num_partitions=16).to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    slow = (
+        exact_dedup(ds, num_partitions=dmod._SALTED_DEDUP_MAX_P * 2)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        fast[["doc_id", "n_copies"]].astype("int64"),
+        slow[["doc_id", "n_copies"]].astype("int64"),
+    )
