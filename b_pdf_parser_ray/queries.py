@@ -7112,12 +7112,16 @@ def dedup_exact_keep_best(sf_dir: str, num_partitions: int = 8):
     Scale shape — the q2 packed-argmin trick on the dedup exchange:
     (source-priority, doc_id) packs into one int64
     ``comb = prio·2³² + doc_id``, per-block Arrow partials pre-reduce
-    min(comb) + count per 128-bit content hash, the one exchange carries
-    (hash, comb, count) only — never a document body — and survivors
-    pick their attributes back up through the size-gated lookup join."""
-    from .functions.dedup import content_hash_batch
+    min(comb) + count per 128-bit content hash, and ONE salted exchange
+    (hash leading bytes & (P-1) — a hash never splits across partitions,
+    the ``exact_dedup`` argument) finalizes min/sum in-partition carrying
+    (hash, comb, count) only — never a document body; survivors pick
+    their attributes back up through the size-gated lookup join."""
+    from .functions.dedup import _hash_salt, content_hash_batch
     from .functions.joins import lookup_join
-    from .sources.tables import table_rows
+    from .sources.tables import salted_partitions, table_rows
+
+    P = salted_partitions(table_rows(sf_dir, "documents"))
 
     prio_set = pa.array(_SOURCE_PRIORITY)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
@@ -7143,12 +7147,22 @@ def dedup_exact_keep_best(sf_dir: str, num_partitions: int = 8):
         out = t.group_by(["content_hash"], use_threads=False).aggregate(
             [("comb", "min"), ([], "count_all")]
         )
-        return out.rename_columns(["content_hash", "comb", "n_copies"])
+        out = out.rename_columns(["content_hash", "comb", "n_copies"])
+        return out.append_column("part", _hash_salt(out.column("content_hash"), P))
 
-    reps = grouped_agg(
-        docs.map_batches(argmin_partial, batch_format="pyarrow"),
-        ["content_hash"],
-        [("comb", "min", "comb"), ("n_copies", "sum", "n_copies")],
+    def combine_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("content_hash", as_index=False)
+            .agg({"comb": "min", "n_copies": "sum"})
+        )
+        return out.astype({"comb": "int64", "n_copies": "int64"})
+
+    reps = (
+        docs.map_batches(argmin_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: combine_part(g.drop(columns=["part"])), batch_format="pandas"
+        )
     )
 
     def decode(batch: pa.Table) -> pa.Table:
