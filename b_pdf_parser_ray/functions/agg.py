@@ -58,12 +58,24 @@ def grouped_agg(
     specs: Sequence[Spec],
     max_groups: Optional[int] = None,
     coalesce: bool = True,
+    salt_key: Optional[str] = None,
+    salt_partitions: int = 16,
 ):
     """Distributed grouped aggregation with map-side partials.
 
     ``max_groups``: caller-declared upper bound on the number of distinct
     key tuples — when ≤ ``SMALL_GROUPS_CAP`` the exchange is replaced by a
     coalescing re-reduce + single final combine task (see module doc).
+
+    ``salt_key`` (ignored when the small plan applies): an INTEGER member
+    of ``keys`` to salt the exchange on — ``salt_key & (P-1)`` routes
+    every partial row of one key tuple to the same coarse partition, so
+    per-partition combines are globally final and the key-grain sort
+    exchange is replaced by a P-way salted ``groupby().map_groups``
+    (the events_cohort_retention / exact_dedup argument, generalized).
+    Correct for ANY key cardinality; size ``salt_partitions`` from the
+    source's footer row count (``sources.tables.salted_partitions``) when
+    one partition's |keys|/P slice could outgrow a worker.
 
     ``coalesce=False`` (small plan only) drops the 65 536-row re-reduce
     stage: Ray fuses map chains to the LARGEST member batch size, so a
@@ -76,6 +88,8 @@ def grouped_agg(
     Returns a Dataset with columns ``list(keys) + [alias for each spec]``.
     """
     keys = list(keys)
+    if salt_key is not None and salt_key not in keys:
+        raise ValueError(f"salt_key {salt_key!r} must be one of keys {keys!r}")
 
     # expand mean into sum+count partials
     partial_specs: List[Tuple[Optional[str], str, str]] = []
@@ -108,20 +122,20 @@ def grouped_agg(
         new_names = keys + [alias for _, _, alias in partial_specs]
         return out.rename_columns(new_names)
 
+    # combine ops on the PARTIAL columns (sum of sums, sum of counts, min
+    # of mins, max of maxes) — shared by the small and salted plans
+    combine_pa = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def combine_batch(batch):
+        out = batch.group_by(keys, use_threads=False).aggregate(
+            [(alias, combine_pa[op]) for _, op, alias in partial_specs]
+        )
+        assert out.column_names[: len(keys)] == keys
+        return out.rename_columns(
+            keys + [alias for _, _, alias in partial_specs]
+        )
+
     if max_groups is not None and max_groups <= SMALL_GROUPS_CAP:
-        # no-exchange plan: combine ops on the PARTIAL columns (sum of
-        # sums, sum of counts, min of mins, max of maxes)
-        combine_pa = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
-
-        def combine_batch(batch):
-            out = batch.group_by(keys, use_threads=False).aggregate(
-                [(alias, combine_pa[op]) for _, op, alias in partial_specs]
-            )
-            assert out.column_names[: len(keys)] == keys
-            return out.rename_columns(
-                keys + [alias for _, _, alias in partial_specs]
-            )
-
         merged = ds.map_batches(partial, batch_format="pyarrow")
         if coalesce:
             merged = merged.map_batches(
@@ -132,6 +146,30 @@ def grouped_agg(
             # batch_size=None: the whole single block as ONE batch — a
             # default-sized batch split would emit duplicate key rows
             .map_batches(combine_batch, batch_format="pyarrow", batch_size=None)
+        )
+    elif salt_key is not None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        P = salt_partitions
+        if P & (P - 1):
+            raise ValueError(f"salt_partitions must be a power of two, got {P}")
+
+        def add_part(batch):
+            part = pc.cast(
+                pc.bit_wise_and(
+                    pc.cast(batch.column(salt_key), pa.int64()), P - 1
+                ),
+                pa.int32(),
+            )
+            return batch.append_column("part", part)
+
+        merged = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            # combine_batch's group_by(keys) ignores the extra part column
+            .map_groups(combine_batch, batch_format="pyarrow")
         )
     else:
         from ray.data.aggregate import Max, Min, Sum

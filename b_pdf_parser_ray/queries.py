@@ -4164,6 +4164,7 @@ def events_type_share(sf_dir: str, num_partitions: int = 8):
         enriched,
         ["event_type", "user_id"],
         [(None, "count", "n_rows"), ("type_total", "max", "type_total")],
+        salt_key="user_id",  # a user never splits across salt partitions
     )
     out = grouped_agg(
         per_user,
@@ -4580,6 +4581,7 @@ def purchase_error_user_overlap(sf_dir: str, num_partitions: int = 8):
         ds.map_batches(flag_partial, batch_format="pyarrow"),
         ["user_id"],
         [("b", "max", "b"), ("e", "max", "e")],
+        salt_key="user_id",  # a user never splits across salt partitions
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -5506,6 +5508,7 @@ def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
         joined.map_batches(score_partial, batch_format="pyarrow"),
         ["doc_id"],
         [("lp_sum", "sum", "lp_sum"), ("n", "sum", "n")],
+        salt_key="doc_id",  # a doc never splits across salt partitions
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -7864,7 +7867,8 @@ def dedup_repeated_windows(
         .map_groups(per_partition, batch_format="pandas")
     )
     return grouped_agg(
-        partials, ["doc_id"], [("nw", "sum", "n_windows"), ("nr", "sum", "n_repeated")]
+        partials, ["doc_id"], [("nw", "sum", "n_windows"), ("nr", "sum", "n_repeated")],
+        salt_key="doc_id",  # a doc never splits across salt partitions
     ).map_batches(finish, batch_format="pyarrow")
 
 

@@ -293,3 +293,31 @@ def test_cohort_partition_count_invariance(ray_session):
         a.sort_values(key, ignore_index=True)[key + ["n_users"]],
         b.sort_values(key, ignore_index=True)[key + ["n_users"]],
     )
+
+
+def test_grouped_agg_salted_plan_equals_exchange_plan(ray_session):
+    """salt_key replaces the key-grain sort with a coarse salted exchange;
+    both plans must agree on every key, aggregate, and the mean expansion."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n = 50_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 3000, n), pa.int64()),
+        "v": pa.array(rng.normal(size=n)),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    specs = [("v", "sum", "s"), (None, "count", "n"),
+             ("v", "min", "mn"), ("v", "mean", "avg")]
+    a = grouped_agg(ds, ["k"], specs).to_pandas().sort_values("k", ignore_index=True)
+    b = (
+        grouped_agg(ds, ["k"], specs, salt_key="k", salt_partitions=8)
+        .to_pandas().sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_exact=False, rtol=0, atol=1e-12)
+
+
+def test_grouped_agg_salt_key_validation():
+    with pytest.raises(ValueError, match="salt_key"):
+        grouped_agg(None, ["k"], [("v", "sum", "s")], salt_key="other")
