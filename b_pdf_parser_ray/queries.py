@@ -4118,7 +4118,7 @@ def events_type_share(sf_dir: str, num_partitions: int = 8):
     the join, then verified by the re-aggregation), event count and
     distinct-user count — all integers, exactly oracle-comparable."""
     from .functions.joins import _collect_arrow, skew_join
-    from .sources.tables import table_rows
+    from .sources.tables import salted_partitions, table_rows
 
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     # materialize: the per-type counts feed BOTH the join's right side and
@@ -4165,6 +4165,7 @@ def events_type_share(sf_dir: str, num_partitions: int = 8):
         ["event_type", "user_id"],
         [(None, "count", "n_rows"), ("type_total", "max", "type_total")],
         salt_key="user_id",  # a user never splits across salt partitions
+        salt_partitions=salted_partitions(table_rows(sf_dir, "events"), floor=16),
     )
     out = grouped_agg(
         per_user,
@@ -4430,10 +4431,16 @@ def q18_large_orders(sf_dir: str, min_qty: float = 300.0, num_partitions: int = 
         columns=["l_orderkey", "l_quantity"],
     )
     if qty is None:
+        from .sources.tables import salted_partitions
+
         qty = grouped_agg(
             read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]),
             ["l_orderkey"],
             [("l_quantity", "sum", "total_qty")],
+            salt_key="l_orderkey",  # an order never splits across salt parts
+            salt_partitions=salted_partitions(
+                table_rows(sf_dir, "lineitem"), floor=16
+            ),
         )
 
     def big(batch: pa.Table) -> pa.Table:
@@ -4558,6 +4565,7 @@ def purchase_error_user_overlap(sf_dir: str, num_partitions: int = 8):
     nothing user-grain ever reaches the driver.  (The semi/anti planner
     itself is exercised by ``customers_without_orders`` and the q-suite.)
     Output: one row of exact counts."""
+    from .sources.tables import salted_partitions, table_rows
 
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
 
@@ -4582,6 +4590,7 @@ def purchase_error_user_overlap(sf_dir: str, num_partitions: int = 8):
         ["user_id"],
         [("b", "max", "b"), ("e", "max", "e")],
         salt_key="user_id",  # a user never splits across salt partitions
+        salt_partitions=salted_partitions(table_rows(sf_dir, "events"), floor=16),
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -5380,6 +5389,7 @@ def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     from .functions.textstats import token_hash64
+    from .sources.tables import salted_partitions
 
     # 16 term-salt partitions: the in-group kernel is a trivial pandas
     # combine+nlargest, so the exchange floor dominates extra parallelism
@@ -5509,6 +5519,7 @@ def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
         ["doc_id"],
         [("lp_sum", "sum", "lp_sum"), ("n", "sum", "n")],
         salt_key="doc_id",  # a doc never splits across salt partitions
+        salt_partitions=salted_partitions(table_rows(sf_dir, "documents"), floor=16),
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -7869,6 +7880,7 @@ def dedup_repeated_windows(
     return grouped_agg(
         partials, ["doc_id"], [("nw", "sum", "n_windows"), ("nr", "sum", "n_repeated")],
         salt_key="doc_id",  # a doc never splits across salt partitions
+        salt_partitions=salted_partitions(table_rows(sf_dir, "documents"), floor=16),
     ).map_batches(finish, batch_format="pyarrow")
 
 
