@@ -60,6 +60,7 @@ def grouped_agg(
     coalesce: bool = True,
     salt_key: Optional[str] = None,
     salt_partitions: int = 16,
+    salt_hash: bool = False,
 ):
     """Distributed grouped aggregation with map-side partials.
 
@@ -68,7 +69,10 @@ def grouped_agg(
     coalescing re-reduce + single final combine task (see module doc).
 
     ``salt_key`` (ignored when the small plan applies): an INTEGER member
-    of ``keys`` to salt the exchange on — ``salt_key & (P-1)`` routes
+    of ``keys`` (or a STRING member with ``salt_hash=True``, which routes
+    via the memoized ``token_hash64`` — one blake2b per distinct key per
+    block, the repo's per-distinct-token digest pattern) to salt the
+    exchange on — ``salt_key & (P-1)`` routes
     every partial row of one key tuple to the same coarse partition, so
     per-partition combines are globally final and the key-grain sort
     exchange is replaced by a P-way salted ``groupby().map_groups``
@@ -155,14 +159,27 @@ def grouped_agg(
         if P & (P - 1):
             raise ValueError(f"salt_partitions must be a power of two, got {P}")
 
-        def add_part(batch):
-            part = pc.cast(
-                pc.bit_wise_and(
-                    pc.cast(batch.column(salt_key), pa.int64()), P - 1
-                ),
-                pa.int32(),
-            )
-            return batch.append_column("part", part)
+        if salt_hash:
+            from .textstats import token_hash64
+
+            def add_part(batch):
+                part = pa.array(
+                    [
+                        (token_hash64(v) if v is not None else 0) & (P - 1)
+                        for v in batch.column(salt_key).to_pylist()
+                    ],
+                    pa.int32(),
+                )
+                return batch.append_column("part", part)
+        else:
+            def add_part(batch):
+                part = pc.cast(
+                    pc.bit_wise_and(
+                        pc.cast(batch.column(salt_key), pa.int64()), P - 1
+                    ),
+                    pa.int32(),
+                )
+                return batch.append_column("part", part)
 
         merged = (
             ds.map_batches(partial, batch_format="pyarrow")

@@ -5480,6 +5480,10 @@ def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
     bigrams = grouped_agg(
         ds.map_batches(bigram_partial, batch_format="pyarrow"),
         ["bigram"], [("c_ab", "sum", "c_ab")],
+        # a bigram never splits across token_hash64 salt partitions; the
+        # memo covers the (vocab_k+1)²-bounded mapped-bigram domain
+        salt_key="bigram", salt_hash=True,
+        salt_partitions=salted_partitions(total_tokens, floor=16),
     )
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -321,3 +321,25 @@ def test_grouped_agg_salted_plan_equals_exchange_plan(ray_session):
 def test_grouped_agg_salt_key_validation():
     with pytest.raises(ValueError, match="salt_key"):
         grouped_agg(None, ["k"], [("v", "sum", "s")], salt_key="other")
+
+
+def test_grouped_agg_salt_hash_string_keys(ray_session):
+    """salt_hash routes string keys via the memoized token_hash64; the
+    salted plan must equal the sort-exchange plan on every key."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    words = np.array([f"w{i}" for i in range(800)])
+    t = pa.table({
+        "w": pa.array(words[rng.integers(0, len(words), 20_000)]),
+        "v": pa.array(rng.integers(0, 100, 20_000).astype(np.int64)),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    specs = [("v", "sum", "s"), (None, "count", "n")]
+    a = grouped_agg(ds, ["w"], specs).to_pandas().sort_values("w", ignore_index=True)
+    b = (
+        grouped_agg(ds, ["w"], specs, salt_key="w", salt_hash=True, salt_partitions=8)
+        .to_pandas().sort_values("w", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
