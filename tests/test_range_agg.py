@@ -343,3 +343,27 @@ def test_grouped_agg_salt_hash_string_keys(ray_session):
         .to_pandas().sort_values("w", ignore_index=True)
     )
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_grouped_agg_salted_plan_under_hot_key_skew(ray_session):
+    """90% of rows on one key: the hot key's partials all land in one salt
+    partition, whose vectorized combine must still be exact (the salted
+    plan's worst case — per-partition volume is bounded by map-side
+    pre-reduction to |distinct keys per block|, not by row count)."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    k = np.where(rng.random(40_000) < 0.9, 7, rng.integers(0, 500, 40_000))
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "v": pa.array(np.ones(40_000, dtype=np.int64))})
+    ds = ray.data.from_arrow(t).repartition(7)
+    specs = [("v", "sum", "s"), (None, "count", "n")]
+    a = grouped_agg(ds, ["k"], specs).to_pandas().sort_values("k", ignore_index=True)
+    b = (
+        grouped_agg(ds, ["k"], specs, salt_key="k", salt_partitions=16)
+        .to_pandas().sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    hot = b.loc[b["k"] == 7, "n"].iloc[0]
+    assert hot == (k == 7).sum()
