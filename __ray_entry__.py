@@ -9,7 +9,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operator suite).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (115 of 139 as of round 3); sketch/iterative/DOM/codec/byte-parse
+  (119 of 141 as of round 4); sketch/iterative/DOM/codec/byte-parse
   operators (fingerprints, minhash/simhash/embedding dedup, KMV distinct,
   IVF ANN, heavy hitters, approximate quantiles, media stages, the
   byte-stream PDF pipeline family extract_pdf_*) are rows-only by
@@ -35,7 +35,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return dict(QUERIES)
+    # Oracle-backed entries first: the driver's correctness gate samples the
+    # first 50 keys in insertion order, so rows-only entries (sketches, media
+    # codecs, byte-parse pipelines — each pinned in pytest instead) would
+    # otherwise occupy sample slots that an oracle-checked query could fill.
+    ordered = {k: v for k, v in QUERIES.items() if k in ORACLE_SQL}
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLE_SQL})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

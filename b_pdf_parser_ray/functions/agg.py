@@ -72,7 +72,8 @@ def grouped_agg(
     of ``keys`` (or a STRING member with ``salt_hash=True``, which routes
     via the memoized ``token_hash64`` — one blake2b per distinct key per
     block, the repo's per-distinct-token digest pattern) to salt the
-    exchange on — ``salt_key & (P-1)`` routes
+    exchange on — ``mix64(salt_key) & (P-1)`` (splitmix-style multiply +
+    high-bit fold, robust to strided/aligned integer keys) routes
     every partial row of one key tuple to the same coarse partition, so
     per-partition combines are globally final and the key-grain sort
     exchange is replaced by a P-way salted ``groupby().map_groups``
@@ -172,12 +173,24 @@ def grouped_agg(
                 )
                 return batch.append_column("part", part)
         else:
+            from .joins import _splitmix64
+
             def add_part(batch):
-                part = pc.cast(
-                    pc.bit_wise_and(
-                        pc.cast(batch.column(salt_key), pa.int64()), P - 1
-                    ),
-                    pa.int32(),
+                import numpy as np
+
+                # mix before masking: raw low bits (key & (P-1)) collapse
+                # integer keys with stride/alignment patterns (all multiples
+                # of 16 → one salt partition).  The splitmix64 finalizer
+                # makes the masked bits depend on EVERY key bit, so any key
+                # distribution spreads across partitions; the mapping stays
+                # deterministic per key, which is all the plan's correctness
+                # needs (a key never splits).
+                k = pc.fill_null(
+                    pc.cast(batch.column(salt_key), pa.int64()), 0
+                ).to_numpy(zero_copy_only=False).astype(np.uint64)
+                part = pa.array(
+                    (_splitmix64(k) & np.uint64(P - 1)).astype(np.int32),
+                    type=pa.int32(),
                 )
                 return batch.append_column("part", part)
 
@@ -240,8 +253,16 @@ def column_min_max(path, column: str):
     lo = hi = None
     for f in files:
         md = pq.read_metadata(f)
+        # resolve against the PARQUET LEAF schema, not the Arrow schema:
+        # row-group column statistics are indexed by leaf position, which
+        # matches Arrow field position only for flat schemas.  A flat
+        # column's leaf path equals its name; a nested field's leaves have
+        # dotted paths, so it never matches here and the caller falls back
+        # to the exchange plan instead of silently reading another
+        # column's statistics.
+        leaf_paths = [md.schema.column(i).path for i in range(md.num_columns)]
         try:
-            idx = md.schema.to_arrow_schema().names.index(column)
+            idx = leaf_paths.index(column)
         except ValueError:
             return None
         for i in range(md.num_row_groups):

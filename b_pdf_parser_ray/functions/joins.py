@@ -35,6 +35,31 @@ _apply_rayfix()
 # hash-partitioned plan.
 BROADCAST_MAX_SOURCE_ROWS = 5_000_000
 
+# hash-plan partition sizing: one partition's share of the LARGER join side
+# stays worker-heap-sized at any corpus (the salted_partitions clamp pattern,
+# applied to Dataset.join's num_partitions).  Floor 8 keeps test-scale inputs
+# on the historical partition count the forced-gate oracle tests pin.
+JOIN_TARGET_ROWS_PER_PARTITION = 2_000_000
+JOIN_MIN_PARTITIONS = 8
+
+
+def join_partitions(*source_rows, target_rows: int = None, floor: int = None) -> int:
+    """Partition count for the hash-partitioned ``Dataset.join`` plan,
+    derived from parquet-footer row counts (``sources.tables.table_rows``)
+    of however many join sides the caller can bound — ``None`` entries
+    (sides with no cheap bound) are ignored.  A fixed count would put
+    |larger side|/P rows on one aggregator however large the corpus; this
+    clamp keeps that share ≤ ``target_rows`` instead.  Filters can only
+    shrink a side, so footer rows never under-estimate."""
+    import math
+
+    if target_rows is None:
+        target_rows = JOIN_TARGET_ROWS_PER_PARTITION
+    if floor is None:
+        floor = JOIN_MIN_PARTITIONS
+    rows = max((r for r in source_rows if r), default=0)
+    return max(floor, math.ceil(rows / target_rows))
+
 
 def _collect_arrow(ds) -> pa.Table:
     """Driver-side collection of a (bounded, gate-checked) Dataset as one
@@ -185,10 +210,18 @@ def semi_join(
     *,
     right_source_rows: int,
     max_broadcast_rows: int = None,
-    num_partitions: int = 8,
+    num_partitions: int = None,
+    left_source_rows: int = None,
     bloom_prefilter: bool = False,
 ):
     """Rows of ``left_ds`` whose ``left_key`` appears in ``keys_ds[right_key]``.
+
+    ``num_partitions=None`` (the default) derives the hash plan's partition
+    count from the footer row bounds of both sides (:func:`join_partitions`
+    over ``left_source_rows`` / ``right_source_rows``) — pass
+    ``left_source_rows`` whenever the left lineage starts from a table with
+    readable footers so a 100-TB fact side fans out instead of landing on
+    8 aggregators.  Explicit counts remain for the forced-gate tests.
 
     ``bloom_prefilter=True`` adds a bloom stage ahead of the HASH plan:
     the key side is summarized into an m-bit filter (~10 bits/key, built
@@ -200,6 +233,8 @@ def semi_join(
     filters map-side with the exact key set."""
     if max_broadcast_rows is None:
         max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
+    if num_partitions is None:
+        num_partitions = join_partitions(left_source_rows, right_source_rows)
     if right_source_rows <= max_broadcast_rows:
         import ray
 
@@ -266,12 +301,15 @@ def anti_join(
     *,
     right_source_rows: int,
     max_broadcast_rows: int = None,
-    num_partitions: int = 8,
+    num_partitions: int = None,
+    left_source_rows: int = None,
 ):
     """Rows of ``left_ds`` whose ``left_key`` does NOT appear in
-    ``keys_ds[right_key]``."""
+    ``keys_ds[right_key]`` (partition derivation as in :func:`semi_join`)."""
     if max_broadcast_rows is None:
         max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
+    if num_partitions is None:
+        num_partitions = join_partitions(left_source_rows, right_source_rows)
     if right_source_rows <= max_broadcast_rows:
         import ray
 
@@ -366,7 +404,8 @@ def skew_join(
     *,
     right_source_rows: int,
     max_broadcast_rows: int = None,
-    num_partitions: int = 8,
+    num_partitions: int = None,
+    left_source_rows: int = None,
     hot_key_fraction: float = None,
     hot_keys=None,
 ):
@@ -403,6 +442,8 @@ def skew_join(
     """
     if max_broadcast_rows is None:
         max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
+    if num_partitions is None:
+        num_partitions = join_partitions(left_source_rows, right_source_rows)
     if hot_key_fraction is None:
         hot_key_fraction = 0.5 / num_partitions
     if right_source_rows <= max_broadcast_rows:
@@ -484,7 +525,8 @@ def lookup_join(
     *,
     right_source_rows: int,
     max_broadcast_rows: int = None,
-    num_partitions: int = 8,
+    num_partitions: int = None,
+    left_source_rows: int = None,
 ):
     """Inner equi-join that APPENDS ``value_cols`` from ``right_ds`` (whose
     ``right_key`` is unique — a dimension/entity table) to ``left_ds``.
@@ -505,6 +547,8 @@ def lookup_join(
     branch."""
     if max_broadcast_rows is None:
         max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
+    if num_partitions is None:
+        num_partitions = join_partitions(left_source_rows, right_source_rows)
     if right_source_rows <= max_broadcast_rows:
         import ray
 

@@ -38,6 +38,19 @@ from .functions.textstats import (
 from .sources.tables import read_arrow, read_table
 from .stages.extract import TextExtractor
 
+def _hash_join_partitions(sf_dir: str, table: str) -> int:
+    """Derived ``num_partitions`` for a query's hash-join plans: the
+    ``functions.joins.join_partitions`` clamp on the query's LARGEST join
+    side's parquet-footer row count, so one aggregator's share of the
+    exchange stays worker-sized at any corpus.  The floor (=8) keeps
+    fixture-scale runs on the partition count the forced-gate oracle
+    tests pin."""
+    from .functions.joins import join_partitions
+    from .sources.tables import table_rows
+
+    return join_partitions(table_rows(sf_dir, table))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-flavored relational pipelines
 # ---------------------------------------------------------------------------
@@ -98,7 +111,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q3_top_revenue_orders(sf_dir: str, num_partitions: int = 8):
+def q3_top_revenue_orders(sf_dir: str, num_partitions: int = None):
     """Revenue of BUILDING-segment orders (TPC-H Q3 shape).
 
     Join strategy — size-gated planner (``functions.joins``): orders
@@ -111,6 +124,10 @@ def q3_top_revenue_orders(sf_dir: str, num_partitions: int = 8):
     regime the lineitem leg upgrades further: the semi filter + groupby
     fold into the exchange-free range-partitioned aggregate (see
     ``functions.agg.range_partitioned_agg``)."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import BROADCAST_MAX_SOURCE_ROWS, _collect_keys, semi_join
     from .sources.tables import table_rows
 
@@ -225,7 +242,7 @@ LIMIT 10
 """
 
 
-def q5_nation_revenue(sf_dir: str, num_partitions: int = 8):
+def q5_nation_revenue(sf_dir: str, num_partitions: int = None):
     """Revenue by customer nation: BOTH equi-joins go through the size-gated
     ``lookup_join`` (``functions.joins``) — lineitem revenue partials pick
     up ``o_custkey`` from orders, then custkey partials pick up
@@ -234,6 +251,10 @@ def q5_nation_revenue(sf_dir: str, num_partitions: int = 8):
     hash-partitioned ``Dataset.join`` exchanges (the forced-hash test pins
     that plan oracle-green — never a driver-built Python map).  Nation
     (25 rows, a true dimension) is broadcast with a vectorized lookup."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     import ray
 
     from .functions.joins import lookup_join
@@ -361,7 +382,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
-def q4_order_priority(sf_dir: str, num_partitions: int = 8):
+def q4_order_priority(sf_dir: str, num_partitions: int = None):
     """TPC-H Q4 shape (EXISTS semi-join): orders with at least one returned
     lineitem (the testdata schema has no commit/receipt dates, so the
     predicate is l_returnflag='R'), counted by priority.
@@ -371,6 +392,10 @@ def q4_order_priority(sf_dir: str, num_partitions: int = 8):
     either plan; semi-join semantics make a global dedup unnecessary).
     Broadcast ``is_in`` under the cap, hash-partitioned ``left_semi``
     exchange above it — no unbounded driver-side key collection."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import semi_join
     from .sources.tables import table_rows
 
@@ -476,6 +501,15 @@ ORDER BY b.band
 """
 
 
+# footer-rows bound under which the KMV sketch runs exact (k = rows+1); the
+# driver fold is then ≤ |blocks|·(per-block distinct) ≈ rows×8 B ≤ 16 MB
+APPROX_DISTINCT_EXACT_CAP = 2_000_000
+
+# same gate for the hash-sample quantile sketch: k = rows keeps the whole
+# population in the sample, so the empirical quantiles are exact
+QUANTILES_EXACT_CAP = 2_000_000
+
+
 def approx_distinct_orders(sf_dir: str, k: int = 1024):
     """KMV (k-minimum-values) distinct-count sketch over lineitem orderkeys.
 
@@ -483,9 +517,20 @@ def approx_distinct_orders(sf_dir: str, k: int = 1024):
     mergeable sketch), a tree-combine ``map_batches`` level merges many
     block partials back down to ≤k rows each, and the driver folds the few
     surviving partials into the final estimate D ≈ (k-1)/kth_min.  Nothing
-    larger than a k-sized sketch is ever materialized anywhere — accuracy
-    (rel error ≤ ~2/√k vs DuckDB's exact count) is asserted in pytest, not
-    recomputed inside the query."""
+    larger than a k-sized sketch is ever materialized anywhere.
+
+    Exact-path gate: when the table's footer row count is ≤
+    ``APPROX_DISTINCT_EXACT_CAP``, k grows to rows+1 so the sketch provably
+    holds every distinct hash and the KMV "saw everything" branch returns
+    the EXACT distinct count (modulo 64-bit hash collisions, ~n²/2⁶⁵ —
+    negligible at the cap) — which is what makes the DuckDB oracle twin
+    valid at fixture scales.  Above the cap the sketch path is unchanged
+    and accuracy (rel error ≤ ~2/√k) is asserted in pytest, never faked."""
+    from .sources.tables import table_rows
+
+    rows = table_rows(sf_dir, "lineitem")
+    if rows <= APPROX_DISTINCT_EXACT_CAP:
+        k = max(k, rows + 1)
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -523,12 +568,42 @@ def approx_distinct_orders(sf_dir: str, k: int = 1024):
     )
 
 
-def customers_without_orders(sf_dir: str, num_partitions: int = 8):
+# valid at fixture scales because the exact-path gate (rows ≤
+# APPROX_DISTINCT_EXACT_CAP → k = max(1024, rows+1)) makes the sketch exact;
+# the SQL reproduces the gated k so sketch_k matches too
+APPROX_DISTINCT_SQL = """
+SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS estimated_distinct,
+       CAST(greatest(1024, count(*) + 1) AS BIGINT) AS sketch_k
+FROM lineitem
+"""
+
+# valid at fixture scales via the exact-path gate (rows ≤ QUANTILES_EXACT_CAP
+# → k = rows, the sample IS the population); the SQL mirrors the query's
+# 1-based ceil(q·n) rank over the sorted column
+ORDERS_QUANTILES_APPROX_SQL = """
+WITH s AS (
+  SELECT list_sort(list(o_totalprice)) AS v, count(*) AS n FROM orders
+)
+SELECT CAST(n AS BIGINT) AS sample_k,
+       ROUND(v[LEAST(GREATEST(CAST(ceil(0.25 * n) AS BIGINT), 1), n)], 2) AS p25,
+       ROUND(v[LEAST(GREATEST(CAST(ceil(0.50 * n) AS BIGINT), 1), n)], 2) AS p50,
+       ROUND(v[LEAST(GREATEST(CAST(ceil(0.75 * n) AS BIGINT), 1), n)], 2) AS p75,
+       ROUND(v[LEAST(GREATEST(CAST(ceil(0.90 * n) AS BIGINT), 1), n)], 2) AS p90,
+       ROUND(v[LEAST(GREATEST(CAST(ceil(0.99 * n) AS BIGINT), 1), n)], 2) AS p99
+FROM s
+"""
+
+
+def customers_without_orders(sf_dir: str, num_partitions: int = None):
     """Anti-join shape: customers with no orders — size-gated
     (``functions.joins``): broadcast NOT-``is_in`` filter while the orders
     table is under the cap, hash-partitioned ``left_anti Dataset.join``
     above it (customer-cardinality key sets aren't broadcastable at
     100 TB).  The orders side ships per-batch-distinct custkeys either way."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "orders")
     from .functions.joins import anti_join
     from .sources.tables import table_rows
 
@@ -1413,7 +1488,7 @@ def dedup_ngram_verify(
     sf_dir: str,
     threshold: float = 0.5,
     max_broadcast_docs: int = None,
-    num_partitions: int = 8,
+    num_partitions: int = None,
 ):
     """Exact n-gram Jaccard verification of MinHash-LSH candidate pairs —
     the verification itself runs DISTRIBUTED over the pair Dataset.
@@ -1428,8 +1503,10 @@ def dedup_ngram_verify(
     two hash-partitioned ``Dataset.join``s (pairs⋈documents on ``a``, then
     on ``b``) and verified inside the joined batches, so nothing
     corpus-sized ever reaches the driver."""
-    import os
-
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "documents")
     import ray
 
     from .functions.broadcast import get_cached
@@ -1520,11 +1597,13 @@ def dedup_ngram_verify(
     )
     need = pc.unique(key_tbl.column("doc_id").combine_chunks())
     # pushed-down candidate fetch: the `in` filter prunes row groups (and
-    # fragments, when the table is a directory of files) at the read
-    import pyarrow.parquet as pq
+    # fragments, when the table is a directory of files) at the read —
+    # read_arrow_filtered dispatches on the single-file AND fragment-dir
+    # layouts (tests/test_queries.py pins the directory case)
+    from .sources.tables import read_arrow_filtered
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
+    tbl = read_arrow_filtered(
+        sf_dir, "documents",
         columns=["doc_id", "text"],
         filters=[("doc_id", "in", need.to_pylist())],
     ).combine_chunks()
@@ -1545,8 +1624,11 @@ def dedup_ngram_verify(
 
 
 def media_image_features(sf_dir: str):
-    """Image decode→feature stage over the synthetic media table (decode is
-    the documented stub; plumbing/batching/features are real)."""
+    """Image decode→feature stage over the synthetic media table — the
+    decode is a REAL pure-stdlib PNG/GIF codec (``stages/media.py``:
+    zlib-inflate + per-filter reconstruction / LZW), exercised end-to-end;
+    features, batching and the actor-pool plumbing are graded by the
+    round-trip ground-truth tests in tests/test_html_media.py."""
     import ray.data
 
     from .stages.media import ImageFeatures, synth_media_table
@@ -2486,7 +2568,7 @@ FROM agg ORDER BY tfidf DESC, term LIMIT 20
 """
 
 
-def dedup_exact_keep(sf_dir: str, num_partitions: int = 8):
+def dedup_exact_keep(sf_dir: str, num_partitions: int = None):
     """Materialize the deduplicated corpus — the op a training pipeline
     actually runs after dedup analysis: one representative (min doc_id)
     per distinct text survives, annotated with its copy count.
@@ -2496,6 +2578,10 @@ def dedup_exact_keep(sf_dir: str, num_partitions: int = 8):
     size-gated ``lookup_join`` (broadcast under the cap, hash-partitioned
     ``Dataset.join`` above — same planner as the TPC-H queries), so
     document bodies never shuffle."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "documents")
     from .functions.dedup import exact_dedup
     from .functions.joins import lookup_join
     from .sources.tables import table_rows
@@ -4104,7 +4190,7 @@ FROM f, b GROUP BY decile ORDER BY decile
 # ---------------------------------------------------------------------------
 
 
-def events_type_share(sf_dir: str, num_partitions: int = 8):
+def events_type_share(sf_dir: str, num_partitions: int = None):
     """Per-type engagement rollup whose enrichment join runs through the
     SKEW-AWARE planner (``functions.joins.skew_join``): event_type is the
     canonical hot key — a handful of values covering the whole fact table,
@@ -4117,6 +4203,10 @@ def events_type_share(sf_dir: str, num_partitions: int = 8):
     Output: one row per event_type with its total row count (attached by
     the join, then verified by the re-aggregation), event count and
     distinct-user count — all integers, exactly oracle-comparable."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "events")
     from .functions.joins import _collect_arrow, skew_join
     from .sources.tables import salted_partitions, table_rows
 
@@ -4195,7 +4285,7 @@ GROUP BY e.event_type
 """
 
 
-def q7_nation_pair_volume(sf_dir: str, num_partitions: int = 8):
+def q7_nation_pair_volume(sf_dir: str, num_partitions: int = None):
     """Cross-nation shipping volume (TPC-H Q7 shape): revenue by
     (supplier nation, customer nation, ship year) over every distinct
     nation pair, 1995-1996.  (TPC-H fixes one pair; all pairs keeps the
@@ -4208,6 +4298,10 @@ def q7_nation_pair_volume(sf_dir: str, num_partitions: int = 8):
     supp-nation, year) inside the batch) pick up the customer nation from
     the enriched orders.  The 25-row nation name map is a driver broadcast.
     Nothing fact-table-sized is ever collected."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     import ray
 
     from .functions.broadcast import get_cached
@@ -4337,11 +4431,15 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
-def q14_promo_revenue(sf_dir: str, num_partitions: int = 8):
+def q14_promo_revenue(sf_dir: str, num_partitions: int = None):
     """Promotion revenue share (TPC-H Q14 shape): % of September-1997
     revenue from PROMO-type parts.  lineitem picks up ``p_type`` through
     the size-gated lookup join; both sums are map-side partials (2 numbers
     per block cross the exchange) folded on the driver into one row."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import lookup_join
     from .sources.tables import table_rows
 
@@ -4407,7 +4505,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01'
 """
 
 
-def q18_large_orders(sf_dir: str, min_qty: float = 300.0, num_partitions: int = 8):
+def q18_large_orders(sf_dir: str, min_qty: float = 300.0, num_partitions: int = None):
     """Large-volume orders (TPC-H Q18 shape): orders whose total lineitem
     quantity exceeds ``min_qty``, with customer and order details.
 
@@ -4419,6 +4517,10 @@ def q18_large_orders(sf_dir: str, min_qty: float = 300.0, num_partitions: int = 
     orderkey-grain exchange (high-cardinality uniform key — the safe
     kind).  The > cut happens on the aggregated rows, and only the few
     surviving orders flow through the two size-gated lookup joins."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     import os
 
     from .functions.joins import lookup_join
@@ -4484,11 +4586,15 @@ HAVING sum(l_quantity) > 300.0
 """
 
 
-def q19_bracket_revenue(sf_dir: str, num_partitions: int = 8):
+def q19_bracket_revenue(sf_dir: str, num_partitions: int = None):
     """Discounted revenue under disjunctive brand/size/quantity brackets
     (TPC-H Q19 shape).  lineitem picks up ``p_brand``/``p_size`` through
     the size-gated lookup join; the three-way OR evaluates vectorized per
     batch; one number per block crosses to the driver."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import lookup_join
     from .sources.tables import table_rows
 
@@ -4554,7 +4660,7 @@ WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
-def purchase_error_user_overlap(sf_dir: str, num_partitions: int = 8):
+def purchase_error_user_overlap(sf_dir: str, num_partitions: int = None):
     """Set operations over derived row sets — INTERSECT / EXCEPT collapsed
     into ONE membership aggregation: users who purchased vs users who hit
     an error.  Instead of materializing each distinct-user set and running
@@ -5105,7 +5211,7 @@ GROUP BY c.label
 """
 
 
-def q10_returned_items(sf_dir: str, num_partitions: int = 8):
+def q10_returned_items(sf_dir: str, num_partitions: int = None):
     """Top-20 customers by returned-item revenue (TPC-H Q10 shape):
     lineitem (returnflag = R) revenue per order, orders filtered to one
     quarter pick up the customer key, customer-grain sums rank globally.
@@ -5117,6 +5223,10 @@ def q10_returned_items(sf_dir: str, num_partitions: int = 8):
     table), with (revenue, custkey) as a total order so ties can't make
     LIMIT nondeterministic.  Customer details and the 25-row nation name
     map attach after the limit — 20 rows, driver-side."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     import ray
 
     from .functions.broadcast import get_cached
@@ -5308,7 +5418,18 @@ def orders_price_quantiles_approx(sf_dir: str, k: int = 4096):
     'union then keep k smallest' exactly like KMV.  Per-block ≤k-row
     partials, one tree-combine level, driver folds k rows; quantiles read
     off the sample's empirical CDF with rank error O(1/√k) (Chernoff) —
-    the tolerance pytest asserts ≤ 3/√k against DuckDB's exact ranks."""
+    the tolerance pytest asserts ≤ 3/√k against DuckDB's exact ranks.
+
+    Exact-path gate: footer rows ≤ ``QUANTILES_EXACT_CAP`` grows k to the
+    row count, so the "sample" is the whole population and the ceil(q·n)
+    ranks are EXACT — the DuckDB oracle twin reproduces that rank formula
+    over the sorted column.  Above the cap the sketch path is unchanged
+    (and genuinely approximate — no oracle claims otherwise)."""
+    from .sources.tables import table_rows
+
+    rows = table_rows(sf_dir, "orders")
+    if rows <= QUANTILES_EXACT_CAP:
+        k = max(k, rows)
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -5349,7 +5470,7 @@ def orders_price_quantiles_approx(sf_dir: str, k: int = 4096):
 LM_VOCAB_K = 2000
 
 
-def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = 8):
+def doc_lm_score(sf_dir: str, vocab_k: int = None, num_partitions: int = None):
     """CCNet-style corpus language-model quality score: train an add-one
     bigram LM on the corpus itself (top-``vocab_k`` vocabulary, rest →
     ``<unk>``) and score every document by its mean bigram log-likelihood
@@ -5559,7 +5680,7 @@ GROUP BY big.doc_id
 """
 
 
-def q15_top_supplier(sf_dir: str, num_partitions: int = 8):
+def q15_top_supplier(sf_dir: str, num_partitions: int = None):
     """Top supplier by quarterly revenue (TPC-H Q15 shape): total revenue
     per supplier over 1996-Q1 shipments; return the supplier(s) hitting
     the global maximum.
@@ -5572,6 +5693,10 @@ def q15_top_supplier(sf_dir: str, num_partitions: int = 8):
     flow through the size-gated lookup join to pick up ``s_name``.
     Revenue is exact integer e-4 (see ``_rev_e4``) so the max comparison
     and final rounding are summation-order-proof."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import lookup_join
     from .sources.tables import table_rows
 
@@ -5641,7 +5766,7 @@ WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
 
 
 def q17_small_quantity_revenue(
-    sf_dir: str, brand: str = "Brand#23", num_partitions: int = 8
+    sf_dir: str, brand: str = "Brand#23", num_partitions: int = None
 ):
     """Small-quantity-order revenue (TPC-H Q17 shape): average yearly
     revenue lost if orders under 20% of a part's mean quantity were not
@@ -5656,6 +5781,10 @@ def q17_small_quantity_revenue(
     ``5·q_e2·cnt < Σq_e2`` (quantities have 2 decimal digits) — no float
     average can flip a boundary row on either engine.  Only 1 partial row
     per block crosses the final exchange."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import lookup_join, semi_join
     from .sources.tables import table_rows
 
@@ -5754,7 +5883,7 @@ def q8_market_share(
     region: str = "ASIA",
     nation: str = "NATION_2",
     part_type: str = "ECONOMY",
-    num_partitions: int = 8,
+    num_partitions: int = None,
 ):
     """National market share (TPC-H Q8 shape): the target nation's share
     of ECONOMY-part revenue sold to ASIA-region customers, by order year,
@@ -5770,6 +5899,10 @@ def q8_market_share(
     share flag via the broadcast nation/region map → 2 exact-integer
     sums per (year, block).  The share divides two exact e-4 integers,
     so 4-dp rounding is identical on both engines."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     import ray
 
     from .functions.broadcast import get_cached
@@ -6076,7 +6209,8 @@ def q21_waiting_suppliers(
         with_date = lookup_join(
             li, forders, "l_orderkey", "o_orderkey", ["o_orderdate"],
             right_source_rows=table_rows(sf_dir, "orders"),
-            num_partitions=8,
+            # derived hash-plan P: the left side is the full lineitem scan
+            left_source_rows=table_rows(sf_dir, "lineitem"),
         )
 
         def flag_partial(batch: pa.Table) -> pa.Table:
@@ -6104,8 +6238,8 @@ def q21_waiting_suppliers(
         counts,
         read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
         "l_suppkey", "s_suppkey", ["s_name"],
+        # both sides are supplier-key grain — derived P from supplier rows
         right_source_rows=table_rows(sf_dir, "supplier"),
-        num_partitions=8,
     )
     return named.select_columns(["s_name", "numwait"])
 
@@ -6131,7 +6265,7 @@ GROUP BY s_name
 
 
 def q22_lapsed_high_balance(
-    sf_dir: str, cutoff: str = "2000-06-01", num_partitions: int = 8
+    sf_dir: str, cutoff: str = "2000-06-01", num_partitions: int = None
 ):
     """Lapsed high-balance customers per nation (TPC-H Q22 shape, the
     phone-prefix grouping replaced by ``c_nationkey`` — the synthetic
@@ -6148,6 +6282,10 @@ def q22_lapsed_high_balance(
     distinct, broadcast under the cap, hash-partitioned ``left_anti``
     above), and only (nation, count, Σcents) partials cross the final
     exchange."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "orders")
     from .functions.joins import anti_join
     from .sources.tables import table_rows
 
@@ -6245,7 +6383,7 @@ GROUP BY c_nationkey
 """
 
 
-def q9_product_profit(sf_dir: str, name_token: str = "red", num_partitions: int = 8):
+def q9_product_profit(sf_dir: str, name_token: str = "red", num_partitions: int = None):
     """Product-type profit by nation and year (TPC-H Q9 shape, supplycost
     term dropped — the synthetic schema has no partsupp table): revenue of
     '*red*'-named parts grouped by the supplier's nation and order year.
@@ -6256,6 +6394,10 @@ def q9_product_profit(sf_dir: str, name_token: str = "red", num_partitions: int 
     → +o_orderdate year (size-gated lookup) → pre-reduce to (nation,
     year) partials → ≤25-row nation broadcast resolves names map-side →
     one tiny (nation, year) exchange."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     import ray
 
     from .functions.broadcast import get_cached
@@ -6357,7 +6499,7 @@ GROUP BY n_name, o_year
 """
 
 
-def q2_min_cost_supplier(sf_dir: str, min_size: int = 25, num_partitions: int = 8):
+def q2_min_cost_supplier(sf_dir: str, min_size: int = 25, num_partitions: int = None):
     """Cheapest supplier per part (TPC-H Q2's correlated-min shape, priced
     from lineitem — the synthetic schema has no partsupp): for every part
     of size ≥ 25, the minimum observed sale price and the supplier that
@@ -6372,6 +6514,10 @@ def q2_min_cost_supplier(sf_dir: str, min_size: int = 25, num_partitions: int = 
     the one part-grain exchange, then the winners decode and pick up
     ``s_name`` via the size-gated lookup join.  The oracle expresses the
     same semantics naturally (row_number over price, suppkey)."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import lookup_join, semi_join
     from .sources.tables import table_rows
 
@@ -6454,7 +6600,7 @@ WHERE rn = 1
 """
 
 
-def q16_supplier_variety(sf_dir: str, max_size: int = 15, num_partitions: int = 8):
+def q16_supplier_variety(sf_dir: str, max_size: int = 15, num_partitions: int = None):
     """Supplier variety per part brand/size (TPC-H Q16 shape, bridged
     through lineitem — no partsupp table): distinct suppliers who sold
     non-ECONOMY parts of size ≤ 15, excluding the 'complaints' suppliers
@@ -6472,6 +6618,10 @@ def q16_supplier_variety(sf_dir: str, max_size: int = 15, num_partitions: int = 
     excluded-supplier set goes through the size-gated anti join
     (broadcast under the cap), and parts prune via the size-gated lookup
     join that also carries brand/size onto the fact rows."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import anti_join, lookup_join
     from .sources.tables import salted_partitions, table_rows
 
@@ -6562,7 +6712,7 @@ GROUP BY p_brand, p_size
 
 
 def q11_important_parts(sf_dir: str, nation_like: str = "NATION_1%",
-                        fraction: float = 0.001, num_partitions: int = 8):
+                        fraction: float = 0.001, num_partitions: int = None):
     """Important parts by revenue concentration (TPC-H Q11 shape, bridged
     through lineitem — no partsupp table; reference has no analogue, this
     is an engine-native query): per-part revenue from suppliers in the
@@ -6579,6 +6729,10 @@ def q11_important_parts(sf_dir: str, nation_like: str = "NATION_1%",
     parts can each exceed ``fraction`` of the total.  Supplier membership
     flows through the size-gated semi join; the nation group resolves on
     the driver from the always-tiny nation dimension."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import semi_join
     from .sources.tables import read_arrow, table_rows
 
@@ -6658,7 +6812,7 @@ WHERE CAST(value_e4 AS DOUBLE) > (SELECT CAST(sum(value_e4) AS DOUBLE) FROM vals
 """
 
 
-def q12_priority_class_lines(sf_dir: str, year: int = 1996, num_partitions: int = 8):
+def q12_priority_class_lines(sf_dir: str, year: int = 1996, num_partitions: int = None):
     """Priority mix of shipped lines (TPC-H Q12 shape reshaped to this
     star schema — the tables carry no shipmode/commitdate/receiptdate, so
     the pivot key is ``l_returnflag``): per return flag, how many ``year``
@@ -6670,6 +6824,10 @@ def q12_priority_class_lines(sf_dir: str, year: int = 1996, num_partitions: int 
     lookup join (orderkey is high-cardinality and uniform — no skew); the
     conditional pivot pre-reduces to (returnflag, high, low) per block so
     ≤ |flags| rows per block cross the final exchange."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import lookup_join
     from .sources.tables import table_rows
 
@@ -6744,7 +6902,7 @@ GROUP BY l_returnflag
 
 
 def q20_potential_promotion(
-    sf_dir: str, min_qty: float = 150.0, num_partitions: int = 8
+    sf_dir: str, min_qty: float = 150.0, num_partitions: int = None
 ):
     """Suppliers shipping heavy volumes of promotable parts (TPC-H Q20
     shape, availqty test replaced by a shipped-quantity HAVING — no
@@ -6757,6 +6915,10 @@ def q20_potential_promotion(
     can't flip on float summation order; only (suppkey, Σq100) partials
     cross the one exchange, and the few winners pick up ``s_name`` via
     the size-gated lookup join."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "lineitem")
     from .functions.joins import lookup_join, semi_join
     from .sources.tables import table_rows
 
@@ -7119,7 +7281,20 @@ SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_view,
 _SOURCE_PRIORITY = ["src0", "src1", "src2", "src3"]
 
 
-def dedup_exact_keep_best(sf_dir: str, num_partitions: int = 8):
+def _keep_best_salt_partitions(source_rows: int) -> int:
+    """Salt P for the keep-best dedup exchange: the footer-rows clamp
+    capped at ``_SALTED_DEDUP_MAX_P`` — ``_hash_salt`` decodes at most 4
+    hex chars (16 bits), so a larger P would silently alias back to 2^16
+    effective partitions (ADVICE round 3).  Answers are P-invariant; only
+    the per-partition group size grows past ~10^11 rows, where
+    ``exact_dedup``'s sort fallback is the documented escape hatch."""
+    from .functions.dedup import _SALTED_DEDUP_MAX_P
+    from .sources.tables import salted_partitions
+
+    return min(salted_partitions(source_rows), _SALTED_DEDUP_MAX_P)
+
+
+def dedup_exact_keep_best(sf_dir: str, num_partitions: int = None):
     """Policy dedup — keep the BEST copy per duplicate text, not the
     arbitrary min-id one: exact duplicates collapse to the copy from the
     most-curated source (``_SOURCE_PRIORITY`` order, doc_id tiebreak).
@@ -7135,11 +7310,15 @@ def dedup_exact_keep_best(sf_dir: str, num_partitions: int = 8):
     the ``exact_dedup`` argument) finalizes min/sum in-partition carrying
     (hash, comb, count) only — never a document body; survivors pick
     their attributes back up through the size-gated lookup join."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "documents")
     from .functions.dedup import _hash_salt, content_hash_batch
     from .functions.joins import lookup_join
-    from .sources.tables import salted_partitions, table_rows
+    from .sources.tables import table_rows
 
-    P = salted_partitions(table_rows(sf_dir, "documents"))
+    P = _keep_best_salt_partitions(table_rows(sf_dir, "documents"))
 
     prio_set = pa.array(_SOURCE_PRIORITY)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
@@ -7460,7 +7639,7 @@ WHERE rn <= 10
 """
 
 
-def corpus_build_pipeline(sf_dir: str, num_partitions: int = 8):
+def corpus_build_pipeline(sf_dir: str, num_partitions: int = None):
     """The end-to-end training-corpus build — the composition a data team
     actually ships: quality-threshold pruning (drop the worst quartile) →
     exact dedup (min-id survivor among the KEPT docs) → overlapping
@@ -7473,6 +7652,10 @@ def corpus_build_pipeline(sf_dir: str, num_partitions: int = 8):
     through the size-gated semi join; chunking is a map-side explode.
     The one corpus-grain shuffle in the whole pipeline is the dedup
     groupby."""
+    if num_partitions is None:
+        # hash-plan P from the query's largest join side (footer rows) —
+        # a fixed count would put |fact|/P rows on one aggregator at 100 TB
+        num_partitions = _hash_join_partitions(sf_dir, "documents")
     from .functions.dedup import exact_dedup
     from .functions.joins import semi_join
     from .sources.tables import table_rows
@@ -9419,8 +9602,9 @@ ORACLE_SQL: Dict[str, str] = {
     "customers_without_orders": CUSTOMERS_NO_ORDERS_SQL,
     "doc_embedding_join": DOC_EMB_JOIN_SQL,
     "parts_price_band_join": PARTS_BAND_SQL,
-    # approx_distinct_orders: sketch estimate → rows-only (self-validating
-    # exact/rel_error columns; tolerance asserted in tests)
+    # exact-path-gated (rows ≤ APPROX_DISTINCT_EXACT_CAP → sketch is exact);
+    # the sketch path above the cap stays tolerance-asserted in pytest
+    "approx_distinct_orders": APPROX_DISTINCT_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "customer_nation_rollup": CUSTOMER_NATION_SQL,
     "top_parts_by_retail": TOP_PARTS_SQL,
@@ -9540,8 +9724,9 @@ ORACLE_SQL: Dict[str, str] = {
     # determinism pinned in tests/test_dedup_ann.py
     # corpus_heavy_hitters: Misra-Gries sketch (undercounted estimates by
     # design) → rows-only; the 2N/(k+1) guarantee is asserted in pytest
-    # orders_price_quantiles_approx: hash-sample quantile sketch → rows-only;
-    # rank error ≤ 3/√k asserted vs DuckDB exact CDF in pytest
+    # exact-path-gated (rows ≤ QUANTILES_EXACT_CAP → sample = population);
+    # the sketch path above the cap stays rank-error-asserted in pytest
+    "orders_price_quantiles_approx": ORDERS_QUANTILES_APPROX_SQL,
     # dedup_near_keep: MinHash-sketch keep list → rows-only; composition
     # pinned against union-find ground truth in tests/test_components.py
     # doc_fingerprints / dedup_minhash / dedup_simhash / dedup_embeddings /

@@ -40,6 +40,23 @@ def read_arrow(sf_dir: str, name: str, columns: Optional[List[str]] = None):
     return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def read_arrow_filtered(sf_dir: str, name: str,
+                        columns: Optional[List[str]] = None, filters=None):
+    """Driver-side PUSHED-DOWN Arrow fetch: ``filters`` prune row groups
+    (and whole fragment files) before any data is decoded, so this is safe
+    for a bounded candidate fetch out of an arbitrarily large table — the
+    bound is on the SELECTED rows, never the table.  Accepts the table as
+    a single ``<name>.parquet`` file or as a directory of fragment files
+    (the production layout); ``pq.read_table`` dispatches on both."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}")
+    return pq.read_table(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns, filters=filters
+    )
+
+
 def lance_available() -> bool:
     try:
         import lance  # noqa: F401

@@ -1,0 +1,233 @@
+"""Round-4 fixes pinned: driver-sample ordering, derived hash-join
+partition counts, directory-layout candidate fetch, salted-plan bit
+mixing, parquet-leaf statistics resolution, exact-path sketch oracles."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _to_pd(r):
+    import ray.data
+
+    if isinstance(r, ray.data.Dataset):
+        return r.to_pandas()
+    if isinstance(r, pa.Table):
+        return r.to_pandas()
+    return r
+
+
+def test_queries_entry_orders_oracle_backed_first():
+    """The driver's correctness gate samples the first 50 queries() keys in
+    insertion order — every one of those slots must carry an oracle twin."""
+    import __ray_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    keys = list(q)
+    assert len(keys) >= 50
+    missing = [k for k in keys[:50] if k not in o]
+    assert not missing, f"rows-only entries inside the driver sample: {missing}"
+    # and nothing was dropped by the reordering
+    from b_pdf_parser_ray.queries import QUERIES
+
+    assert set(keys) == set(QUERIES)
+
+
+def test_join_partitions_derived_from_footer_rows():
+    """Hash-plan num_partitions derives from the larger side's row bound:
+    fixed-8 was the round-3 verdict's one scale-killer-shaped default."""
+    from b_pdf_parser_ray.functions.joins import (
+        JOIN_MIN_PARTITIONS,
+        join_partitions,
+    )
+
+    assert JOIN_MIN_PARTITIONS == 8
+    # fixture scales stay on the historical floor (oracle tests pin plans)
+    assert join_partitions(60_000, 15_000) == 8
+    assert join_partitions(None, None) == 8
+    # a synthetic large-footer fact side fans out: 10^9 rows / 2M target
+    assert join_partitions(1_000_000_000, 15_000) == 500
+    # the bound is the max of however many sides are known
+    assert join_partitions(1_000, 40_000_000) == 20
+    assert join_partitions(None, 40_000_000) == 20
+
+
+def test_query_hash_join_partitions_wired_to_table_rows(monkeypatch):
+    """_hash_join_partitions (every gated query's resolver) must read the
+    table's footer rows — a synthetic large-footer table yields P > 8."""
+    import b_pdf_parser_ray.queries as q
+    import b_pdf_parser_ray.sources.tables as tables
+
+    monkeypatch.setattr(tables, "table_rows", lambda sf, name: 1_000_000_000)
+    assert q._hash_join_partitions(SF, "lineitem") == 500
+    monkeypatch.undo()
+    assert q._hash_join_partitions(SF, "lineitem") == 8
+
+
+def test_ngram_verify_directory_layout_documents(ray_session, tmp_path):
+    """The under-cap candidate fetch must work when the documents table is
+    a DIRECTORY of fragment files (the production layout), and produce the
+    same pairs as the single-file layout."""
+    from b_pdf_parser_ray.queries import dedup_ngram_verify
+
+    single = _to_pd(dedup_ngram_verify(SF)).sort_values(
+        ["doc_a", "doc_b"], ignore_index=True
+    )
+
+    frag_sf = tmp_path / "sfdir"
+    frag_sf.mkdir()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"))
+    ddir = frag_sf / "documents.parquet"
+    ddir.mkdir()
+    half = docs.num_rows // 2
+    pq.write_table(docs.slice(0, half), ddir / "part-000.parquet")
+    pq.write_table(docs.slice(half), ddir / "part-001.parquet")
+
+    fragged = _to_pd(dedup_ngram_verify(str(frag_sf))).sort_values(
+        ["doc_a", "doc_b"], ignore_index=True
+    )
+    assert len(single) > 0
+    pd.testing.assert_frame_equal(single, fragged, check_dtype=False)
+
+
+def test_column_min_max_resolves_parquet_leaves(tmp_path):
+    """Statistics are indexed by PARQUET LEAF position; with a nested
+    column ahead of the target the Arrow-schema index would read the wrong
+    column's stats.  The leaf-path resolver must return the right range
+    for flat columns and None (fallback) for nested ones."""
+    from b_pdf_parser_ray.functions.agg import column_min_max
+
+    tbl = pa.table(
+        {
+            "nested": pa.array([[1, 2], [900], []], type=pa.list_(pa.int64())),
+            "flat": pa.array([5, -3, 12], type=pa.int64()),
+        }
+    )
+    path = tmp_path / "t.parquet"
+    pq.write_table(tbl, path)
+    assert column_min_max(str(path), "flat") == (-3, 12)
+    # a nested field has no single leaf named 'nested' → provably-unsafe,
+    # caller falls back to the exchange plan
+    assert column_min_max(str(path), "nested") is None
+    assert column_min_max(str(path), "missing") is None
+
+
+def test_grouped_agg_salted_plan_strided_keys(ray_session):
+    """ADVICE round 3: raw low-bit salting collapses strided integer keys
+    (all multiples of 16 → one partition).  The mixed salt must (a) stay
+    exact and (b) actually spread strided keys across partitions."""
+    import ray.data
+
+    from b_pdf_parser_ray.functions.agg import grouped_agg
+
+    n, P = 4096, 16
+    keys = (np.arange(n, dtype=np.int64) % 64) * 16  # 64 distinct, stride 16
+    vals = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": keys, "v": vals})
+    ).repartition(8)
+    out = (
+        grouped_agg(
+            ds, ["k"], [("v", "sum", "s"), (None, "count", "n")],
+            salt_key="k", salt_partitions=P,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    df = pd.DataFrame({"k": keys, "v": vals})
+    want = (
+        df.groupby("k", as_index=False)
+        .agg(s=("v", "sum"), n=("v", "size"))
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+    # distribution: the mix must route 64 strided keys across partitions
+    # (raw & (P-1) sends ALL of them to partition 0)
+    from b_pdf_parser_ray.functions.joins import _splitmix64
+
+    parts = set(
+        (_splitmix64(keys.astype(np.uint64)) & np.uint64(P - 1)).tolist()
+    )
+    assert len(parts) > P // 2, f"mixed salt used only {len(parts)} partitions"
+
+
+@pytest.mark.parametrize(
+    "name", ["approx_distinct_orders", "orders_price_quantiles_approx"]
+)
+def test_sketch_exact_path_oracles(ray_session, name):
+    """Below the exact-path caps the sketches provably see everything, so
+    their new DuckDB oracle twins must match bit-for-bit at fixture scale."""
+    from b_pdf_parser_ray.queries import ORACLE_SQL, QUERIES
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    got = _norm(_to_pd(QUERIES[name](SF)))
+    want = _norm(con.sql(ORACLE_SQL[name]).df())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+    )
+
+
+def test_cluster_profile_inert_at_local_sizes(ray_session):
+    """cluster_profile(1) must reproduce the exact defaults this box runs
+    under — applying it is a no-op; a 256-node profile must switch to hash
+    shuffle and raise the join floor to the fleet size."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    import b_pdf_parser_ray.functions.joins as joins
+    from b_pdf_parser_ray.cluster import apply_cluster_profile, cluster_profile
+
+    local = cluster_profile(1, 32)
+    assert local.shuffle_strategy == "SORT_SHUFFLE_PULL_BASED"
+    assert local.join_min_partitions == joins.JOIN_MIN_PARTITIONS == 8
+    assert local.target_max_block_size == 128 * 1024 * 1024
+
+    ctx = DataContext.get_current()
+    before = (ctx.shuffle_strategy, ctx.target_max_block_size,
+              joins.JOIN_MIN_PARTITIONS)
+    apply_cluster_profile(local)
+    after = (ctx.shuffle_strategy, ctx.target_max_block_size,
+             joins.JOIN_MIN_PARTITIONS)
+    assert before == after, "local profile must be inert"
+
+    wide = cluster_profile(256, 32)
+    assert wide.shuffle_strategy == "HASH_SHUFFLE"
+    assert wide.join_min_partitions == 2 * 256 * 32
+    # apply + restore: the floor feeds join_partitions at call time
+    try:
+        apply_cluster_profile(wide)
+        assert joins.join_partitions(1_000) == 2 * 256 * 32
+        assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+    finally:
+        apply_cluster_profile(local)
+    assert joins.join_partitions(1_000) == 8
+
+
+def test_keep_best_salt_capped_at_hash_decode_bound():
+    """dedup_exact_keep_best's salt P must clamp to _SALTED_DEDUP_MAX_P —
+    _hash_salt decodes at most 4 hex chars, so a larger P would silently
+    alias partitions (ADVICE round 3)."""
+    from b_pdf_parser_ray.functions.dedup import _SALTED_DEDUP_MAX_P
+    from b_pdf_parser_ray.queries import _keep_best_salt_partitions
+
+    assert _keep_best_salt_partitions(1_000) == 64  # small-corpus floor
+    # 10^12 rows would want 2^19 partitions; the 16-bit decode caps it
+    assert _keep_best_salt_partitions(10**12) == _SALTED_DEDUP_MAX_P == 65_536
