@@ -241,6 +241,13 @@ def _init_ray(num_cpus: int) -> None:
             # must not time the log pipe
             log_to_driver=False,
         )
+        # progress-bar machinery ticks per executor loop even without a TTY
+        # — measured ~0.03-0.06 s per execution; a benchmark must not pay it
+        from ray.data.context import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+        ctx.enable_operator_progress_bars = False
 
 
 def main() -> None:
@@ -369,6 +376,7 @@ def main() -> None:
             ray.shutdown()
             return
         results = {}
+        cpu0 = _cpu_sample()
         for sweep in range(2):
             for cpus in (4, 16):
                 out = subprocess.run(
@@ -389,6 +397,7 @@ def main() -> None:
             "metric": "pdf_bytes_scaling_efficiency_4_to_16_cpus",
             "value": round(eff, 3), "unit": "ratio", "docs": n_docs,
             "docs_per_sec": {str(c): results[c]["docs_per_sec"] for c in results},
+            "host_steal_pct": _steal_pct(cpu0, _cpu_sample()),
         }))
         return
 

@@ -53,6 +53,10 @@ def main():
         logging_level="ERROR",
         log_to_driver=False,
     )
+    from ray.data.context import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().enable_operator_progress_bars = False
     import __ray_entry__ as e
 
     Q, O = e.queries(), e.oracle_sql()

@@ -20,7 +20,7 @@ def test_grouping_sets_levels_are_consistent(ray_session):
     are the sums of the finest level it aggregates, and the grand total
     matches the whole fact table — a wrong single-pass derivation (e.g.
     double-counting a union branch) breaks these identities."""
-    df = events_grouping_sets(SF_DIR).to_pandas()
+    df = events_grouping_sets(SF_DIR)  # pandas since the shared-frame rewrite
     finest = df[df["grouping_id"] == 0]
     by_type = df[df["grouping_id"] == 1].set_index("event_type")
     by_day = df[df["grouping_id"] == 2].set_index("day")

@@ -221,6 +221,38 @@ def test_cluster_profile_inert_at_local_sizes(ray_session):
     assert joins.join_partitions(1_000) == 8
 
 
+def test_shared_frame_cache_and_fingerprint(ray_session, tmp_path):
+    """Shared-family frames: one execution feeds the family's members via
+    a cache keyed on the table's on-disk state — siblings reuse it, and a
+    rewritten table invalidates it (no stale results across corpora)."""
+    import shutil
+
+    from b_pdf_parser_ray import queries as q
+
+    q._SHARED_FRAME_CACHE.clear()
+    first = q.lang_counts(SF)
+    assert any(k[0] == "doc_enum" for k in q._SHARED_FRAME_CACHE)
+    keys_before = set(q._SHARED_FRAME_CACHE)
+    q.top_sources_by_chars(SF)  # sibling: same frame, no new entry
+    assert set(q._SHARED_FRAME_CACHE) == keys_before
+
+    # invalidation: a modified documents table must recompute
+    sf2 = tmp_path / "sf"
+    sf2.mkdir()
+    shutil.copy(os.path.join(SF, "documents.parquet"),
+                sf2 / "documents.parquet")
+    a = q.lang_counts(str(sf2))
+    pd.testing.assert_frame_equal(
+        a.sort_values("lang", ignore_index=True),
+        first.sort_values("lang", ignore_index=True),
+    )
+    docs = pq.read_table(sf2 / "documents.parquet")
+    pq.write_table(docs.slice(0, docs.num_rows // 2),
+                   sf2 / "documents.parquet")
+    b = q.lang_counts(str(sf2))
+    assert int(b["n_docs"].sum()) == docs.num_rows // 2
+
+
 def test_keep_best_salt_capped_at_hash_decode_bound():
     """dedup_exact_keep_best's salt P must clamp to _SALTED_DEDUP_MAX_P —
     _hash_salt decodes at most 4 hex chars, so a larger P would silently
