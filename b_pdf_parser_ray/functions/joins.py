@@ -83,6 +83,26 @@ def _collect_arrow(ds) -> pa.Table:
     return pa.concat_tables(tables).combine_chunks()
 
 
+def _force(ds):
+    """Resolve a lazy Dataset argument: join sides may be passed as
+    zero-arg callables so the plan NOT taken never pays its construction
+    (building a semi-join side under the broadcast gate eagerly collects
+    its own keys — a whole streaming execution)."""
+    return ds() if callable(ds) else ds
+
+
+def _driver_keys(obj, key: str) -> pa.Array:
+    """Distinct non-null keys from a DRIVER-side source (the ``keys_driver``
+    thunk's return: an Arrow table holding ``key``, or an array/chunked
+    array) — the same unique + drop-null semantics as :func:`_collect_keys`
+    so the two key sources are interchangeable."""
+    if isinstance(obj, pa.Table):
+        obj = obj.column(key)
+    if isinstance(obj, pa.ChunkedArray):
+        obj = obj.combine_chunks()
+    return pc.drop_null(pc.unique(obj))
+
+
 def _collect_keys(keys_ds, key: str) -> pa.Array:
     """Distinct non-null keys of a (bounded) Dataset as one Arrow array:
     per-batch unique partials, driver-side final unique.  Nulls are dropped
@@ -213,8 +233,21 @@ def semi_join(
     num_partitions: int = None,
     left_source_rows: int = None,
     bloom_prefilter: bool = False,
+    keys_driver=None,
 ):
     """Rows of ``left_ds`` whose ``left_key`` appears in ``keys_ds[right_key]``.
+
+    ``keys_driver`` (optional): a zero-arg callable returning the key side
+    as a driver-side Arrow table/array — used ONLY when the broadcast plan
+    is selected, replacing the ``_collect_keys`` Ray execution (a whole
+    streaming-executor run, ~0.4 s fixed on this box) with a direct footer-
+    pruned parquet read.  Safe by the same gate that makes the broadcast
+    plan safe: it is called only when ``right_source_rows`` (a provable
+    upper bound) is under the cap, so it never materializes more than the
+    Ray collect would have.  Above the cap the hash plan runs and the
+    thunk is never invoked; ``keys_ds`` stays the source of truth there,
+    and the unique/drop-null semantics below are applied identically to
+    both key sources.
 
     ``num_partitions=None`` (the default) derives the hash plan's partition
     count from the footer row bounds of both sides (:func:`join_partitions`
@@ -240,7 +273,11 @@ def semi_join(
 
         from .broadcast import get_cached
 
-        keys = _collect_keys(keys_ds, right_key)
+        keys = (
+            _driver_keys(keys_driver(), right_key)
+            if keys_driver is not None
+            else _collect_keys(_force(keys_ds), right_key)
+        )
         if len(keys) == 0:  # empty key side: nothing can match
             return left_ds.limit(0)
         keys_ref = ray.put(keys)
@@ -285,7 +322,7 @@ def semi_join(
 
         left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
     return left_ds.join(
-        keys_ds,
+        _force(keys_ds),
         join_type="left_semi",
         num_partitions=num_partitions,
         on=(left_key,),
@@ -303,9 +340,11 @@ def anti_join(
     max_broadcast_rows: int = None,
     num_partitions: int = None,
     left_source_rows: int = None,
+    keys_driver=None,
 ):
     """Rows of ``left_ds`` whose ``left_key`` does NOT appear in
-    ``keys_ds[right_key]`` (partition derivation as in :func:`semi_join`)."""
+    ``keys_ds[right_key]`` (partition derivation and the ``keys_driver``
+    broadcast-plan short-cut as in :func:`semi_join`)."""
     if max_broadcast_rows is None:
         max_broadcast_rows = BROADCAST_MAX_SOURCE_ROWS
     if num_partitions is None:
@@ -315,7 +354,11 @@ def anti_join(
 
         from .broadcast import get_cached
 
-        keys = _collect_keys(keys_ds, right_key)
+        keys = (
+            _driver_keys(keys_driver(), right_key)
+            if keys_driver is not None
+            else _collect_keys(_force(keys_ds), right_key)
+        )
         if len(keys) == 0:  # empty key side: every left row survives
             return left_ds
         keys_ref = ray.put(keys)
@@ -332,7 +375,7 @@ def anti_join(
 
         return left_ds.map_batches(filt, batch_format="pyarrow")
     return left_ds.join(
-        keys_ds,
+        _force(keys_ds),
         join_type="left_anti",
         num_partitions=num_partitions,
         on=(left_key,),
@@ -408,6 +451,7 @@ def skew_join(
     left_source_rows: int = None,
     hot_key_fraction: float = None,
     hot_keys=None,
+    right_driver=None,
 ):
     """Skew-aware inner equi-join appending ``value_cols`` (``right_key``
     unique on the right, as in :func:`lookup_join`).
@@ -452,6 +496,7 @@ def skew_join(
             right_source_rows=right_source_rows,
             max_broadcast_rows=max_broadcast_rows,
             num_partitions=num_partitions,
+            right_driver=right_driver,
         )
 
     import ray
@@ -527,6 +572,7 @@ def lookup_join(
     max_broadcast_rows: int = None,
     num_partitions: int = None,
     left_source_rows: int = None,
+    right_driver=None,
 ):
     """Inner equi-join that APPENDS ``value_cols`` from ``right_ds`` (whose
     ``right_key`` is unique — a dimension/entity table) to ``left_ds``.
@@ -554,7 +600,12 @@ def lookup_join(
 
         from .broadcast import get_cached
 
-        tbl = _collect_arrow(right_ds)
+        # right_driver: zero-arg thunk returning the (projected) right side
+        # as a driver-side Arrow table — replaces the _collect_arrow Ray
+        # execution when the broadcast plan is selected; never called above
+        # the gate (see semi_join's keys_driver contract)
+        tbl = right_driver() if right_driver is not None else _collect_arrow(
+            _force(right_ds))
         if right_key not in tbl.column_names or tbl.num_rows == 0:
             # empty lookup side: inner join yields no rows (note: the
             # appended value columns are unknowable here, so the result
@@ -577,7 +628,7 @@ def lookup_join(
 
         return left_ds.map_batches(join_batch, batch_format="pyarrow")
     return left_ds.join(
-        right_ds,
+        _force(right_ds),
         join_type="inner",
         num_partitions=num_partitions,
         on=(left_key,),

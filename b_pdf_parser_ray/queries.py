@@ -35,7 +35,7 @@ from .functions.textstats import (
     term_freq_batch,
     token_stats_batch,
 )
-from .sources.tables import read_arrow, read_table
+from .sources.tables import read_arrow, read_arrow_filtered, read_table
 from .stages.extract import TextExtractor
 
 def _hash_join_partitions(sf_dir: str, table: str) -> int:
@@ -147,11 +147,31 @@ def q3_top_revenue_orders(sf_dir: str, num_partitions: int = None):
         ),
         batch_format="pyarrow",
     )
-    order_keys = semi_join(
-        orders, cust, "o_custkey", "c_custkey",
-        right_source_rows=table_rows(sf_dir, "customer"),
-        num_partitions=num_partitions,
-    ).select_columns(["o_orderkey"])
+    def driver_order_keys() -> pa.Table:
+        """BUILDING-segment orderkeys computed entirely on the driver —
+        valid only under the broadcast gate (orders footer rows ≤ cap,
+        the same bound that lets the Ray plan collect them), where it
+        replaces two streaming executions with two footer-pruned reads."""
+        bkeys = pc.drop_null(pc.unique(
+            read_arrow_filtered(
+                sf_dir, "customer", columns=["c_custkey"],
+                filters=[("c_mktsegment", "==", "BUILDING")],
+            ).column("c_custkey").combine_chunks()
+        ))
+        ot = read_arrow_filtered(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+            filters=[("o_orderdate", "<", pd.Timestamp("1998-01-01"))],
+        )
+        return ot.filter(
+            pc.is_in(ot.column("o_custkey"), value_set=bkeys)
+        ).select(["o_orderkey"])
+
+    def order_keys_ds():
+        return semi_join(
+            orders, cust, "o_custkey", "c_custkey",
+            right_source_rows=table_rows(sf_dir, "customer"),
+            num_partitions=num_partitions,
+        ).select_columns(["o_orderkey"])
 
     def revenue_cols(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -175,7 +195,9 @@ def q3_top_revenue_orders(sf_dir: str, num_partitions: int = None):
 
         from .functions.broadcast import get_cached
 
-        keys_ref = ray.put(_collect_keys(order_keys, "o_orderkey"))
+        from .functions.joins import _driver_keys
+
+        keys_ref = ray.put(_driver_keys(driver_order_keys(), "o_orderkey"))
 
         def pre(t: pa.Table) -> pa.Table:
             mask = pc.is_in(t.column("l_orderkey"), value_set=get_cached(keys_ref))
@@ -209,9 +231,10 @@ def q3_top_revenue_orders(sf_dir: str, num_partitions: int = None):
         agg = (
             semi_join(
                 li.map_batches(revenue_partial, batch_format="pyarrow"),
-                order_keys, "l_orderkey", "o_orderkey",
+                order_keys_ds(), "l_orderkey", "o_orderkey",
                 right_source_rows=table_rows(sf_dir, "orders"),
                 num_partitions=num_partitions,
+                keys_driver=driver_order_keys,
             )
             .groupby("l_orderkey")
             .aggregate(Sum("revenue", alias_name="revenue"))
@@ -289,6 +312,9 @@ def q5_nation_revenue(sf_dir: str, num_partitions: int = None):
         orders, "l_orderkey", "o_orderkey", ["o_custkey"],
         right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
+        # broadcast plan: skip the collect execution — plain projection
+        right_driver=lambda: read_arrow(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
     )
 
     # pre-aggregate by custkey per batch before the customer exchange — the
@@ -303,6 +329,8 @@ def q5_nation_revenue(sf_dir: str, num_partitions: int = None):
         cust, "o_custkey", "c_custkey", ["c_nationkey"],
         right_source_rows=table_rows(sf_dir, "customer"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
     )
 
     from .functions.broadcast import get_cached
@@ -428,6 +456,9 @@ def q4_order_priority(sf_dir: str, num_partitions: int = None):
         late, "o_orderkey", "l_orderkey",
         right_source_rows=table_rows(sf_dir, "lineitem"),
         num_partitions=num_partitions,
+        keys_driver=lambda: read_arrow_filtered(
+            sf_dir, "lineitem", columns=["l_orderkey"],
+            filters=[("l_returnflag", "==", "R")]),
     )
     return grouped_agg(
         kept.select_columns(["o_orderpriority"]),
@@ -625,6 +656,9 @@ def customers_without_orders(sf_dir: str, num_partitions: int = None):
             cust, have, "c_custkey", "o_custkey",
             right_source_rows=table_rows(sf_dir, "orders"),
             num_partitions=num_partitions,
+            # broadcast plan: the key set is a plain orders projection
+            keys_driver=lambda: read_arrow(
+                sf_dir, "orders", columns=["o_custkey"]),
         )
         # no sort: customer-table-sized output; the driver compare is
         # row-order-insensitive
@@ -4440,6 +4474,8 @@ def q7_nation_pair_volume(sf_dir: str, num_partitions: int = None):
         "l_suppkey", "s_suppkey", ["s_nationkey"],
         right_source_rows=table_rows(sf_dir, "supplier"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
     )
 
     def li_partial(batch: pa.Table) -> pa.Table:
@@ -4460,6 +4496,8 @@ def q7_nation_pair_volume(sf_dir: str, num_partitions: int = None):
         "l_orderkey", "o_orderkey", ["o_custkey"],
         right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
     )
 
     def cust_partial(batch: pa.Table) -> pa.Table:
@@ -4475,6 +4513,8 @@ def q7_nation_pair_volume(sf_dir: str, num_partitions: int = None):
         "o_custkey", "c_custkey", ["c_nationkey"],
         right_source_rows=table_rows(sf_dir, "customer"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
     )
 
     def to_pair(batch: pa.Table) -> pa.Table:
@@ -4565,6 +4605,8 @@ def q14_promo_revenue(sf_dir: str, num_partitions: int = None):
         "l_partkey", "p_partkey", ["p_type"],
         right_source_rows=table_rows(sf_dir, "part"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "part", columns=["p_partkey", "p_type"]),
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -4652,6 +4694,9 @@ def q18_large_orders(sf_dir: str, min_qty: float = 300.0, num_partitions: int = 
         "l_orderkey", "o_orderkey", ["o_custkey", "o_orderdate", "o_totalprice"],
         right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
     )
     out = lookup_join(
         big_orders,
@@ -4659,6 +4704,8 @@ def q18_large_orders(sf_dir: str, min_qty: float = 300.0, num_partitions: int = 
         "o_custkey", "c_custkey", ["c_name"],
         right_source_rows=table_rows(sf_dir, "customer"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "customer", columns=["c_custkey", "c_name"]),
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -4704,6 +4751,8 @@ def q19_bracket_revenue(sf_dir: str, num_partitions: int = None):
         "l_partkey", "p_partkey", ["p_brand", "p_size"],
         right_source_rows=table_rows(sf_dir, "part"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]),
     )
 
     def bracket(brand, size_lo, size_hi, qty_lo, qty_hi):
@@ -5338,6 +5387,12 @@ def q10_returned_items(sf_dir: str, num_partitions: int = None):
         orders, "l_orderkey", "o_orderkey", ["o_custkey"],
         right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
+        # broadcast plan: the SAME date window, pushed into the footer-
+        # pruned driver read (row groups outside it never decode)
+        right_driver=lambda: read_arrow_filtered(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+            filters=[("o_orderdate", ">=", pd.Timestamp("1995-10-01")),
+                     ("o_orderdate", "<", pd.Timestamp("1996-01-01"))]),
     )
 
     per_cust = grouped_agg(
@@ -5816,6 +5871,8 @@ def q15_top_supplier(sf_dir: str, num_partitions: int = None):
         "s_suppkey", "s_suppkey", ["s_name"],
         right_source_rows=table_rows(sf_dir, "supplier"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -5881,6 +5938,10 @@ def q17_small_quantity_revenue(
             li, brand_parts(), "l_partkey", "p_partkey",
             right_source_rows=table_rows(sf_dir, "part"),
             num_partitions=num_partitions,
+            # broadcast plan: same brand filter pushed into the driver read
+            keys_driver=lambda: read_arrow_filtered(
+                sf_dir, "part", columns=["p_partkey"],
+                filters=[("p_brand", "==", brand)]),
         )
 
     def q_e2(batch: pa.Table) -> pa.Array:
@@ -6008,6 +6069,9 @@ def q8_market_share(
         li, typed_parts, "l_partkey", "p_partkey",
         right_source_rows=table_rows(sf_dir, "part"),
         num_partitions=num_partitions,
+        keys_driver=lambda: read_arrow_filtered(
+            sf_dir, "part", columns=["p_partkey"],
+            filters=[("p_type", "==", part_type)]),
     )
 
     def li_prep(batch: pa.Table) -> pa.Table:
@@ -6023,6 +6087,8 @@ def q8_market_share(
         "l_suppkey", "s_suppkey", ["s_nationkey"],
         right_source_rows=table_rows(sf_dir, "supplier"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
     )
 
     def order_partial(batch: pa.Table) -> pa.Table:
@@ -6038,6 +6104,9 @@ def q8_market_share(
         "l_orderkey", "o_orderkey", ["o_custkey", "o_orderdate"],
         right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"]),
     )
 
     lo = pa.scalar(pd.Timestamp("1995-01-01"), type=pa.timestamp("us"))
@@ -6066,6 +6135,8 @@ def q8_market_share(
         "o_custkey", "c_custkey", ["c_nationkey"],
         right_source_rows=table_rows(sf_dir, "customer"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
     )
 
     def share_partial(batch: pa.Table) -> pa.Table:
@@ -6287,6 +6358,9 @@ def q21_waiting_suppliers(
             right_source_rows=table_rows(sf_dir, "orders"),
             # derived hash-plan P: the left side is the full lineitem scan
             left_source_rows=table_rows(sf_dir, "lineitem"),
+            right_driver=lambda: read_arrow_filtered(
+                sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                filters=[("o_orderstatus", "==", "F")]),
         )
 
         def flag_partial(batch: pa.Table) -> pa.Table:
@@ -6316,6 +6390,8 @@ def q21_waiting_suppliers(
         "l_suppkey", "s_suppkey", ["s_name"],
         # both sides are supplier-key grain — derived P from supplier rows
         right_source_rows=table_rows(sf_dir, "supplier"),
+        right_driver=lambda: read_arrow(
+            sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
     )
     return named.select_columns(["s_name", "numwait"])
 
@@ -6415,6 +6491,9 @@ def q22_lapsed_high_balance(
         rich, recent, "c_custkey", "o_custkey",
         right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
+        keys_driver=lambda: read_arrow_filtered(
+            sf_dir, "orders", columns=["o_custkey"],
+            filters=[("o_orderdate", ">=", pd.Timestamp(cutoff))]),
     )
 
     def nation_partial(batch: pa.Table) -> pa.Table:
@@ -6499,6 +6578,12 @@ def q9_product_profit(sf_dir: str, name_token: str = "red", num_partitions: int 
         li, red_parts, "l_partkey", "p_partkey",
         right_source_rows=table_rows(sf_dir, "part"),
         num_partitions=num_partitions,
+        # broadcast plan: same match_substring kernel, driver-side
+        keys_driver=lambda: (
+            lambda t: t.filter(
+                pc.match_substring(t.column("p_name"), name_token)
+            ).select(["p_partkey"])
+        )(read_arrow(sf_dir, "part", columns=["p_partkey", "p_name"])),
     )
 
     def li_prep(batch: pa.Table) -> pa.Table:
@@ -6513,6 +6598,8 @@ def q9_product_profit(sf_dir: str, name_token: str = "red", num_partitions: int 
         "l_suppkey", "s_suppkey", ["s_nationkey"],
         right_source_rows=table_rows(sf_dir, "supplier"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
     )
 
     def order_partial(batch: pa.Table) -> pa.Table:
@@ -6528,6 +6615,8 @@ def q9_product_profit(sf_dir: str, name_token: str = "red", num_partitions: int 
         "l_orderkey", "o_orderkey", ["o_orderdate"],
         right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]),
     )
 
     def nation_year_partial(batch: pa.Table) -> pa.Table:
@@ -6611,6 +6700,9 @@ def q2_min_cost_supplier(sf_dir: str, min_size: int = 25, num_partitions: int = 
         li, big_parts, "l_partkey", "p_partkey",
         right_source_rows=table_rows(sf_dir, "part"),
         num_partitions=num_partitions,
+        keys_driver=lambda: read_arrow_filtered(
+            sf_dir, "part", columns=["p_partkey"],
+            filters=[("p_size", ">=", min_size)]),
     )
 
     def argmin_partial(batch: pa.Table) -> pa.Table:
@@ -6652,6 +6744,8 @@ def q2_min_cost_supplier(sf_dir: str, min_size: int = 25, num_partitions: int = 
         "s_suppkey", "s_suppkey", ["s_name"],
         right_source_rows=table_rows(sf_dir, "supplier"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -6725,11 +6819,27 @@ def q16_supplier_variety(sf_dir: str, max_size: int = 15, num_partitions: int = 
         li, bad_supp, "l_suppkey", "s_suppkey",
         right_source_rows=table_rows(sf_dir, "supplier"),
         num_partitions=num_partitions,
+        # broadcast plan: same LIKE kernel, driver-side
+        keys_driver=lambda: (
+            lambda t: t.filter(
+                pc.match_like(t.column("s_name"), "%7")
+            ).select(["s_suppkey"])
+        )(read_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_name"])),
     )
     enriched = lookup_join(
         li, parts, "l_partkey", "p_partkey", ["p_brand", "p_size"],
         right_source_rows=table_rows(sf_dir, "part"),
         num_partitions=num_partitions,
+        right_driver=lambda: (
+            lambda t: t.filter(
+                pc.and_(
+                    pc.not_equal(t.column("p_type"), "ECONOMY"),
+                    pc.less_equal(t.column("p_size"), pa.scalar(max_size)),
+                )
+            ).select(["p_partkey", "p_brand", "p_size"])
+        )(read_arrow(
+            sf_dir, "part",
+            columns=["p_partkey", "p_brand", "p_type", "p_size"])),
     )
 
     # floor=16: trivial in-group kernel, output P-invariant (see
@@ -6837,6 +6947,9 @@ def q11_important_parts(sf_dir: str, nation_like: str = "NATION_1%",
         li, supp, "l_suppkey", "s_suppkey",
         right_source_rows=table_rows(sf_dir, "supplier"),
         num_partitions=num_partitions,
+        keys_driver=lambda: read_arrow_filtered(
+            sf_dir, "supplier", columns=["s_suppkey"],
+            filters=[("s_nationkey", "in", key_list)]),
     )
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -6928,6 +7041,8 @@ def q12_priority_class_lines(sf_dir: str, year: int = 1996, num_partitions: int 
         "l_orderkey", "o_orderkey", ["o_orderpriority"],
         right_source_rows=table_rows(sf_dir, "orders"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
     )
 
     high_set = pa.array(["1-URGENT", "2-HIGH"], type=pa.string())
@@ -7022,6 +7137,11 @@ def q20_potential_promotion(
         li, small_parts, "l_partkey", "p_partkey",
         right_source_rows=table_rows(sf_dir, "part"),
         num_partitions=num_partitions,
+        keys_driver=lambda: (
+            lambda t: t.filter(
+                pc.match_like(t.column("p_name"), "small%")
+            ).select(["p_partkey"])
+        )(read_arrow(sf_dir, "part", columns=["p_partkey", "p_name"])),
     )
 
     def qty_partial(batch: pa.Table) -> pa.Table:
@@ -7053,6 +7173,8 @@ def q20_potential_promotion(
         "s_suppkey", "s_suppkey", ["s_name"],
         right_source_rows=table_rows(sf_dir, "supplier"),
         num_partitions=num_partitions,
+        right_driver=lambda: read_arrow(
+            sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
