@@ -1603,12 +1603,27 @@ def _doc_salt_partitions(sf_dir: str, table: str, rows_per_doc: int) -> int:
     return salted_partitions(table_rows(sf_dir, table) * rows_per_doc)
 
 
+def _minhash_pairs_materialized(sf_dir: str):
+    """MinHash-LSH candidate pairs at the family threshold (0.5) as a
+    MATERIALIZED Dataset — ONE LSH pass (signatures → band explode →
+    salted bucket shuffle) shared by ``dedup_minhash``,
+    ``dedup_near_keep`` and ``dedup_ngram_verify``.  The cache holds
+    object-store block refs (spillable), never driver memory, so it is
+    scale-safe at any pair count; the pair set is partition-count
+    invariant (a band bucket lives wholly inside one salt partition)."""
+
+    def compute():
+        return minhash_lsh_pairs(
+            read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+            threshold=0.5,
+            num_partitions=_doc_salt_partitions(sf_dir, "documents", 16),  # 16 bands
+        ).materialize()
+
+    return _cached_frame("minhash_pairs_05", sf_dir, "documents", compute)
+
+
 def dedup_minhash(sf_dir: str):
-    return minhash_lsh_pairs(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
-        threshold=0.5,
-        num_partitions=_doc_salt_partitions(sf_dir, "documents", 16),  # 16 bands
-    )
+    return _minhash_pairs_materialized(sf_dir)
 
 
 def dedup_simhash(sf_dir: str):
@@ -1713,10 +1728,16 @@ def dedup_ngram_verify(
     if max_broadcast_docs is None:
         max_broadcast_docs = NGRAM_VERIFY_BROADCAST_MAX_DOCS
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    # pairs are consumed twice (count/keys + verification) — materialize so
-    # the LSH pass runs once
-    pairs_ds = minhash_lsh_pairs(ds, threshold=threshold).materialize()
+    # pairs are consumed twice (count/keys + verification); the family
+    # threshold rides the shared materialized LSH pass
+    pairs_ds = (
+        _minhash_pairs_materialized(sf_dir)
+        if threshold == 0.5
+        else minhash_lsh_pairs(
+            read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+            threshold=threshold,
+        ).materialize()
+    )
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return pa.Table.from_arrays(
@@ -3163,6 +3184,19 @@ JACCARD_THRESHOLD = 0.02
 
 
 def dedup_jaccard_pairs(sf_dir: str):
+    """Cached wrapper: ``dedup_cluster_docs`` consumes the same pair set,
+    so the sample-quadratic compare runs once per corpus (materialized
+    Dataset — object-store blocks, not driver memory)."""
+    def compute():
+        pairs = _dedup_jaccard_pairs_build(sf_dir)
+        # empty-sample corpora return a plain Arrow table (no Dataset to
+        # materialize) — cache it as-is
+        return pairs.materialize() if hasattr(pairs, "materialize") else pairs
+
+    return _cached_frame("jaccard_pairs", sf_dir, "documents", compute)
+
+
+def _dedup_jaccard_pairs_build(sf_dir: str):
     """Exact n-gram Jaccard over all pairs of a deterministic sample — the
     oracle-checkable ground-truth audit for the sketch dedup family
     (MinHash/SimHash estimate THIS quantity; auditing a key-hash sample is
@@ -3371,7 +3405,7 @@ def dedup_near_keep(sf_dir: str, num_partitions: int = None):
     hash-partitioned ``Dataset.join`` above).  MinHash is a sketch →
     rows-only driver check; the composition is pinned in pytest against
     union-find ground truth on a planted-dup corpus."""
-    from .functions.dedup import connected_components, minhash_lsh_pairs
+    from .functions.dedup import connected_components
     from .functions.joins import anti_join
     from .sources.tables import salted_partitions, table_rows
 
@@ -3379,9 +3413,8 @@ def dedup_near_keep(sf_dir: str, num_partitions: int = None):
     if num_partitions is None:
         num_partitions = salted_partitions(n_docs)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
-    pairs = minhash_lsh_pairs(
-        docs, threshold=NEAR_KEEP_THRESHOLD, num_partitions=num_partitions
-    )
+    # NEAR_KEEP_THRESHOLD is the family threshold — the shared LSH pass
+    pairs = _minhash_pairs_materialized(sf_dir)
     labels = connected_components(
         pairs, a_col="a", b_col="b", node_col="doc_id",
         num_partitions=num_partitions,
