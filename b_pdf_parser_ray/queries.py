@@ -1460,13 +1460,24 @@ ORDER BY total_chars DESC, source LIMIT 5
 """
 
 
-def dedup_exact_docs(sf_dir: str):
+def _exact_reps_materialized(sf_dir: str):
+    """(doc_id, n_copies) representatives of the exact dedup — ONE salted
+    hash-grain exchange shared by ``dedup_exact_docs`` and
+    ``dedup_exact_keep`` (materialized Dataset: object-store blocks,
+    bounded by |documents| rows of two int64s)."""
     from .sources.tables import table_rows
 
-    return exact_dedup(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
-        source_rows=table_rows(sf_dir, "documents"),
-    )
+    def compute():
+        return exact_dedup(
+            read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+            source_rows=table_rows(sf_dir, "documents"),
+        ).materialize()
+
+    return _cached_frame("exact_reps", sf_dir, "documents", compute)
+
+
+def dedup_exact_docs(sf_dir: str):
+    return _exact_reps_materialized(sf_dir)
 
 
 DEDUP_EXACT_SQL = """
@@ -2801,12 +2812,10 @@ def dedup_exact_keep(sf_dir: str, num_partitions: int = None):
         # hash-plan P from the query's largest join side (footer rows) —
         # a fixed count would put |fact|/P rows on one aggregator at 100 TB
         num_partitions = _hash_join_partitions(sf_dir, "documents")
-    from .functions.dedup import exact_dedup
     from .functions.joins import lookup_join
     from .sources.tables import table_rows
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    reps = exact_dedup(docs, source_rows=table_rows(sf_dir, "documents"))
+    reps = _exact_reps_materialized(sf_dir)  # the shared dedup exchange
     kept = lookup_join(
         read_table(sf_dir, "documents", columns=["doc_id", "n_chars"]),
         reps,
