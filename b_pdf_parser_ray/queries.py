@@ -8385,8 +8385,17 @@ def dedup_substring_cut(
         cut = df[cut_mask]
         return pd.DataFrame({"doc_id": cut["doc_id"], "off": cut["off"]})
 
+    # stage-1 (whash, doc_id, off, part) rows are identical for both cut
+    # policies (keep_first only changes the in-partition kernel) — share
+    # ONE materialized explode between dedup_substring_cut and
+    # dedup_substring_cut_keep_first (object-store blocks, spillable; the
+    # cache key carries width and P because `part` is embedded)
+    win_rows = _cached_frame(
+        f"substr_windows_w{width}_p{num_partitions}", sf_dir, "documents",
+        lambda: docs.map_batches(window_rows, batch_format="pyarrow").materialize(),
+    )
     cuts = (
-        docs.map_batches(window_rows, batch_format="pyarrow")
+        win_rows
         .groupby("part")
         .map_groups(repeated_instances, batch_format="pandas")
         .map_batches(
