@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .functions.agg import grouped_agg, range_partitioned_agg
+from .functions.agg import grouped_agg, range_partitioned_agg, top_k
 from .functions.numeric import sql_round
 from .functions.ann import topk_cosine
 from .functions.dedup import (
@@ -245,10 +245,10 @@ def q3_top_revenue_orders(sf_dir: str, num_partitions: int = None):
         b["revenue"] = sql_round(b["revenue"], 2)
         return b
 
-    return (
-        agg.map_batches(round_rev, batch_format="pandas")
-        .sort(["revenue", "o_orderkey"], descending=[True, False])
-        .limit(10)
+    # per-block select_k + fold instead of a global sort exchange
+    return top_k(
+        agg.map_batches(round_rev, batch_format="pandas"),
+        10, [("revenue", "descending"), ("o_orderkey", "ascending")],
     )
 
 
@@ -780,10 +780,11 @@ GROUP BY n_name
 
 
 def top_parts_by_retail(sf_dir: str):
-    return (
-        read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
-        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
-        .limit(10)
+    """ORDER BY retail DESC LIMIT 10 via per-block select_k partials — a
+    global sort exchange for a top-10 would move every part row."""
+    return top_k(
+        read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]),
+        10, [("p_retailprice", "descending"), ("p_partkey", "ascending")],
     )
 
 
@@ -2718,12 +2719,11 @@ def doc_top_terms(sf_dir: str, k: int = 20):
         out = t.group_by(["term"], use_threads=False).aggregate([([], "count_all")])
         return out.rename_columns(["term", "n"])
 
-    return (
+    return top_k(
         ds.map_batches(term_partial, batch_format="pyarrow")
         .groupby("term")
-        .aggregate(Sum("n", alias_name="n"))
-        .sort(["n", "term"], descending=[True, False])
-        .limit(k)
+        .aggregate(Sum("n", alias_name="n")),
+        k, [("n", "descending"), ("term", "ascending")],
     )
 
 
@@ -2776,10 +2776,9 @@ def corpus_tfidf_top_terms(sf_dir: str, k: int = 20):
         b["tfidf"] = sql_round(b["tf"] * np.log(n_docs / b["df"].astype(np.float64)), 4)
         return b
 
-    return (
-        agg.map_batches(score, batch_format="pandas")
-        .sort(["tfidf", "term"], descending=[True, False])
-        .limit(k)
+    return top_k(
+        agg.map_batches(score, batch_format="pandas"),
+        k, [("tfidf", "descending"), ("term", "ascending")],
     )
 
 
@@ -2891,12 +2890,11 @@ def doc_top_bigrams(sf_dir: str, k: int = 20):
         out = t.group_by(["bigram"], use_threads=False).aggregate([([], "count_all")])
         return out.rename_columns(["bigram", "n"])
 
-    return (
+    return top_k(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
-        .sort(["n", "bigram"], descending=[True, False])
-        .limit(k)
+        .aggregate(Sum("n", alias_name="n")),
+        k, [("n", "descending"), ("bigram", "ascending")],
     )
 
 
@@ -5442,7 +5440,7 @@ def q10_returned_items(sf_dir: str, num_partitions: int = None):
         # provable bound: o_custkey ⊆ customer's key domain (footer rows)
         max_groups=table_rows(sf_dir, "customer"),
     )
-    top = per_cust.sort(["rev_e4", "o_custkey"], descending=[True, False]).limit(20)
+    top = top_k(per_cust, 20, [("rev_e4", "descending"), ("o_custkey", "ascending")])
 
     cust = read_arrow(
         sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
@@ -8855,10 +8853,9 @@ def doc_bm25_topk(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 0.75):
         out = batch.append_column("score", pa.array(sql_round(s, 4)))
         return out.filter(pa.array(s > 0.0))
 
-    return (
-        compact_ds.map_batches(score, batch_format="pyarrow")
-        .sort(["score", "doc_id"], descending=[True, False])
-        .limit(k)
+    return top_k(
+        compact_ds.map_batches(score, batch_format="pyarrow"),
+        k, [("score", "descending"), ("doc_id", "ascending")],
     )
 
 
