@@ -253,6 +253,47 @@ def test_shared_frame_cache_and_fingerprint(ray_session, tmp_path):
     assert int(b["n_docs"].sum()) == docs.num_rows // 2
 
 
+def test_top_k_matches_sort_limit(ray_session):
+    """functions.agg.top_k must reproduce ORDER BY ... LIMIT k exactly:
+    ties broken by the trailing key, k larger than the input, nulls last,
+    and multi-block inputs (the per-block partial path)."""
+    import ray.data
+
+    from b_pdf_parser_ray.functions.agg import top_k
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 50, 500)  # heavy ties
+    ids = np.arange(500)
+    tbl = pa.table({"v": vals, "id": ids})
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    keys = [("v", "descending"), ("id", "ascending")]
+
+    got = top_k(ds, 25, keys).to_pandas()
+    want = (
+        tbl.to_pandas()
+        .sort_values(["v", "id"], ascending=[False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # exact order, not just set equality
+    assert list(got["id"]) == list(want["id"])
+
+    # k >= rows: the whole input, still ordered
+    small = ray.data.from_arrow(tbl.slice(0, 7)).repartition(3)
+    got7 = top_k(small, 100, keys).to_pandas()
+    assert len(got7) == 7
+    assert list(got7["v"]) == sorted(got7["v"], reverse=True)
+
+    # nulls sort last (SQL default), never into the top k
+    nul = pa.table(
+        {"v": pa.array([None, 5, None, 9, 1], type=pa.int64()),
+         "id": pa.array([0, 1, 2, 3, 4], type=pa.int64())}
+    )
+    gotn = top_k(ray.data.from_arrow(nul), 2, keys).to_pandas()
+    assert list(gotn["id"]) == [3, 1]
+
+
 def test_keep_best_salt_capped_at_hash_decode_bound():
     """dedup_exact_keep_best's salt P must clamp to _SALTED_DEDUP_MAX_P —
     _hash_salt decodes at most 4 hex chars, so a larger P would silently
