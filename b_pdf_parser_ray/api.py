@@ -156,6 +156,7 @@ def batch_parse(
     max_workers: Optional[int] = None,
     chunk_size: Optional[int] = None,
     init_strategy: str = "per-worker",
+    memory_limit_mb: Optional[int] = None,
 ) -> Dict[str, object]:
     """Corpus-scale parse — the reference's ``batch_parse`` (``batch.py:254-414``).
 
@@ -180,7 +181,11 @@ def batch_parse(
     ``'per-worker'`` → task mode with module-level warm state (the
     reference's recommended mode), ``'per-file'`` → an explicit actor pool
     (state isolation per pool actor), sized by ``max_workers``.  All three
-    are validated with the reference's ranges.
+    are validated with the reference's ranges.  ``memory_limit_mb``
+    (reference ``batch.py:69``, accepted but never enforced there) is
+    ENFORCED here: it becomes the Ray ``memory`` resource of each extract
+    worker, so the scheduler's admission control caps concurrent memory
+    instead of hoping (see ``pipelines.flagship.extract_documents``).
     """
     import warnings
 
@@ -232,6 +237,10 @@ def batch_parse(
         extract_kwargs["compute"] = "actors"
         if max_workers is not None:
             extract_kwargs["concurrency"] = (1, max_workers)
+    if memory_limit_mb is not None:
+        if memory_limit_mb <= 0:
+            raise ValueError("memory_limit_mb must be positive")
+        extract_kwargs["memory_limit_mb"] = memory_limit_mb
     extracted = extract_documents(
         ds,
         verify=verify_turnover,

@@ -60,6 +60,7 @@ def extract_documents(
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=None,
     compute: str = "tasks",
+    memory_limit_mb: int = None,
 ):
     """documents(doc_id, spans[, strategy]) → extracted dataset (lazy).
 
@@ -71,7 +72,19 @@ def extract_documents(
     0.64.  ``compute='actors'``: explicit actor pool — the right shape
     when per-actor state is expensive to build (model weights, codec
     caches); kept as the template for such stages.
+
+    ``memory_limit_mb`` (the reference's ``batch.py:69`` knob, which it
+    accepted but never enforced): here it is REAL — declared as the Ray
+    ``memory`` resource on each extract task/actor, so the scheduler
+    admits only as many concurrent extractors as the node's memory can
+    hold (Ray's admission-control backpressure), instead of trusting
+    every worker to stay small.
     """
+    remote_args = (
+        {"memory": int(memory_limit_mb) * 1024 * 1024}
+        if memory_limit_mb
+        else {}
+    )
     if compute == "actors":
         if concurrency is None:
             concurrency = _default_concurrency()
@@ -85,6 +98,7 @@ def extract_documents(
             batch_size=batch_size,
             concurrency=concurrency,
             zero_copy_batch=True,
+            **remote_args,
         )
     return ds.map_batches(
         _extract_batch,
@@ -92,6 +106,7 @@ def extract_documents(
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
+        **remote_args,
     )
 
 

@@ -294,6 +294,22 @@ def test_top_k_matches_sort_limit(ray_session):
     assert list(gotn["id"]) == [3, 1]
 
 
+def test_batch_parse_memory_limit_enforced(ray_session):
+    """The reference accepted memory_limit_mb but never enforced it; here
+    it must become the Ray `memory` resource on the extract stage (real
+    admission control) and still produce identical results."""
+    from b_pdf_parser_ray.api import batch_parse
+    from b_pdf_parser_ray.fixtures import corpus_table
+
+    tbl = corpus_table(200, seed=3)
+    base = batch_parse(tbl)
+    limited = batch_parse(tbl, memory_limit_mb=256)
+    for k in ("total", "successful", "valid", "transactions"):
+        assert base[k] == limited[k], k
+    with pytest.raises(ValueError):
+        batch_parse(tbl, memory_limit_mb=-1)
+
+
 def test_keep_best_salt_capped_at_hash_decode_bound():
     """dedup_exact_keep_best's salt P must clamp to _SALTED_DEDUP_MAX_P —
     _hash_salt decodes at most 4 hex chars, so a larger P would silently
