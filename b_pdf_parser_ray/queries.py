@@ -906,11 +906,20 @@ def _events_calendar_frame(sf_dir: str) -> pd.DataFrame:
 
 
 def _cached_frame(key_name: str, sf_dir: str, table: str, compute):
-    """Shared-frame memo: compute() once per (family, table on-disk state);
-    derivations across a catalog/bench/gate session then cost zero
-    executions.  Results are identical to standalone runs by construction
-    (each member applies its own finishing/rounding to the raw frame)."""
-    key = (key_name, _table_fingerprint(sf_dir, table))
+    """Shared-frame memo: compute() once per (family, table on-disk state,
+    Ray session); derivations across a catalog/bench/gate session then cost
+    zero executions.  Results are identical to standalone runs by
+    construction (each member applies its own finishing/rounding to the
+    raw frame).  The Ray job id is part of the key because some entries
+    are MATERIALIZED Datasets whose object-store blocks die with their
+    session — a process that re-inits Ray must recompute, never hand back
+    dead refs."""
+    import ray
+
+    job = (
+        ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    )
+    key = (key_name, job, _table_fingerprint(sf_dir, table))
     hit = _SHARED_FRAME_CACHE.get(key)
     if hit is not None:
         return hit
