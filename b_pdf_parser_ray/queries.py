@@ -9653,6 +9653,115 @@ JOIN sizes nb ON nb.source = pr.source_b
 """
 
 
+def events_session_bigrams(sf_dir: str, gap_minutes: int = 30,
+                           num_partitions: int = None):
+    """Sequence mining within sessions: counts of consecutive event-type
+    bigrams (prev -> next within the same user, gap <= 30 min).  Same salted
+    user-partition exchange as ``events_sessionize`` — a user's whole event
+    stream lands in one coarse partition, the in-group pass is one sort + one
+    shifted comparison (fully vectorized), and each partition emits at most
+    |event_type|^2 = 25 partial rows, so the final fold is a driver-side sum
+    over P*25 rows.  Tie-break on event_id makes the sequence deterministic
+    even under equal timestamps (the oracle orders BY ts, event_id too)."""
+    from .sources.tables import salted_partitions, table_rows
+
+    if num_partitions is None:
+        num_partitions = salted_partitions(table_rows(sf_dir, "events"))
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type", "event_id"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), num_partitions - 1),
+            pa.int32(),
+        )
+        return batch.append_column("part", part)
+
+    gap_ns = np.timedelta64(gap_minutes * 60 * 1_000_000_000, "ns")
+
+    def bigrams_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]")
+        et = g["event_type"].to_numpy()
+        same_user = uid[1:] == uid[:-1]
+        in_session = (ts[1:] - ts[:-1]) <= gap_ns
+        keep = same_user & in_session
+        if not keep.any():
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        # np char add over the (bounded-domain) type column — no per-row join
+        bg = np.char.add(np.char.add(et[:-1][keep].astype("U"), "->"),
+                         et[1:][keep].astype("U"))
+        vals, counts = np.unique(bg, return_counts=True)
+        return pd.DataFrame({"bigram": vals.astype(object),
+                             "n": counts.astype("int64")})
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: bigrams_part(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    ).to_pandas()  # bounded: <= P * |event_type|^2 partial rows
+    out = partials.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+    return out.sort_values("bigram", ignore_index=True)
+
+
+EVENTS_SESSION_BIGRAMS_SQL = """
+SELECT prev_type || '->' || event_type AS bigram, count(*) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap
+  FROM events
+) t
+WHERE prev_type IS NOT NULL AND gap <= INTERVAL 30 MINUTE
+GROUP BY 1
+"""
+
+
+def part_name_edit1_pairs(sf_dir: str):
+    """String-similarity self-join: all pairs of distinct part names at
+    Levenshtein distance exactly 1, weighted by occurrence-count product.
+    The oracle is the O(|vocab|^2) all-pairs levenshtein join; the engine
+    uses deletion-neighborhood blocking (``functions/simjoin.py``) — one
+    vocabulary-scaled grouped count, one key-salted exchange of (key, name)
+    rows, exact O(len) verification inside neighborhood-sized groups.  At
+    100 TB the cost scales with distinct-name vocabulary and true-pair
+    output, never with corpus rows or vocab^2."""
+    from .functions.simjoin import edit1_pairs
+    from .sources.tables import salted_partitions, table_rows
+
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+    names = grouped_agg(
+        ds,
+        ["p_name"],
+        [(None, "count", "n")],
+        salt_key="p_name",
+        salt_hash=True,
+        salt_partitions=salted_partitions(
+            table_rows(sf_dir, "part"), floor=16
+        ),
+    )
+    return edit1_pairs(names, name_col="p_name", count_col="n")
+
+
+PART_NAME_EDIT1_SQL = """
+WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY p_name)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(a.n * b.n AS BIGINT) AS n_pairs
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9674,6 +9783,8 @@ QUERIES: Dict[str, Callable] = {
     "events_hourly": events_hourly,
     "events_type_stats": events_type_stats,
     "events_sessionize": events_sessionize,
+    "events_session_bigrams": events_session_bigrams,
+    "part_name_edit1_pairs": part_name_edit1_pairs,
     "events_daily_top_user": events_daily_top_user,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_attribution": events_asof_attribution,
@@ -9820,6 +9931,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_type_stats": EVENTS_TYPE_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_session_bigrams": EVENTS_SESSION_BIGRAMS_SQL,
+    "part_name_edit1_pairs": PART_NAME_EDIT1_SQL,
     "events_daily_top_user": EVENTS_DAILY_TOP_SQL,
     "events_hourly_moving_avg": EVENTS_MOVING_AVG_SQL,
     "events_asof_attribution": EVENTS_ASOF_SQL,

@@ -320,3 +320,71 @@ def test_keep_best_salt_capped_at_hash_decode_bound():
     assert _keep_best_salt_partitions(1_000) == 64  # small-corpus floor
     # 10^12 rows would want 2^19 partitions; the 16-bit decode caps it
     assert _keep_best_salt_partitions(10**12) == _SALTED_DEDUP_MAX_P == 65_536
+
+
+def test_edit1_verify_matches_levenshtein():
+    """edit1_verify's O(len) check must agree with full DP Levenshtein on
+    random short strings (the only regime the blocking feeds it)."""
+    import random
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from b_pdf_parser_ray.functions.simjoin import edit1_verify
+
+    rng = random.Random(42)
+    alpha = "abc"
+    for _ in range(3000):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 6)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 6)))
+        assert edit1_verify(a, b) == (lev(a, b) == 1), (a, b)
+
+
+def test_edit1_blocking_complete_vs_brute_force(ray_session):
+    """Deletion-neighborhood blocking must find EVERY distance-1 pair the
+    O(n^2) brute force finds (FastSS completeness), on a random vocabulary
+    over a small alphabet (maximizes collisions/repeated chars)."""
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from b_pdf_parser_ray.functions.simjoin import edit1_pairs, edit1_verify
+
+    rng = random.Random(7)
+    vocab = {"".join(rng.choice("ab") for _ in range(rng.randint(1, 5)))
+             for _ in range(60)}
+    vocab = sorted(vocab)
+    counts = {v: rng.randint(1, 5) for v in vocab}
+    brute = sorted(
+        (a, b, counts[a] * counts[b])
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if edit1_verify(a, b)
+    )
+    names = ray.data.from_arrow(
+        pa.table({"name": pa.array(vocab),
+                  "n": pa.array([counts[v] for v in vocab], pa.int64())})
+    ).repartition(4)
+    got = edit1_pairs(names, num_partitions=8)
+    assert list(map(tuple, got.to_numpy())) == brute
+    assert len(brute) > 10  # the fixture actually exercises the join
+
+
+def test_session_bigrams_partition_invariant(ray_session):
+    """The salted-partition bigram fold must be invariant to P (a user never
+    splits across partitions)."""
+    import pandas as pd
+
+    from b_pdf_parser_ray.queries import events_session_bigrams
+
+    a = events_session_bigrams("/root/testdata/sf0.001", num_partitions=2)
+    b = events_session_bigrams("/root/testdata/sf0.001", num_partitions=32)
+    pd.testing.assert_frame_equal(a, b)
