@@ -32,6 +32,9 @@ class ClusterProfile:
     shuffle_strategy: str
     join_min_partitions: int
     target_max_block_size: int
+    # CPU reservation per hash-shuffle/aggregate/join partition, or None to
+    # leave the session's DataContext untouched (the n_nodes=1 contract)
+    aggregator_cpus_per_partition: float | None = None
 
     @property
     def total_cpus(self) -> int:
@@ -53,12 +56,24 @@ def cluster_profile(n_nodes: int = 1, cpus_per_node: int = 32) -> ClusterProfile
       raises P beyond the floor for genuinely large sides.
     * ``target_max_block_size``: unchanged (128 MiB) — the object-store
       spill/backpressure sweet spot is per-worker, not per-cluster.
+    * ``aggregator_cpus_per_partition``: under HASH_SHUFFLE every shuffle /
+      aggregate / join stage reserves ``cpus_per_partition × P`` CPUs for
+      its aggregator actors, and Ray Data's default parallelism is 200
+      partitions at 0.125 CPU each = 25 CPUs PER STAGE — a pipeline with
+      two chained exchanges livelocks any fleet narrower than ~50 cores
+      (measured: a 4-node × 8-CPU simulated cluster hung on the first
+      two-shuffle query, scripts/multinode_sim.py).  Sized so one default
+      stage reserves ≤ 25 % of the fleet, clamped to Ray's 0.125 default
+      on fleets wide enough not to care.  None single-node (HASH_SHUFFLE
+      is off; the session's own override — e.g. the test fixture's — must
+      survive an inert apply).
     """
     if n_nodes < 1 or cpus_per_node < 1:
         raise ValueError("n_nodes and cpus_per_node must be >= 1")
     from .functions.joins import JOIN_MIN_PARTITIONS
 
     single_node = n_nodes < HASH_SHUFFLE_MIN_NODES
+    total_cpus = n_nodes * cpus_per_node
     return ClusterProfile(
         n_nodes=n_nodes,
         cpus_per_node=cpus_per_node,
@@ -71,6 +86,11 @@ def cluster_profile(n_nodes: int = 1, cpus_per_node: int = 32) -> ClusterProfile
             else max(JOIN_MIN_PARTITIONS, 2 * n_nodes * cpus_per_node)
         ),
         target_max_block_size=128 * 1024 * 1024,
+        aggregator_cpus_per_partition=(
+            None
+            if single_node
+            else min(0.125, max(0.01, 0.25 * total_cpus / 200))
+        ),
     )
 
 
@@ -81,12 +101,22 @@ def apply_cluster_profile(profile: ClusterProfile) -> ClusterProfile:
     no-op by construction (the values ARE the defaults)."""
     from ray.data.context import DataContext
 
+    from . import rayfix
     from .functions import joins
 
     from ray.data.context import ShuffleStrategy
+
+    # the HASH_SHUFFLE strategy needs the schema-broadcast fixes (joins AND
+    # chained groupby exchanges — SchemaSafeConcat) wherever it's enabled
+    rayfix.apply()
 
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = getattr(ShuffleStrategy, profile.shuffle_strategy)
     ctx.target_max_block_size = profile.target_max_block_size
     joins.JOIN_MIN_PARTITIONS = profile.join_min_partitions
+    if profile.aggregator_cpus_per_partition is not None:
+        v = profile.aggregator_cpus_per_partition
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = v
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = v
+        ctx.join_operator_actor_num_cpus_per_partition_override = v
     return profile

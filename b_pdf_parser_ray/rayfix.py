@@ -108,6 +108,10 @@ def apply() -> None:
     from ray.data._internal.execution.operators import join as join_op
 
     join_op.JoiningShuffleAggregation = SchemaSafeJoiningShuffleAggregation
+
+    # third layer: the groupby/shuffle Concat aggregation has the same
+    # empty-partition blind spot as the join (see SchemaSafeConcat)
+    hs.Concat = SchemaSafeConcat
     _APPLIED = True
 
 
@@ -186,3 +190,54 @@ def _build_safe_join_aggregation():
 
 
 SchemaSafeJoiningShuffleAggregation = _build_safe_join_aggregation()
+
+
+def _build_safe_concat():
+    """Third layer: the groupby/shuffle ``Concat`` aggregation crashes on
+    partitions whose schema never arrived.
+
+    Under ``ShuffleStrategy.HASH_SHUFFLE`` a ``groupby().map_groups`` chain
+    of TWO exchanges reproducibly dies (pinned in tests/test_round4.py):
+    the first exchange leaves most of its default-200 partitions empty when
+    the key domain is small (a 16-way salted exchange has 16 non-empty
+    partitions), the intermediate map operator forwards those empties as
+    ZERO-COLUMN blocks, and when one of them happens to be the FIRST block
+    the second shuffle sees, the upstream ``send_empty_blocks`` schema
+    broadcast is skipped (the `_shuffle_block` early-return this module
+    already patches — but a zero-column block has no schema to fan out
+    either).  Aggregator partitions that then receive no data rows
+    ``build()`` a zero-column table and ``Concat.finalize``'s
+    ``sort_by(key_columns)`` raises ``ArrowInvalid: No match for
+    FieldRef.Name(...) in ``— arrival-order-dependent, exactly the failure
+    class of the join layer.
+
+    A zero-column build IS the trivially-known result: an empty partition.
+    Skip the sort (there is nothing to sort and no columns to sort by) and
+    return it; downstream map operators skip empty blocks, so the pipeline
+    result is identical to the sort-shuffle plan's.
+
+    Built at module import for the same cloudpickle-by-reference reason as
+    the join class: the HashShuffleOperator's aggregation-factory lambda
+    captures the ``Concat`` global, workers deserialize that reference by
+    importing the class's ``__module__`` — which must therefore be THIS
+    importable module, not a driver-only monkeypatch."""
+    from ray.data._internal.execution.operators import hash_shuffle as hs
+
+    base = hs.__dict__.get("_original_concat_aggregation", hs.Concat)
+    hs._original_concat_aggregation = base
+
+    class SchemaSafeConcat(base):
+        def finalize(self, partition_id: int):
+            block = self._partition_block_builders[partition_id].build()
+            if self._should_sort and block.num_columns > 0:
+                block = block.sort_by(
+                    [(k, "ascending") for k in self._key_columns]
+                )
+            return block
+
+    SchemaSafeConcat.__qualname__ = "SchemaSafeConcat"
+    SchemaSafeConcat.__module__ = __name__
+    return SchemaSafeConcat
+
+
+SchemaSafeConcat = _build_safe_concat()

@@ -1,0 +1,161 @@
+"""Multi-node deployment evidence: run catalog queries on a SIMULATED
+4-node Ray cluster (``ray.cluster_utils.Cluster`` — Ray's public testing
+utility: one raylet + object store per node, real inter-node object
+transfer) with ``cluster_profile(4)`` applied, and verify
+
+1. results still match the DuckDB oracle bit-for-bit (the profile's
+   HASH_SHUFFLE strategy + fleet-sized join floor change plans, never
+   answers),
+2. work actually spreads across nodes (distinct node IDs observed inside
+   map tasks), and
+3. a hash-partitioned ``Dataset.join`` (forced above the broadcast gate,
+   the 100-TB plan) survives multi-node execution — including the
+   rayfix.py schema-broadcast patch.
+
+This is the closest a single box gets to the north rule's two-cluster-size
+criterion: the same queries, same oracle, on a genuinely multi-raylet
+topology.  Usage: ``python scripts/multinode_sim.py [sf_dir]``; prints one
+JSON line.  Owns its Ray session (scripts may; the library must not).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+N_NODES = 4
+CPUS_PER_NODE = 8
+OBJ_STORE = 2 * 1024**3  # per simulated node
+
+# representative plan shapes: partial-agg fold, size-gated join family,
+# salted map_groups exchange, hash-grain dedup, blocking similarity join
+QUERY_SAMPLE = [
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "events_sessionize",
+    "dedup_exact_docs",
+    "part_name_edit1_pairs",
+    "doc_top_terms",
+]
+# forced above the broadcast gate: the multi-node hash-join path
+FORCED_HASH_JOIN = "q5_nation_revenue"
+
+
+def _normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    import duckdb
+    import pandas as pd
+    import ray
+    from ray.cluster_utils import Cluster
+
+    cluster = Cluster(
+        initialize_head=True,
+        head_node_args={
+            "num_cpus": CPUS_PER_NODE,
+            "object_store_memory": OBJ_STORE,
+        },
+    )
+    for _ in range(N_NODES - 1):
+        cluster.add_node(num_cpus=CPUS_PER_NODE, object_store_memory=OBJ_STORE)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address=cluster.address, include_dashboard=False,
+             log_to_driver=False,
+             runtime_env={"env_vars": {"PYTHONPATH": repo_root}})
+    try:
+        cluster.wait_for_nodes()
+        alive = [n for n in ray.nodes() if n["Alive"]]
+        assert len(alive) == N_NODES, f"expected {N_NODES} nodes, got {len(alive)}"
+
+        from ray.data.context import DataContext
+
+        DataContext.get_current().enable_operator_progress_bars = False
+
+        from b_pdf_parser_ray.cluster import apply_cluster_profile, cluster_profile
+        from b_pdf_parser_ray.queries import ORACLE_SQL, QUERIES
+        from b_pdf_parser_ray.sources.tables import TABLES, read_table
+
+        profile = apply_cluster_profile(cluster_profile(N_NODES, CPUS_PER_NODE))
+
+        # --- node-spread probe: a corpus-wide map must visit >1 raylet ---
+        import pyarrow as pa
+
+        def node_probe(batch: pa.Table) -> pa.Table:
+            nid = ray.get_runtime_context().get_node_id()
+            return pa.table({"node_id": pa.array([nid])})
+
+        nodes_seen = set(
+            read_table(SF_DIR, "lineitem", columns=["l_orderkey"])
+            .map_batches(node_probe, batch_format="pyarrow", batch_size=4096)
+            .to_pandas()["node_id"]
+        )
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+
+        results = {}
+        for name in QUERY_SAMPLE:
+            t0 = time.perf_counter()
+            got = QUERIES[name](SF_DIR)
+            if not isinstance(got, pd.DataFrame):
+                got = got.to_pandas()
+            want = con.sql(ORACLE_SQL[name]).df()
+            g, w = _normalize(got), _normalize(want)
+            pd.testing.assert_frame_equal(
+                g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+            )
+            results[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name} green in {results[name]}s", file=sys.stderr)
+
+        # --- forced hash-join plan (the 100-TB path) across nodes ---
+        from b_pdf_parser_ray.functions import joins
+
+        saved = joins.BROADCAST_MAX_SOURCE_ROWS
+        joins.BROADCAST_MAX_SOURCE_ROWS = 0
+        try:
+            t0 = time.perf_counter()
+            got = QUERIES[FORCED_HASH_JOIN](SF_DIR)
+            if not isinstance(got, pd.DataFrame):
+                got = got.to_pandas()
+            want = con.sql(ORACLE_SQL[FORCED_HASH_JOIN]).df()
+            pd.testing.assert_frame_equal(
+                _normalize(got), _normalize(want),
+                check_dtype=False, check_exact=False, rtol=0, atol=1e-9,
+            )
+            results[f"{FORCED_HASH_JOIN}[hash-join]"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            joins.BROADCAST_MAX_SOURCE_ROWS = saved
+
+        print(json.dumps({
+            "metric": "multinode_sim",
+            "sf_dir": SF_DIR,
+            "n_nodes": N_NODES,
+            "cpus_per_node": CPUS_PER_NODE,
+            "shuffle_strategy": profile.shuffle_strategy,
+            "join_min_partitions": profile.join_min_partitions,
+            "nodes_seen_by_map_tasks": len(nodes_seen),
+            "queries_green": results,
+        }))
+        assert len(nodes_seen) > 1, "map tasks never left the head node"
+        return 0
+    finally:
+        ray.shutdown()
+        cluster.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -199,25 +199,47 @@ def test_cluster_profile_inert_at_local_sizes(ray_session):
     assert local.shuffle_strategy == "SORT_SHUFFLE_PULL_BASED"
     assert local.join_min_partitions == joins.JOIN_MIN_PARTITIONS == 8
     assert local.target_max_block_size == 128 * 1024 * 1024
+    # None = leave the session's aggregator override (the test fixture's
+    # 0.02) untouched — an inert apply must not clobber it
+    assert local.aggregator_cpus_per_partition is None
 
     ctx = DataContext.get_current()
     before = (ctx.shuffle_strategy, ctx.target_max_block_size,
-              joins.JOIN_MIN_PARTITIONS)
+              joins.JOIN_MIN_PARTITIONS,
+              ctx.join_operator_actor_num_cpus_per_partition_override)
     apply_cluster_profile(local)
     after = (ctx.shuffle_strategy, ctx.target_max_block_size,
-             joins.JOIN_MIN_PARTITIONS)
+             joins.JOIN_MIN_PARTITIONS,
+             ctx.join_operator_actor_num_cpus_per_partition_override)
     assert before == after, "local profile must be inert"
 
     wide = cluster_profile(256, 32)
     assert wide.shuffle_strategy == "HASH_SHUFFLE"
     assert wide.join_min_partitions == 2 * 256 * 32
+    # a 8192-CPU fleet doesn't need the reservation cut: Ray's default
+    assert wide.aggregator_cpus_per_partition == 0.125
+    # a narrow fleet does: one default 200-partition stage ≤ 25% of CPUs
+    narrow = cluster_profile(4, 8)
+    assert narrow.aggregator_cpus_per_partition == 0.25 * 32 / 200
     # apply + restore: the floor feeds join_partitions at call time
+    saved_overrides = (
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+        ctx.join_operator_actor_num_cpus_per_partition_override,
+    )
     try:
         apply_cluster_profile(wide)
         assert joins.join_partitions(1_000) == 2 * 256 * 32
         assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+        assert (
+            ctx.join_operator_actor_num_cpus_per_partition_override == 0.125
+        )
     finally:
         apply_cluster_profile(local)
+        (ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+         ctx.join_operator_actor_num_cpus_per_partition_override,
+        ) = saved_overrides
     assert joins.join_partitions(1_000) == 8
 
 
@@ -388,3 +410,45 @@ def test_session_bigrams_partition_invariant(ray_session):
     a = events_session_bigrams("/root/testdata/sf0.001", num_partitions=2)
     b = events_session_bigrams("/root/testdata/sf0.001", num_partitions=32)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_chained_hash_shuffle_groupby_schema_safe(ray_session):
+    """Ray 2.49's Concat aggregation dies on chained HASH_SHUFFLE groupbys
+    when the first exchange leaves most partitions empty (small key domain
+    vs default 200 partitions): zero-column empties reach the second
+    shuffle and an aggregator finalize sort_by raises ArrowInvalid,
+    arrival-order dependent.  rayfix.SchemaSafeConcat must make the chain
+    green — this is every salted map_groups operator under the multi-node
+    cluster profile (scripts/multinode_sim.py)."""
+    import pyarrow as pa
+    import ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    import b_pdf_parser_ray.rayfix as rf
+
+    rf.apply()
+    from ray.data._internal.execution.operators import hash_shuffle as hs
+
+    assert hs.Concat is rf.SchemaSafeConcat
+
+    ctx = DataContext.get_current()
+    saved = (ctx.shuffle_strategy,
+             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override)
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # the 4-CPU test session can't reserve 200 x 0.0625 aggregator CPUs
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.005
+    try:
+        tbl = pa.table(
+            {"part": pa.array([i % 16 for i in range(5000)], pa.int32()),
+             "v": pa.array(range(5000), pa.int64())}
+        )
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        g1 = ds.groupby("part").map_groups(lambda g: g.head(5),
+                                           batch_format="pandas")
+        g2 = g1.groupby("part").map_groups(lambda g: g.head(1),
+                                           batch_format="pandas")
+        assert len(g2.to_pandas()) == 16
+    finally:
+        (ctx.shuffle_strategy,
+         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+         ) = saved
