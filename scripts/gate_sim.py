@@ -5,8 +5,19 @@ run and return a well-formed frame — they are NOT value-sorted (list/vector
 columns are unsortable, which is a sim artifact, not an operator failure).
 
 Usage:  python scripts/gate_sim.py [sf_dir] [out_json]
+        python scripts/gate_sim.py --hash-shuffle [sf_dir] [out_json]
 Owns its Ray session (one session per box — never run concurrently with
 pytest or bench.py).
+
+``--hash-shuffle`` sweeps the ENTIRE catalog under the multi-node cluster
+profile's execution strategy (HASH_SHUFFLE + sized aggregator reservations,
+single node): every groupby/sort exchange takes the partitioned-aggregator
+path a 100-TB fleet would use, so any latent empty-partition /
+schema-broadcast / reservation defect (the class scripts/multinode_sim.py
+first surfaced) shows up here as a per-query FAIL instead of in production.
+Slower than the default sweep — the hash plan pays an actor-pool spinup per
+exchange that the catalog's sort plans avoid at local sizes; this mode is a
+correctness gate, not a benchmark.
 """
 
 import json
@@ -23,8 +34,10 @@ import pyarrow as pa
 import ray
 import ray.data
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gate_sim_result.json"
+args = [a for a in sys.argv[1:] if a != "--hash-shuffle"]
+HASH_SHUFFLE = "--hash-shuffle" in sys.argv[1:]
+SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT = args[1] if len(args) > 1 else "/tmp/gate_sim_result.json"
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -57,6 +70,21 @@ def main():
 
     DataContext.get_current().enable_progress_bars = False
     DataContext.get_current().enable_operator_progress_bars = False
+    if HASH_SHUFFLE:
+        # the multi-node strategy on one node: same plans, same defects
+        from ray.data.context import ShuffleStrategy
+
+        from b_pdf_parser_ray import rayfix
+        from b_pdf_parser_ray.cluster import cluster_profile
+
+        rayfix.apply()
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        v = cluster_profile(4, 8).aggregator_cpus_per_partition
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = v
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = v
+        ctx.join_operator_actor_num_cpus_per_partition_override = v
+        print(f"# HASH_SHUFFLE sweep, aggregator cpus/partition={v}", flush=True)
     import __ray_entry__ as e
 
     Q, O = e.queries(), e.oracle_sql()
