@@ -9762,6 +9762,89 @@ WHERE levenshtein(a.p_name, b.p_name) = 1
 """
 
 
+def embedding_knn_join(sf_dir: str, k: int = 3):
+    """Exact k-NN SELF-join: every vector's k nearest neighbors by cosine
+    (self excluded) — the all-rows-are-queries primitive under SemDeDup /
+    embedding near-dup clustering, where the LSH pair generators trade
+    exactness for scale.  The oracle is the O(N²) cross join.
+
+    Scale shape: the brute plan broadcasts the full normalized (N, d)
+    matrix once (``ray.put`` + per-worker cache) and each block answers
+    its OWN rows completely with one (n, d)·(d, N) matmul — no reduce at
+    all, because a row sees every candidate in its score row; output is
+    N·k rows, linear.  The broadcast matrix is the gate: it holds to
+    ~10⁷×10³ dims (8 GB) per worker; past that, route through the IVF
+    partition layout (``ann_ivf_topk``'s ``cluster=N/`` dirs — probe-local
+    self-joins per partition) instead of widening this plan.  Top-k per
+    row is fully vectorized: (rounded score, id) packed into ONE int64
+    composite key (score·10⁵ in the high 32 bits, bit-inverted id in the
+    low) so ``argpartition`` + ``argsort`` give the SQL total order
+    (score DESC, nbr ASC) with no per-row Python and exact 5-dp boundary
+    ties."""
+    import ray
+
+    from .functions.ann import embedding_matrix
+    from .functions.broadcast import get_cached
+
+    tbl = read_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = embedding_matrix(tbl.column("embedding"))
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+    # self-mask sentinel: i64min would OVERFLOW under the -key negation
+    # below (-i64min == i64min, flipping the self entry into the best
+    # candidate); i64min+1 negates to i64max = provably-worst
+    self_key = np.iinfo(np.int64).min + 1
+
+    def knn(batch: pa.Table) -> pa.Table:
+        cids, cmat = get_cached(ref)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bmat = embedding_matrix(batch.column("embedding"))
+        bmat = bmat / np.maximum(
+            np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12
+        )
+        scores = sql_round(bmat @ cmat.T, 5)  # (n, N), rounded once
+        key = (
+            np.rint(scores * 1e5).astype(np.int64) * (1 << 32)
+            + ((1 << 32) - 1 - cids)
+        )
+        key[cids[None, :] == bids[:, None]] = self_key  # exclude self
+        top = np.argpartition(-key, k - 1, axis=1)[:, :k]
+        topkey = np.take_along_axis(key, top, axis=1)
+        order = np.argsort(-topkey, axis=1, kind="stable")
+        top = np.take_along_axis(top, order, axis=1)
+        n = len(bids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(bids, k)),
+                "nbr": pa.array(cids[top.ravel()]),
+                "score": pa.array(
+                    np.take_along_axis(scores, top, axis=1).ravel()
+                ),
+            }
+        )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(knn, batch_format="pyarrow", batch_size=1024)
+
+
+EMBEDDING_KNN_SQL = """
+WITH sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 5) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, nbr, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY score DESC, nbr) AS rn
+  FROM sims
+) WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9785,6 +9868,7 @@ QUERIES: Dict[str, Callable] = {
     "events_sessionize": events_sessionize,
     "events_session_bigrams": events_session_bigrams,
     "part_name_edit1_pairs": part_name_edit1_pairs,
+    "embedding_knn_join": embedding_knn_join,
     "events_daily_top_user": events_daily_top_user,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_attribution": events_asof_attribution,
@@ -9933,6 +10017,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_session_bigrams": EVENTS_SESSION_BIGRAMS_SQL,
     "part_name_edit1_pairs": PART_NAME_EDIT1_SQL,
+    "embedding_knn_join": EMBEDDING_KNN_SQL,
     "events_daily_top_user": EVENTS_DAILY_TOP_SQL,
     "events_hourly_moving_avg": EVENTS_MOVING_AVG_SQL,
     "events_asof_attribution": EVENTS_ASOF_SQL,

@@ -452,3 +452,28 @@ def test_chained_hash_shuffle_groupby_schema_safe(ray_session):
         (ctx.shuffle_strategy,
          ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
          ) = saved
+
+
+def test_embedding_knn_join_excludes_self_keeps_twin(ray_session, tmp_path):
+    """Duplicate vectors: the self row must be excluded by ID (not by
+    score — a twin's cosine is also 1.0 and must stay).  Also pins the
+    int64-negation overflow fixed in the composite-key top-k (a min-int
+    self sentinel negates to itself and becomes the BEST candidate)."""
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.queries import embedding_knn_join
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(6, 8)).astype(np.float32)
+    base[1] = base[0]  # planted twin pair
+    tbl = pa.table(
+        {"vec_id": pa.array(range(6), pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in base],
+                               pa.list_(pa.float32()))}
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = embedding_knn_join(str(tmp_path), k=2).to_pandas()
+    assert (out["vec_id"] != out["nbr"]).all(), "self leaked into neighbors"
+    for a, b in ((0, 1), (1, 0)):
+        mine = out[out["vec_id"] == a]
+        assert mine.iloc[0]["nbr"] == b and mine.iloc[0]["score"] == 1.0
