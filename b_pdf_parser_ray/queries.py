@@ -9653,62 +9653,83 @@ JOIN sizes nb ON nb.source = pr.source_b
 """
 
 
-def events_session_bigrams(sf_dir: str, gap_minutes: int = 30,
-                           num_partitions: int = None):
-    """Sequence mining within sessions: counts of consecutive event-type
-    bigrams (prev -> next within the same user, gap <= 30 min).  Same salted
-    user-partition exchange as ``events_sessionize`` — a user's whole event
-    stream lands in one coarse partition, the in-group pass is one sort + one
-    shifted comparison (fully vectorized), and each partition emits at most
-    |event_type|^2 = 25 partial rows, so the final fold is a driver-side sum
-    over P*25 rows.  Tie-break on event_id makes the sequence deterministic
-    even under equal timestamps (the oracle orders BY ts, event_id too)."""
+def _session_bigram_frame(sf_dir: str, gap_minutes: int = 30,
+                          num_partitions: int = None) -> pd.DataFrame:
+    """(prev_type, next_type, n) counts of consecutive in-session event
+    pairs — ONE salted user-partition exchange (the ``events_sessionize``
+    shape) shared by ``events_session_bigrams`` and
+    ``events_session_markov``.  A user's whole event stream lands in one
+    coarse partition, the in-group pass is one sort + one shifted
+    comparison (fully vectorized), and each partition emits at most
+    |event_type|^2 = 25 partial rows, so the final fold is a driver-side
+    integer sum over P*25 rows (exact — derivations fold before any float
+    math).  Tie-break on event_id makes the sequence deterministic even
+    under equal timestamps (the oracles order BY ts, event_id too)."""
     from .sources.tables import salted_partitions, table_rows
 
     if num_partitions is None:
         num_partitions = salted_partitions(table_rows(sf_dir, "events"))
-    ds = read_table(sf_dir, "events",
-                    columns=["user_id", "ts", "event_type", "event_id"])
+    P = num_partitions
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = pc.cast(
-            pc.bit_wise_and(batch.column("user_id"), num_partitions - 1),
-            pa.int32(),
-        )
-        return batch.append_column("part", part)
+    def compute() -> pd.DataFrame:
+        ds = read_table(sf_dir, "events",
+                        columns=["user_id", "ts", "event_type", "event_id"])
 
-    gap_ns = np.timedelta64(gap_minutes * 60 * 1_000_000_000, "ns")
+        def add_part(batch: pa.Table) -> pa.Table:
+            part = pc.cast(
+                pc.bit_wise_and(batch.column("user_id"), P - 1), pa.int32()
+            )
+            return batch.append_column("part", part)
 
-    def bigrams_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        uid = g["user_id"].to_numpy()
-        if len(uid) < 2:
-            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype="int64")})
-        ts = g["ts"].to_numpy(dtype="datetime64[ns]")
-        et = g["event_type"].to_numpy()
-        same_user = uid[1:] == uid[:-1]
-        in_session = (ts[1:] - ts[:-1]) <= gap_ns
-        keep = same_user & in_session
-        if not keep.any():
-            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype="int64")})
-        # np char add over the (bounded-domain) type column — no per-row join
-        bg = np.char.add(np.char.add(et[:-1][keep].astype("U"), "->"),
-                         et[1:][keep].astype("U"))
-        vals, counts = np.unique(bg, return_counts=True)
-        return pd.DataFrame({"bigram": vals.astype(object),
-                             "n": counts.astype("int64")})
+        gap_ns = np.timedelta64(gap_minutes * 60 * 1_000_000_000, "ns")
+        empty = pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                              "next_type": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64")})
 
-    partials = (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: bigrams_part(g.drop(columns=["part"])),
-            batch_format="pandas",
-        )
-    ).to_pandas()  # bounded: <= P * |event_type|^2 partial rows
-    out = partials.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+        def bigrams_part(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+            uid = g["user_id"].to_numpy()
+            if len(uid) < 2:
+                return empty
+            ts = g["ts"].to_numpy(dtype="datetime64[ns]")
+            et = g["event_type"].to_numpy()
+            keep = (uid[1:] == uid[:-1]) & ((ts[1:] - ts[:-1]) <= gap_ns)
+            if not keep.any():
+                return empty
+            return (
+                pd.DataFrame({"prev_type": et[:-1][keep],
+                              "next_type": et[1:][keep]})
+                .groupby(["prev_type", "next_type"], as_index=False)
+                .agg(n=("prev_type", "size"))
+            )
+
+        partials = (
+            ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: bigrams_part(g.drop(columns=["part"])),
+                batch_format="pandas",
+            )
+        ).to_pandas()  # bounded: <= P * |event_type|^2 partial rows
+        return partials.groupby(
+            ["prev_type", "next_type"], as_index=False
+        ).agg(n=("n", "sum"))
+
+    return _cached_frame(
+        f"session_bigrams_g{gap_minutes}_p{P}", sf_dir, "events", compute
+    )
+
+
+def events_session_bigrams(sf_dir: str, gap_minutes: int = 30,
+                           num_partitions: int = None):
+    """Sequence mining within sessions: consecutive event-type bigram
+    counts.  Derives from the shared ``_session_bigram_frame`` execution
+    (one exchange per family per corpus; ``events_session_markov`` is the
+    sibling)."""
+    f = _session_bigram_frame(sf_dir, gap_minutes, num_partitions)
+    out = pd.DataFrame(
+        {"bigram": f["prev_type"] + "->" + f["next_type"], "n": f["n"]}
+    )
     return out.sort_values("bigram", ignore_index=True)
 
 
@@ -9724,6 +9745,42 @@ FROM (
 ) t
 WHERE prev_type IS NOT NULL AND gap <= INTERVAL 30 MINUTE
 GROUP BY 1
+"""
+
+
+def events_session_markov(sf_dir: str):
+    """First-order Markov transition matrix of in-session event types:
+    P(next | prev) row-normalized from the shared bigram frame — zero
+    additional executions after any sibling ran this session.  Division
+    happens AFTER the exact integer fold (float op order mirrors the
+    oracle: n / per-prev total, rounded to 6)."""
+    f = _session_bigram_frame(sf_dir).copy()
+    totals = f.groupby("prev_type")["n"].transform("sum")
+    f["p"] = sql_round(
+        f["n"].to_numpy().astype(np.float64)
+        / totals.to_numpy().astype(np.float64),
+        6,
+    )
+    return f.sort_values(["prev_type", "next_type"], ignore_index=True)
+
+
+EVENTS_SESSION_MARKOV_SQL = """
+WITH bg AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type,
+           ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS gap
+    FROM events
+  ) t
+  WHERE prev_type IS NOT NULL AND gap <= INTERVAL 30 MINUTE
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM bg
 """
 
 
@@ -9869,6 +9926,7 @@ QUERIES: Dict[str, Callable] = {
     "events_session_bigrams": events_session_bigrams,
     "part_name_edit1_pairs": part_name_edit1_pairs,
     "embedding_knn_join": embedding_knn_join,
+    "events_session_markov": events_session_markov,
     "events_daily_top_user": events_daily_top_user,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_attribution": events_asof_attribution,
@@ -10018,6 +10076,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_session_bigrams": EVENTS_SESSION_BIGRAMS_SQL,
     "part_name_edit1_pairs": PART_NAME_EDIT1_SQL,
     "embedding_knn_join": EMBEDDING_KNN_SQL,
+    "events_session_markov": EVENTS_SESSION_MARKOV_SQL,
     "events_daily_top_user": EVENTS_DAILY_TOP_SQL,
     "events_hourly_moving_avg": EVENTS_MOVING_AVG_SQL,
     "events_asof_attribution": EVENTS_ASOF_SQL,
