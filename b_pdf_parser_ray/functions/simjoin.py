@@ -62,7 +62,7 @@ def deletion_keys(s: str) -> List[str]:
     deletion, de-duplicated (repeated characters collapse keys)."""
     keys = {s}
     for i in range(len(s)):
-        keys.add(s[: i + 0] + s[i + 1 :])
+        keys.add(s[:i] + s[i + 1 :])
     return list(keys)
 
 

@@ -40,6 +40,8 @@ QUERY_SAMPLE = [
     "events_sessionize",
     "dedup_exact_docs",
     "part_name_edit1_pairs",
+    "embedding_knn_join",  # broadcast matrix fetched across object stores
+    "events_session_markov",  # shared family frame under multi-node
     "doc_top_terms",
 ]
 # forced above the broadcast gate: the multi-node hash-join path
