@@ -9819,6 +9819,11 @@ WHERE levenshtein(a.p_name, b.p_name) = 1
 """
 
 
+# exact-kNN broadcast bound: 10M × 64-dim float64 ≈ 5 GB per worker heap —
+# the last size where shipping the whole matrix beats cluster-local joins
+KNN_BROADCAST_MAX_ROWS = 10_000_000
+
+
 def embedding_knn_join(sf_dir: str, k: int = 3):
     """Exact k-NN SELF-join: every vector's k nearest neighbors by cosine
     (self excluded) — the all-rows-are-queries primitive under SemDeDup /
@@ -9842,7 +9847,21 @@ def embedding_knn_join(sf_dir: str, k: int = 3):
 
     from .functions.ann import embedding_matrix
     from .functions.broadcast import get_cached
+    from .sources.tables import table_rows
 
+    rows = table_rows(sf_dir, "embeddings")
+    if rows is not None and rows > KNN_BROADCAST_MAX_ROWS:
+        # ENFORCED gate, not advisory: past the broadcast bound the exact
+        # plan is the wrong tool by construction — route through the
+        # cluster-local layout instead (IVFIndex partition dirs /
+        # dedup_semantic's cluster-then-pairwise), which trades exactness
+        # for per-partition brute joins the way every production ANN does.
+        raise ValueError(
+            f"embedding_knn_join's exact broadcast plan is gated to "
+            f"{KNN_BROADCAST_MAX_ROWS:,} vectors (footer reports {rows:,}); "
+            "use the IVF cluster-partitioned layout (ann_ivf_topk / "
+            "dedup_semantic) for corpus-scale k-NN"
+        )
     tbl = read_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     mat = embedding_matrix(tbl.column("embedding"))
