@@ -5085,6 +5085,76 @@ def corpus_heavy_hitters(sf_dir: str, k: int = 64):
     return out.reset_index(drop=True)
 
 
+def corpus_freq_bounds(sf_dir: str, k: int = 64, d: int = 4, w: int = 8192):
+    """Two-sided term-frequency bounds from two mergeable sketches in two
+    bounded passes: Misra-Gries gives each heavy term a LOWER bound
+    (``est ≤ true``, undercount ≤ 2N/(k+1)); a count-min sketch (Cormode &
+    Muthukrishnan 2005) gives an UPPER bound (``true ≤ est``, overcount ≤
+    εN w.h.p., ε = e/w).  ``true`` is provably inside [est_lower,
+    est_upper] for every emitted term — asserted against exact counts in
+    pytest, where the CMS overcount bound is also checked.
+
+    Scale shape: the MG pass is ``corpus_heavy_hitters`` (≤k rows per
+    block cross the term exchange); the CMS pass is a ``summed_vector``
+    zero-exchange fold — each block contributes ONE d·w int64 vector
+    (256 KiB at the defaults) built from exact in-batch counts (Arrow C
+    group-by, then d vectorized splitmix probes over the DISTINCT terms
+    only).  Worker, exchange and driver memory are all O(k + d·w)
+    regardless of vocabulary or corpus size."""
+    from .functions.agg import summed_vector
+    from .functions.joins import _splitmix64
+    from .functions.textstats import token_hash64
+    from .sources.tables import table_rows
+
+    if w & (w - 1):
+        raise ValueError(f"w must be a power of two, got {w}")
+    lower = corpus_heavy_hitters(sf_dir, k=k)
+
+    row_salts = np.arange(1, d + 1, dtype=np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    def term_positions(terms) -> np.ndarray:
+        """(d, n) CMS probe positions — one memoized blake2b per distinct
+        term, then d vectorized splitmix remixes."""
+        h = np.array([token_hash64(t) for t in terms], dtype=np.uint64)
+        return (
+            _splitmix64(h[None, :] + row_salts[:, None]) & np.uint64(w - 1)
+        ).astype(np.int64)
+
+    def cms_partial(batch: pa.Table) -> np.ndarray:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        t = pa.Table.from_arrays([toks], names=["term"])
+        counts = t.group_by(["term"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        c = counts.column("count_all").to_numpy(zero_copy_only=False)
+        pos = term_positions(counts.column("term").to_pylist())
+        mat = np.zeros((d, w), dtype=np.int64)
+        for i in range(d):
+            np.add.at(mat[i], pos[i], c)
+        return mat.ravel()
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    cms = summed_vector(
+        ds, cms_partial, width=d * w,
+        source_rows=table_rows(sf_dir, "documents"),
+    ).reshape(d, w)
+
+    pos = term_positions(lower["term"].tolist())
+    upper = np.min(
+        np.take_along_axis(cms, pos, axis=1), axis=0
+    ).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "term": lower["term"],
+            "est_lower": lower["est_count"].astype("int64"),
+            "est_upper": upper,
+        }
+    )
+    return out.sort_values("term", ignore_index=True)
+
+
 def lang_first_docs(sf_dir: str, n_first: int = 10):
     """Per-language ordered string aggregation, bounded: the ``n_first``
     smallest doc_ids per language joined into one comma string (the
@@ -10020,6 +10090,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_length_quantiles_cont": doc_length_quantiles_cont,
     "events_value_hour_corr": events_value_hour_corr,
     "corpus_heavy_hitters": corpus_heavy_hitters,
+    "corpus_freq_bounds": corpus_freq_bounds,
     "lang_first_docs": lang_first_docs,
     "orders_weighted_sample": orders_weighted_sample,
     "events_cohort_retention": events_cohort_retention,

@@ -489,3 +489,26 @@ def test_embedding_knn_join_broadcast_gate(monkeypatch):
     monkeypatch.setattr(tables, "table_rows", lambda sf, name: 10**9)
     with pytest.raises(ValueError, match="IVF"):
         q.embedding_knn_join(SF)
+
+
+def test_corpus_freq_bounds_sandwich_guarantee(ray_session):
+    """MG lower / CMS upper must sandwich the exact count for EVERY emitted
+    term (lower <= true <= upper — both are proofs, not estimates), and the
+    CMS overcount must respect its eps*N = (e/w)*N bound."""
+    import math
+
+    from b_pdf_parser_ray.queries import corpus_freq_bounds
+
+    out = corpus_freq_bounds(SF)
+    assert len(out) > 0
+    con = duckdb.connect()
+    exact = con.sql(f"""
+      SELECT word AS term, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM read_parquet('{SF}/documents.parquet')) GROUP BY 1""").df()
+    exact = exact.set_index("term")["n"]
+    true = exact[out["term"]].to_numpy()
+    assert (out["est_lower"].to_numpy() <= true).all()
+    assert (out["est_upper"].to_numpy() >= true).all()
+    eps_n = math.e / 8192 * int(exact.sum())
+    assert (out["est_upper"].to_numpy() - true).max() <= eps_n
