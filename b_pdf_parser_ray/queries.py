@@ -5085,6 +5085,81 @@ def corpus_heavy_hitters(sf_dir: str, k: int = 64):
     return out.reset_index(drop=True)
 
 
+_PROFILE_COLUMNS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_table_profile(sf_dir: str):
+    """ANALYZE-style column statistics in ONE corpus pass: per numeric
+    column of lineitem — row count, null count, min, max, sum (the
+    planner-feeding profile every engine collects before choosing plans).
+    One scan emits |columns| partial rows per block (Arrow C kernels, no
+    transpose); the fold is a ``max_groups=|columns|`` grouped_agg — the
+    exchange-free bounded-key plan, since the key domain is the column
+    LIST, fixed by the schema, never the data."""
+    ds = read_table(sf_dir, "lineitem", columns=_PROFILE_COLUMNS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, rows, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for name in _PROFILE_COLUMNS:
+            col = batch.column(name)
+            names.append(name)
+            rows.append(batch.num_rows)
+            nulls.append(col.null_count)
+            mins.append(pc.min(col).as_py())
+            maxs.append(pc.max(col).as_py())
+            sums.append(pc.sum(col).as_py())
+        return pa.table(
+            {
+                "column": pa.array(names, pa.large_string()),
+                "n_rows": pa.array(rows, pa.int64()),
+                "n_nulls": pa.array(nulls, pa.int64()),
+                "min_value": pa.array(mins, pa.float64()),
+                "max_value": pa.array(maxs, pa.float64()),
+                "sum_value": pa.array(sums, pa.float64()),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["column"],
+        [
+            ("n_rows", "sum", "n_rows"),
+            ("n_nulls", "sum", "n_nulls"),
+            ("min_value", "min", "min_value"),
+            ("max_value", "max", "max_value"),
+            ("sum_value", "sum", "sum_value"),
+        ],
+        max_groups=len(_PROFILE_COLUMNS),
+    ).to_pandas()
+    out["sum_value"] = sql_round(out["sum_value"], 2)
+    return out.sort_values("column", ignore_index=True)
+
+
+LINEITEM_PROFILE_SQL = """
+SELECT 'l_quantity' AS column, count(*) AS n_rows,
+       count(*) - count(l_quantity) AS n_nulls,
+       CAST(min(l_quantity) AS DOUBLE) AS min_value,
+       CAST(max(l_quantity) AS DOUBLE) AS max_value,
+       round(sum(l_quantity), 2) AS sum_value
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+       round(sum(l_extendedprice), 2)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) - count(l_discount),
+       CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+       round(sum(l_discount), 2)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*), count(*) - count(l_tax),
+       CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
+       round(sum(l_tax), 2)
+FROM lineitem
+"""
+
+
 def corpus_freq_bounds(sf_dir: str, k: int = 64, d: int = 4, w: int = 8192):
     """Two-sided term-frequency bounds from two mergeable sketches in two
     bounded passes: Misra-Gries gives each heavy term a LOWER bound
@@ -10016,6 +10091,7 @@ QUERIES: Dict[str, Callable] = {
     "part_name_edit1_pairs": part_name_edit1_pairs,
     "embedding_knn_join": embedding_knn_join,
     "events_session_markov": events_session_markov,
+    "lineitem_table_profile": lineitem_table_profile,
     "events_daily_top_user": events_daily_top_user,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_attribution": events_asof_attribution,
@@ -10167,6 +10243,7 @@ ORACLE_SQL: Dict[str, str] = {
     "part_name_edit1_pairs": PART_NAME_EDIT1_SQL,
     "embedding_knn_join": EMBEDDING_KNN_SQL,
     "events_session_markov": EVENTS_SESSION_MARKOV_SQL,
+    "lineitem_table_profile": LINEITEM_PROFILE_SQL,
     "events_daily_top_user": EVENTS_DAILY_TOP_SQL,
     "events_hourly_moving_avg": EVENTS_MOVING_AVG_SQL,
     "events_asof_attribution": EVENTS_ASOF_SQL,
