@@ -194,3 +194,44 @@ def write_partitioned_parquet(
     """K3: key-partitioned parquet — one directory per key value, the
     resume/skip unit of a large run."""
     ds.write_parquet(out_dir, partition_cols=partition_cols)
+
+
+def compact_parquet(
+    input_path: str,
+    out_dir: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Lakehouse compaction: rewrite a directory of small parquet fragments
+    into ~``target_rows_per_file``-row files — the standing maintenance job
+    of any 100-TB table (a million 1 MB fragments tax every subsequent
+    scan's footer reads, block planning and object-store metadata; the PDF
+    path-list source attacks the same problem on the READ side,
+    ``sources/pdfbytes.py``).
+
+    Streams: read fragments → ``write_parquet(min/max_rows_per_file)``;
+    no exchange, no driver materialization — Ray coalesces blocks into
+    target-sized files as they arrive, so worker memory is one block
+    however large the table.  Returns {files_in, files_out, rows} for the
+    caller's compaction ledger.  Row-level content is preserved exactly;
+    ORDER is not a parquet-table property and is not promised (the test
+    asserts multiset equality)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    frags = (
+        sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+        if os.path.isdir(input_path)
+        else [input_path]
+    )
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in frags)
+    ds = ray.data.read_parquet(input_path)
+    ds.write_parquet(
+        out_dir,
+        min_rows_per_file=target_rows_per_file,
+        max_rows_per_file=target_rows_per_file,
+    )
+    files_out = len(glob.glob(os.path.join(out_dir, "*.parquet")))
+    return {"files_in": len(frags), "files_out": files_out, "rows": rows}

@@ -240,3 +240,40 @@ def test_write_documents_jsonl_roundtrip(ray_session, tmp_path):
     df = back.to_pandas()
     assert len(df) == 10
     assert set(["doc_id", "spans"]).issubset(df.columns)
+
+
+def test_compact_parquet_preserves_rows_and_reduces_files(ray_session, tmp_path):
+    """Compaction must preserve the exact row multiset while collapsing
+    many small fragments into target-sized files."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.sources.sinks import compact_parquet
+
+    src = tmp_path / "frags"
+    src.mkdir()
+    n_frag, rows_per = 24, 500
+    for i in range(n_frag):
+        tbl = pa.table(
+            {"id": pa.array(range(i * rows_per, (i + 1) * rows_per), pa.int64()),
+             "v": pa.array([i] * rows_per, pa.int32())}
+        )
+        pq.write_table(tbl, src / f"frag-{i:03d}.parquet")
+
+    out = tmp_path / "compacted"
+    ledger = compact_parquet(str(src), str(out), target_rows_per_file=4000)
+    assert ledger["files_in"] == n_frag
+    assert ledger["rows"] == n_frag * rows_per
+    # parallel write streams each flush at their own block boundaries, so
+    # the exact count varies with scheduling; the compaction CONTRACT is:
+    # far fewer files, none above the target size, content multiset exact
+    files = glob.glob(str(out / "*.parquet"))
+    assert ledger["files_out"] == len(files) <= n_frag // 3
+    assert all(
+        pq.ParquetFile(f).metadata.num_rows <= 4000 for f in files
+    )
+    got = pq.read_table(str(out)).to_pandas().sort_values("id", ignore_index=True)
+    want = pq.read_table(str(src)).to_pandas().sort_values("id", ignore_index=True)
+    assert got.equals(want)
