@@ -9,7 +9,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operator suite).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (121 of 143 as of round 4); sketch/iterative/DOM/codec/byte-parse
+  (124 of 147 as of round 4); sketch/iterative/DOM/codec/byte-parse
   operators (fingerprints, minhash/simhash/embedding dedup, KMV distinct,
   IVF ANN, heavy hitters, approximate quantiles, media stages, the
   byte-stream PDF pipeline family extract_pdf_*) are rows-only by
