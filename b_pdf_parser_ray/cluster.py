@@ -87,9 +87,11 @@ def cluster_profile(n_nodes: int = 1, cpus_per_node: int = 32) -> ClusterProfile
         ),
         target_max_block_size=128 * 1024 * 1024,
         aggregator_cpus_per_partition=(
-            None
-            if single_node
-            else min(0.125, max(0.01, 0.25 * total_cpus / 200))
+            # ≤ 25% of the fleet per default-200-partition stage, clamped to
+            # Ray's 0.125 default on wide fleets; NO absolute floor — on a
+            # 4-node × 1-CPU fleet a 0.01 floor would still reserve 2 of 4
+            # CPUs per stage and two chained exchanges livelock (ADVICE r4)
+            None if single_node else min(0.125, 0.25 * total_cpus / 200)
         ),
     )
 

@@ -70,7 +70,8 @@ def edit1_pairs(
     names_ds,
     name_col: str = "name",
     count_col: str = "n",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
+    source_rows: int | None = None,
 ):
     """All unordered pairs (a < b) of distinct strings in ``names_ds`` at
     Levenshtein distance exactly 1, with ``n_pairs`` = the product of the two
@@ -87,9 +88,24 @@ def edit1_pairs(
     partition — the exact-dedup argument), generate + verify candidate pairs
     inside each partition, and de-duplicate the (rare) pairs that share two
     blocking keys on the driver.
+
+    Partition sizing (ADVICE r4 — never a fixed 16): pass ``source_rows``
+    (a footer-metadata upper bound on the distinct-name vocabulary — e.g.
+    the source table's row count) and P derives via ``salted_partitions``
+    so one 1/P key slice of the exploded (key, name) table stays
+    worker-memory-sized at ANY vocabulary; or pass ``num_partitions``
+    explicitly (power of two).  With neither, a floor of 16 applies —
+    test-scale only.
     """
+    from ..sources.tables import salted_partitions
     from .textstats import token_hash64
 
+    if num_partitions is None:
+        # each distinct name explodes to ~|s|+1 deletion keys; target the
+        # salted-exchange default group size against that fan-out
+        num_partitions = salted_partitions(
+            0 if source_rows is None else source_rows * 32, floor=16
+        )
     P = num_partitions
     if P & (P - 1):
         raise ValueError(f"num_partitions must be a power of two, got {P}")

@@ -9952,7 +9952,14 @@ def part_name_edit1_pairs(sf_dir: str):
             table_rows(sf_dir, "part"), floor=16
         ),
     )
-    return edit1_pairs(names, name_col="p_name", count_col="n")
+    return edit1_pairs(
+        names,
+        name_col="p_name",
+        count_col="n",
+        # footer rows upper-bound the distinct-name vocabulary; simjoin
+        # derives its exchange P from the ~32× deletion-key fan-out
+        source_rows=table_rows(sf_dir, "part"),
+    )
 
 
 PART_NAME_EDIT1_SQL = """
@@ -9969,48 +9976,35 @@ WHERE levenshtein(a.p_name, b.p_name) = 1
 KNN_BROADCAST_MAX_ROWS = 10_000_000
 
 
-def embedding_knn_join(sf_dir: str, k: int = 3):
-    """Exact k-NN SELF-join: every vector's k nearest neighbors by cosine
-    (self excluded) — the all-rows-are-queries primitive under SemDeDup /
-    embedding near-dup clustering, where the LSH pair generators trade
-    exactness for scale.  The oracle is the O(N²) cross join.
+def _knn_broadcast_plan(ds, ids: np.ndarray, mat: np.ndarray, k: int):
+    """The exact-kNN broadcast kernel over a candidate set: broadcast the
+    normalized (N, d) candidate matrix once (``ray.put`` + per-worker
+    cache); each block of ``ds`` answers its OWN rows completely with one
+    (n, d)·(d, N) matmul — no reduce, linear N·k output.  Top-k per row is
+    fully vectorized: (rounded score, id) packed into ONE int64 composite
+    key (score·10⁵ in the high 32 bits, bit-inverted id in the low) so
+    ``argpartition`` + ``argsort`` give the SQL total order (score DESC,
+    nbr ASC) with no per-row Python and exact 5-dp boundary ties.
 
-    Scale shape: the brute plan broadcasts the full normalized (N, d)
-    matrix once (``ray.put`` + per-worker cache) and each block answers
-    its OWN rows completely with one (n, d)·(d, N) matmul — no reduce at
-    all, because a row sees every candidate in its score row; output is
-    N·k rows, linear.  The broadcast matrix is the gate: it holds to
-    ~10⁷×10³ dims (8 GB) per worker; past that, route through the IVF
-    partition layout (``ann_ivf_topk``'s ``cluster=N/`` dirs — probe-local
-    self-joins per partition) instead of widening this plan.  Top-k per
-    row is fully vectorized: (rounded score, id) packed into ONE int64
-    composite key (score·10⁵ in the high 32 bits, bit-inverted id in the
-    low) so ``argpartition`` + ``argsort`` give the SQL total order
-    (score DESC, nbr ASC) with no per-row Python and exact 5-dp boundary
-    ties."""
+    Loud precondition checks (not silent corruption): the composite key
+    assumes 0 ≤ vec_id < 2³² (an out-of-range id would overflow into the
+    score bits and corrupt neighbor order) and k < N (argpartition would
+    raise an opaque kth-out-of-bounds otherwise)."""
     import ray
 
     from .functions.ann import embedding_matrix
     from .functions.broadcast import get_cached
-    from .sources.tables import table_rows
 
-    rows = table_rows(sf_dir, "embeddings")
-    if rows is not None and rows > KNN_BROADCAST_MAX_ROWS:
-        # ENFORCED gate, not advisory: past the broadcast bound the exact
-        # plan is the wrong tool by construction — route through the
-        # cluster-local layout instead (IVFIndex partition dirs /
-        # dedup_semantic's cluster-then-pairwise), which trades exactness
-        # for per-partition brute joins the way every production ANN does.
+    if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= (1 << 32)):
         raise ValueError(
-            f"embedding_knn_join's exact broadcast plan is gated to "
-            f"{KNN_BROADCAST_MAX_ROWS:,} vectors (footer reports {rows:,}); "
-            "use the IVF cluster-partitioned layout (ann_ivf_topk / "
-            "dedup_semantic) for corpus-scale k-NN"
+            "embedding_knn_join requires 0 <= vec_id < 2^32 (composite-key "
+            f"packing); got range [{ids.min()}, {ids.max()}]"
         )
-    tbl = read_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = embedding_matrix(tbl.column("embedding"))
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    if k >= len(ids):
+        raise ValueError(
+            f"k={k} needs at least k+1 candidate vectors (self excluded); "
+            f"candidate set has {len(ids)}"
+        )
     ref = ray.put((ids, mat))
     # self-mask sentinel: i64min would OVERFLOW under the -key negation
     # below (-i64min == i64min, flipping the self entry into the best
@@ -10036,7 +10030,6 @@ def embedding_knn_join(sf_dir: str, k: int = 3):
         topkey = np.take_along_axis(key, top, axis=1)
         order = np.argsort(-topkey, axis=1, kind="stable")
         top = np.take_along_axis(top, order, axis=1)
-        n = len(bids)
         return pa.table(
             {
                 "vec_id": pa.array(np.repeat(bids, k)),
@@ -10047,8 +10040,90 @@ def embedding_knn_join(sf_dir: str, k: int = 3):
             }
         )
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(knn, batch_format="pyarrow", batch_size=1024)
+
+
+def embedding_knn_join(sf_dir: str, k: int = 3):
+    """Exact/approximate k-NN SELF-join: every vector's k nearest neighbors
+    by cosine (self excluded) — the all-rows-are-queries primitive under
+    SemDeDup / embedding near-dup clustering, where the LSH pair generators
+    trade exactness for scale.  The oracle is the O(N²) cross join.
+
+    Size-gated plan (same doctrine as ``functions/joins.py``):
+
+    * ``rows ≤ KNN_BROADCAST_MAX_ROWS`` — EXACT broadcast plan
+      (``_knn_broadcast_plan`` over the whole table).  The broadcast matrix
+      is the gate: it holds to ~10⁷×10³ dims (8 GB) per worker.
+    * past the gate — AUTO-ROUTED through the IVF partition layout: train a
+      coarse quantizer on a bounded sample, materialize the corpus ONCE as
+      ``cluster=N/`` partitioned parquet (``IVFIndex.write_index``), then
+      run the exact broadcast kernel WITHIN each cluster directory and
+      union the per-partition answers.  Each partition's candidate matrix
+      is ~rows/n_clusters — sized back under the broadcast bound — and the
+      partitioned read touches each vector exactly once.  This trades
+      exactness only where a true neighbor lands across a centroid
+      boundary (nprobe=1 locality); recall vs the exact plan is pinned by
+      test, the same guarantee shape as ``ann_ivf_topk``."""
+    from .functions.ann import embedding_matrix
+    from .sources.tables import table_rows
+
+    rows = table_rows(sf_dir, "embeddings")
+    if rows is not None and rows > KNN_BROADCAST_MAX_ROWS:
+        return _knn_ivf_partitioned(sf_dir, k, rows)
+    tbl = read_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = embedding_matrix(tbl.column("embedding"))
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _knn_broadcast_plan(ds, ids, mat, k)
+
+
+def _knn_ivf_partitioned(sf_dir: str, k: int, rows: int):
+    """The past-the-gate kNN plan: IVF cluster partitioning → per-partition
+    exact broadcast self-join → union.  Partition count is sized so each
+    cluster's candidate matrix sits comfortably under the broadcast bound
+    (target rows/cluster = gate/4, floor 256 so a forced-gate test at tiny
+    scale still exercises a genuinely partitioned plan)."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .functions.ann import IVFIndex, embedding_matrix
+
+    per_cluster_target = max(256, KNN_BROADCAST_MAX_ROWS // 4)
+    n_clusters = max(2, min(4096, -(-rows // per_cluster_target)))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = IVFIndex.train(ds, n_clusters=n_clusters)
+    index_dir = tempfile.mkdtemp(prefix="knn_ivf_", dir="/tmp")
+    idx.write_index(ds, index_dir)
+
+    out = None
+    for cdir in sorted(glob.glob(os.path.join(index_dir, "cluster=*"))):
+        files = sorted(glob.glob(os.path.join(cdir, "*.parquet")))
+        # cluster candidate set: bounded to ~per_cluster_target rows by
+        # construction — the same driver-side footprint class as the
+        # under-gate broadcast, per partition instead of per corpus
+        ctbl = pa.concat_tables(
+            [pq.read_table(f, columns=["vec_id", "embedding"]) for f in files]
+        )
+        cids = ctbl.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(cids) < 2:
+            continue  # a 1-vector cluster has no non-self neighbor
+        cmat = embedding_matrix(ctbl.column("embedding"))
+        cmat = cmat / np.maximum(
+            np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
+        )
+        cds = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+        part = _knn_broadcast_plan(cds, cids, cmat, min(k, len(cids) - 1))
+        out = part if out is None else out.union(part)
+    if out is None:
+        raise ValueError("embeddings table has no cluster with >= 2 vectors")
+    return out
 
 
 EMBEDDING_KNN_SQL = """

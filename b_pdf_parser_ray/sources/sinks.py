@@ -214,24 +214,54 @@ def compact_parquet(
     however large the table.  Returns {files_in, files_out, rows} for the
     caller's compaction ledger.  Row-level content is preserved exactly;
     ORDER is not a parquet-table property and is not promised (the test
-    asserts multiset equality)."""
+    asserts multiset equality).
+
+    Hive-partitioned input (the ``key=value`` directory layout that
+    ``write_partitioned_parquet`` and the ANN ``cluster=N/`` index produce)
+    is compacted **within each partition directory**, mirroring the layout
+    under ``out_dir`` — the partition column stays encoded in the directory
+    name exactly as in the input, and each partition is an independent,
+    resumable compaction unit (a failed run reruns only unfinished
+    partitions; at 100 TB the per-partition pass IS the maintenance job's
+    checkpoint grain).  The ledger counts fragments and footer rows
+    RECURSIVELY so it matches what is actually compacted (the old
+    top-level-only glob undercounted nested input)."""
     import glob
     import os
 
     import pyarrow.parquet as pq
     import ray.data
 
-    frags = (
-        sorted(glob.glob(os.path.join(input_path, "*.parquet")))
-        if os.path.isdir(input_path)
-        else [input_path]
-    )
+    def _frags(root: str) -> list:
+        if not os.path.isdir(root):
+            return [root]
+        return sorted(
+            glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        )
+
+    frags = _frags(input_path)
     rows = sum(pq.ParquetFile(f).metadata.num_rows for f in frags)
-    ds = ray.data.read_parquet(input_path)
-    ds.write_parquet(
-        out_dir,
-        min_rows_per_file=target_rows_per_file,
-        max_rows_per_file=target_rows_per_file,
-    )
-    files_out = len(glob.glob(os.path.join(out_dir, "*.parquet")))
-    return {"files_in": len(frags), "files_out": files_out, "rows": rows}
+
+    # leaf partition dirs = distinct parents of the fragments; flat input
+    # degenerates to the single leaf == input_path (unchanged behavior)
+    leaves = sorted({os.path.dirname(f) for f in frags}) or [input_path]
+    root = input_path if os.path.isdir(input_path) else os.path.dirname(input_path)
+    for leaf in leaves:
+        rel = os.path.relpath(leaf, root)
+        dest = out_dir if rel == os.curdir else os.path.join(out_dir, rel)
+        # partitioning=None: the leaf path's own key=value segments must
+        # stay ENCODED IN THE DIRECTORY NAME, not get hive-inferred into a
+        # materialized column the input files never carried
+        ds = ray.data.read_parquet(leaf, partitioning=None)
+        ds.write_parquet(
+            dest,
+            min_rows_per_file=target_rows_per_file,
+            max_rows_per_file=target_rows_per_file,
+        )
+    files_out = len(_frags(out_dir))
+    return {
+        "files_in": len(frags),
+        "files_out": files_out,
+        "rows": rows,
+        "partitions": len(leaves),
+    }

@@ -479,16 +479,53 @@ def test_embedding_knn_join_excludes_self_keeps_twin(ray_session, tmp_path):
         assert mine.iloc[0]["nbr"] == b and mine.iloc[0]["score"] == 1.0
 
 
-def test_embedding_knn_join_broadcast_gate(monkeypatch):
-    """The exact broadcast plan must REFUSE past its bound (footer rows),
-    directing to the cluster-partitioned path — an advisory-only gate is
-    the scale-killer-shaped default the round-3 verdict class flags."""
+def test_embedding_knn_join_broadcast_gate_routes_ivf(ray_session, monkeypatch):
+    """Past its broadcast bound the kNN join must AUTO-ROUTE through the
+    IVF ``cluster=N/`` partition layout (round-4 verdict task 2) — not
+    raise, not silently run the broadcast plan.  Forced gate (cap=0) on the
+    fixture: the partitioned plan must keep the output contract (schema,
+    ≤k non-self neighbors per vector, scores sorted the SQL way) and its
+    recall vs the exact plan must hold the measured floor (0.632 measured
+    with the deterministic train seed; probe-locality loss is the
+    documented trade)."""
     import b_pdf_parser_ray.queries as q
-    import b_pdf_parser_ray.sources.tables as tables
 
-    monkeypatch.setattr(tables, "table_rows", lambda sf, name: 10**9)
-    with pytest.raises(ValueError, match="IVF"):
-        q.embedding_knn_join(SF)
+    exact = q.embedding_knn_join(SF, k=3).to_pandas()
+    monkeypatch.setattr(q, "KNN_BROADCAST_MAX_ROWS", 0)
+    routed = q.embedding_knn_join(SF, k=3).to_pandas()
+    assert list(sorted(routed.columns)) == ["nbr", "score", "vec_id"]
+    assert (routed["vec_id"] != routed["nbr"]).all()
+    assert routed.groupby("vec_id").size().max() <= 3
+    ep = set(zip(exact["vec_id"], exact["nbr"]))
+    rp = set(zip(routed["vec_id"], routed["nbr"]))
+    recall = len(ep & rp) / len(ep)
+    assert recall >= 0.55, f"IVF-routed recall collapsed: {recall:.3f}"
+
+
+def test_knn_composite_key_guards(ray_session, tmp_path):
+    """ADVICE r4: the int64 composite key assumes 0 <= vec_id < 2^32 and
+    k < N — violations must fail LOUDLY, not corrupt neighbor order or
+    raise an opaque argpartition error."""
+    import pyarrow.parquet as pq
+
+    import b_pdf_parser_ray.queries as q
+
+    def write(ids):
+        rng = np.random.default_rng(7)
+        tbl = pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "embedding": pa.array(
+                 [list(map(float, r)) for r in rng.normal(size=(len(ids), 4))],
+                 pa.list_(pa.float32()))}
+        )
+        pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    write([0, 1, 2, 2**32])  # id overflows the 32-bit key slot
+    with pytest.raises(ValueError, match="2\\^32"):
+        q.embedding_knn_join(str(tmp_path), k=2)
+    write([0, 1, 2])
+    with pytest.raises(ValueError, match="k=3"):
+        q.embedding_knn_join(str(tmp_path), k=3)  # k >= N
 
 
 def test_corpus_freq_bounds_sandwich_guarantee(ray_session):

@@ -277,3 +277,52 @@ def test_compact_parquet_preserves_rows_and_reduces_files(ray_session, tmp_path)
     got = pq.read_table(str(out)).to_pandas().sort_values("id", ignore_index=True)
     want = pq.read_table(str(src)).to_pandas().sort_values("id", ignore_index=True)
     assert got.equals(want)
+
+
+def test_compact_parquet_hive_partitioned_input(ray_session, tmp_path):
+    """Round-4 verdict task 8: compaction of a ``key=value``-partitioned
+    table (the ANN ``cluster=N/`` layout) must compact WITHIN each
+    partition dir, mirror the layout, reduce per-dir file counts, keep the
+    per-partition row multiset exact, and ledger-count fragments/rows
+    RECURSIVELY (ADVICE r4: the old top-level glob undercounted)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.sources.sinks import compact_parquet
+
+    src = tmp_path / "index"
+    n_clusters, frags_per, rows_per = 3, 12, 400
+    for c in range(n_clusters):
+        d = src / f"cluster={c}"
+        d.mkdir(parents=True)
+        for i in range(frags_per):
+            base = (c * frags_per + i) * rows_per
+            tbl = pa.table(
+                {"vec_id": pa.array(range(base, base + rows_per), pa.int64()),
+                 "v": pa.array([c] * rows_per, pa.int32())}
+            )
+            pq.write_table(tbl, d / f"frag-{i:03d}.parquet")
+
+    out = tmp_path / "compacted"
+    ledger = compact_parquet(str(src), str(out), target_rows_per_file=2400)
+    assert ledger["files_in"] == n_clusters * frags_per
+    assert ledger["rows"] == n_clusters * frags_per * rows_per
+    assert ledger["partitions"] == n_clusters
+    total_out = 0
+    for c in range(n_clusters):
+        in_dir = src / f"cluster={c}"
+        out_dir = out / f"cluster={c}"
+        files = glob.glob(str(out_dir / "*.parquet"))
+        assert files, f"partition cluster={c} missing from output layout"
+        assert len(files) <= frags_per // 3
+        total_out += len(files)
+        got = pq.read_table(str(out_dir)).to_pandas().sort_values(
+            "vec_id", ignore_index=True
+        )
+        want = pq.read_table(str(in_dir)).to_pandas().sort_values(
+            "vec_id", ignore_index=True
+        )
+        assert got.equals(want)
+    assert ledger["files_out"] == total_out
