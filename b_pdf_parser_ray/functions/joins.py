@@ -573,6 +573,8 @@ def lookup_join(
     num_partitions: int = None,
     left_source_rows: int = None,
     right_driver=None,
+    batch_size: int = None,
+    hash_plan: str = "dataset_join",
 ):
     """Inner equi-join that APPENDS ``value_cols`` from ``right_ds`` (whose
     ``right_key`` is unique — a dimension/entity table) to ``left_ds``.
@@ -626,7 +628,21 @@ def lookup_join(
                 batch = batch.append_column(col, pc.take(side.column(col), idx))
             return batch
 
-        return left_ds.map_batches(join_batch, batch_format="pyarrow")
+        # batch_size passthrough: a caller whose upstream stage carries a
+        # deliberate small fan-out (the PDF 16-files-per-task source) must
+        # pin the fused chain's batch size here too — Ray fuses map chains
+        # to the LARGEST member batch size (see read_pdf_documents)
+        kw = {} if batch_size is None else {"batch_size": batch_size}
+        return left_ds.map_batches(join_batch, batch_format="pyarrow", **kw)
+    if hash_plan == "copartition":
+        # acero (Dataset.join's aggregator) rejects nested non-key columns
+        # ("Data type list<struct<...>> is not supported in join non-key
+        # field") — a left side carrying spans/struct payloads must take
+        # the salted co-partition exchange instead
+        return copartition_lookup_join(
+            left_ds, _force(right_ds), left_key, right_key, value_cols,
+            num_partitions=num_partitions,
+        )
     return left_ds.join(
         _force(right_ds),
         join_type="inner",
@@ -634,3 +650,94 @@ def lookup_join(
         on=(left_key,),
         right_on=(right_key,),
     )
+
+
+def copartition_lookup_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    value_cols,
+    *,
+    num_partitions: int,
+):
+    """The hash-plan variant of :func:`lookup_join` for left sides whose
+    payload columns Arrow's acero join cannot carry (nested types: the
+    flagship's ``spans`` ``list<struct>`` column).  Semantics identical to
+    the broadcast plan: inner join, ``value_cols`` appended, non-matching
+    left rows dropped.
+
+    Plan: both sides are tagged map-side with ``part = hash64(key) &
+    (P-1)`` (process-independent hash — a key's rows land in ONE partition
+    from either side), schemas are aligned with null padding so the union
+    is well-formed, and one salted exchange co-locates each partition;
+    inside a partition the attach is the same vectorized ``index_in`` +
+    ``take`` as the broadcast plan, over the partition's slice of the
+    sidecar.  One exchange of left+right total — the honest cost of
+    attaching a corpus-sized sidecar to a corpus-sized left at any scale
+    (there is no smaller plan: co-location requires the exchange).
+
+    The schema-alignment padding needs both sides' schemas up front;
+    ``Dataset.schema()`` may execute one upstream block to infer a mapped
+    schema — acceptable on the >cap plan this function serves."""
+    import numpy as np
+    import pandas as pd
+
+    P = num_partitions
+    if P & (P - 1):
+        raise ValueError(f"num_partitions must be a power of two, got {P}")
+
+    value_cols = list(value_cols)
+    lschema = left_ds.schema().base_schema
+    rschema = right_ds.schema().base_schema
+    left_cols = [f.name for f in lschema]
+    vtypes = {c: rschema.field(c).type for c in value_cols}
+    out_cols = left_cols + value_cols
+    key_type = lschema.field(left_key).type
+
+    def _part_of(col) -> pa.Array:
+        # pandas' siphash (fixed default key) — vectorized and identical
+        # across worker processes, unlike builtin hash(); high-cardinality
+        # keys would make the token_hash64 memo a leak, not a cache
+        vals = col.to_pylist()
+        h = pd.util.hash_array(np.asarray(vals, dtype=object))
+        return pa.array((h & (P - 1)).astype(np.int32))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        arrays = [batch.column(c) for c in left_cols]
+        arrays += [pa.nulls(n, vtypes[c]) for c in value_cols]
+        arrays.append(_part_of(batch.column(left_key)))
+        arrays.append(pa.array(np.zeros(n, dtype=np.int8)))
+        return pa.Table.from_arrays(arrays, names=out_cols + ["__part", "__side"])
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        arrays = [
+            batch.column(right_key).cast(key_type)
+            if c == left_key
+            else pa.nulls(n, lschema.field(c).type)
+            for c in left_cols
+        ]
+        arrays += [batch.column(c) for c in value_cols]
+        arrays.append(_part_of(batch.column(right_key)))
+        arrays.append(pa.array(np.ones(n, dtype=np.int8)))
+        return pa.Table.from_arrays(arrays, names=out_cols + ["__part", "__side"])
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_right = pc.equal(g.column("__side"), 1)
+        right = g.filter(is_right)
+        left = g.filter(pc.invert(is_right))
+        idx = pc.index_in(left.column(left_key), value_set=right.column(left_key))
+        valid = pc.is_valid(idx)
+        left = left.filter(valid)
+        idx = pc.filter(idx, valid)
+        arrays = [left.column(c) for c in left_cols]
+        arrays += [pc.take(right.column(c), idx) for c in value_cols]
+        return pa.Table.from_arrays(arrays, names=out_cols)
+
+    return unioned.groupby("__part").map_groups(attach, batch_format="pyarrow")

@@ -2249,18 +2249,24 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
     FlateDecode content streams, xref tables — ``sources/pdfbytes.py``) →
     ``read_binary_files`` → xref/object parse + inflate + content-stream
     tokenization into reading-order spans → the flagship extraction kernel
-    → per-strategy rollup.  The strategy sidecar is a broadcast dict (the
-    small-side lookup pattern), since PDF bytes don't carry it; at corpus
-    scale the sidecar is a real table and the attach goes through the
-    size-gated lookup join (functions/joins.py) instead — the dict here is
-    the under-cap branch of that same plan.
+    → per-strategy rollup.  The strategy sidecar is a REAL (doc_id,
+    strategy) table attached through the size-gated lookup join
+    (``functions/joins.py``): under the broadcast cap the planner ships it
+    once via the ``right_driver`` thunk (zero extra Ray executions — the
+    bench-size fast path); a >cap corpus, or the forced-gate test (cap=0),
+    runs the hash-partitioned ``Dataset.join`` over the sidecar Dataset.
+    The extractor drops non-schema columns, so the rollup side re-attaches
+    strategy through the SAME planner call.
 
     Rows-only: PDF parsing is not SQL-expressible; pinned by
     tests/test_pdfbytes.py — byte-level span-sequence equality vs the span
     fixtures and rollup equality vs the span-table extraction path."""
     import os
 
+    import ray.data
+
     from .fixtures import make_document
+    from .functions.joins import lookup_join
     from .pipelines.flagship import extract_documents
     from .sources.pdfbytes import (
         pdf_batch_size,
@@ -2277,15 +2283,34 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
         with open(marker, "w") as f:
             f.write(str(n_docs))
 
-    strategies = {
-        d["doc_id"]: d["strategy"]
+    # the sidecar as a real table: n_docs rows of (doc_id, strategy) —
+    # exactly [key] + value_cols per the lookup_join projection contract
+    pairs = [
+        (d["doc_id"], d["strategy"])
         for d in (make_document(i) for i in range(n_docs))
-    }
+    ]
+    sidecar_tbl = pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in pairs], type=pa.string()),
+            "strategy": pa.array([p[1] for p in pairs], type=pa.string()),
+        }
+    )
 
-    def attach(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        return batch.append_column(
-            "strategy", pa.array([strategies[i] for i in ids], type=pa.string())
+    def attach(ds, batch_size=None):
+        return lookup_join(
+            ds,
+            # LAZY side (joins._force): constructed only when the hash plan
+            # is selected; the broadcast plan uses the driver thunk
+            lambda: ray.data.from_arrow(sidecar_tbl),
+            "doc_id",
+            "doc_id",
+            ["strategy"],
+            right_source_rows=n_docs,
+            right_driver=lambda: sidecar_tbl,
+            batch_size=batch_size,
+            # spans is list<struct> — acero's Dataset.join rejects nested
+            # non-key columns, so the >cap plan is the co-partition exchange
+            hash_plan="copartition",
         )
 
     # batch_size must match the PDF source's per-task file granularity:
@@ -2294,27 +2319,25 @@ def extract_pdf_bytes(sf_dir: str, n_docs: int = 200):
     # measured; see read_pdf_documents docstring)
     bs = pdf_batch_size(path)
     ext = extract_documents(
-        read_pdf_documents(path, batch_size=bs).map_batches(
-            attach, batch_format="pyarrow", batch_size=bs
-        ),
+        attach(read_pdf_documents(path, batch_size=bs), batch_size=bs),
         batch_size=bs,
     )
 
     def project(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
         return pa.Table.from_arrays(
             [
-                pa.array([strategies[i] for i in ids], type=pa.string()),
+                batch.column("doc_id"),
                 pc.cast(batch.column("is_valid"), pa.int64()),
                 pc.cast(
                     pc.list_value_length(batch.column("transactions")), pa.int64()
                 ),
             ],
-            names=["strategy", "valid", "n_txns"],
+            names=["doc_id", "valid", "n_txns"],
         )
 
+    rolled = attach(ext.map_batches(project, batch_format="pyarrow"))
     out = grouped_agg(
-        ext.map_batches(project, batch_format="pyarrow"),
+        rolled.select_columns(["strategy", "valid", "n_txns"]),
         ["strategy"],
         [
             (None, "count", "n_docs"),

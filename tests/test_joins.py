@@ -380,3 +380,47 @@ def test_bloom_prefiltered_semi_join_exact_and_prunes(ray_session):
     fp = bloom_probe_mask(probes, bitmap, m).mean()
     assert fp < 0.05, f"false-positive rate {fp:.3f} too high for m={m}"
     assert m == _bloom_bits(len(right_keys))
+
+
+def test_copartition_lookup_join_nested_payload(ray_session):
+    """The co-partition hash plan (hash_plan='copartition') must agree with
+    the broadcast plan on a left side whose payload acero REJECTS (a
+    list<struct> column — Dataset.join raises 'not supported in join
+    non-key field'), including dropping unmatched left rows and surviving
+    partitions that hold only one side's rows."""
+    import ray.data
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string())])
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"d{i}" for i in range(40)]),
+                "payload": pa.array(
+                    [[{"kind": "text", "text": f"t{i}"}] for i in range(40)],
+                    pa.list_(span_t),
+                ),
+            }
+        )
+    ).repartition(4)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([f"d{i}" for i in range(0, 40, 2)]),
+                "val": pa.array([f"v{i}" for i in range(0, 40, 2)]),
+            }
+        )
+    )
+    bcast = lookup_join(
+        left, right, "k", "rk", ["val"], right_source_rows=20
+    ).to_pandas()
+    copart = lookup_join(
+        left, right, "k", "rk", ["val"], right_source_rows=20,
+        max_broadcast_rows=0, hash_plan="copartition",
+    ).to_pandas()
+    assert len(bcast) == len(copart) == 20
+    for df in (bcast, copart):
+        df.sort_values("k", ignore_index=True, inplace=True)
+        assert (df["val"] == df["k"].str.replace("d", "v")).all()
+        assert [p[0]["text"] for p in df["payload"]] == [
+            "t" + k[1:] for k in df["k"]
+        ]

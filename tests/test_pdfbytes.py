@@ -603,3 +603,20 @@ def test_extract_multi_source_equals_single_source(ray_session):
         txns += pc.sum(pc.list_value_length(b.column("transactions"))).as_py() or 0
     assert int(got["n_valid"].sum()) == valid
     assert int(got["total_txns"].sum()) == txns
+
+
+def test_extract_pdf_bytes_sidecar_forced_hash_plan(ray_session, monkeypatch):
+    """Round-4 verdict task 6: the strategy sidecar is a real table through
+    the size-gated lookup join.  Forced gate (cap=0) must run BOTH attach
+    points (pre-extract and rollup re-attach) over the hash-partitioned
+    ``Dataset.join`` plan and leave the per-strategy rollup unchanged."""
+    from b_pdf_parser_ray.functions import joins
+    from b_pdf_parser_ray.queries import extract_pdf_bytes
+
+    n = 120
+    want = extract_pdf_bytes("unused", n_docs=n).to_pandas()
+    monkeypatch.setattr(joins, "BROADCAST_MAX_SOURCE_ROWS", 0)
+    got = extract_pdf_bytes("unused", n_docs=n).to_pandas()
+    w = want.sort_values("strategy", ignore_index=True)
+    g = got.sort_values("strategy", ignore_index=True)
+    assert g.equals(w), f"hash-plan rollup diverged:\n{g}\nvs\n{w}"
