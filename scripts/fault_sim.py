@@ -58,11 +58,15 @@ CPUS_PER_NODE = 8
 OBJ_STORE = 2 * 1024**3
 
 # (case name, query, kill point as fraction of warm wall, force hash plan)
+# kill timing is warm-wall-relative and the faulted run's wall is ±30%
+# noisy, so a case whose kill lands after completion is RERUN (fresh
+# cluster) up to MAX_CASE_TRIES times rather than failed outright
 CASES = [
     ("map_phase", "events_sessionize", 0.4, False),
-    ("sort_exchange", "events_sessionize", 0.75, False),
+    ("sort_exchange", "events_sessionize", 0.55, False),
     ("hash_shuffle_join", "q5_nation_revenue", 0.6, True),
 ]
+MAX_CASE_TRIES = 3
 
 
 def _normalize(df):
@@ -190,7 +194,11 @@ def main() -> int:
     for name, query, frac, hash_plan in CASES:
         if wanted and name not in wanted:
             continue
-        rec = run_case(name, query, frac, hash_plan)
+        for attempt in range(MAX_CASE_TRIES):
+            rec = run_case(name, query, frac, hash_plan)
+            if rec.get("fail") == "node kill landed after completion; rerun":
+                continue  # timing noise, not a verdict — fresh cluster retry
+            break
         print(json.dumps(rec))
         if rec.get("fail") or not rec.get("oracle_green"):
             rc = 1

@@ -33,7 +33,9 @@ CPUS_PER_NODE = 8
 OBJ_STORE = 2 * 1024**3  # per simulated node
 
 # representative plan shapes: partial-agg fold, size-gated join family,
-# salted map_groups exchange, hash-grain dedup, blocking similarity join
+# salted map_groups exchange, hash-grain dedup, blocking similarity join,
+# plus (round-4 verdict task 3) one of each remaining plan family:
+# range-partitioned agg, skew_join, streaming dedup actors, BPE apply
 QUERY_SAMPLE = [
     "q1_pricing_summary",
     "q5_nation_revenue",
@@ -43,6 +45,10 @@ QUERY_SAMPLE = [
     "embedding_knn_join",  # broadcast matrix fetched across object stores
     "events_session_markov",  # shared family frame under multi-node
     "doc_top_terms",
+    "q18_large_orders",  # range-partitioned agg (footer-stats zero-shuffle)
+    "events_type_share",  # skew_join: hot keys replicated map-side
+    "dedup_streaming_index",  # sharded mutable dedup ACTORS across nodes
+    "doc_bpe_tokens",  # BPE apply under the hash profile
 ]
 # forced above the broadcast gate: the multi-node hash-join path
 FORCED_HASH_JOIN = "q5_nation_revenue"
@@ -141,6 +147,51 @@ def main() -> int:
             )
         finally:
             joins.BROADCAST_MAX_SOURCE_ROWS = saved
+
+        # --- BPE TRAIN under the forced-hash profile (no SQL oracle: the
+        # trainer is differential-pinned in pytest; here the claims are
+        # (a) the chained pair-count exchanges run green on the 4-raylet
+        # HASH_SHUFFLE profile and (b) the result is deterministic across
+        # executions on the cluster ---
+        t0 = time.perf_counter()
+        bpe1 = QUERIES["corpus_bpe_train"](SF_DIR)
+        bpe1 = bpe1.to_pandas() if not isinstance(bpe1, pd.DataFrame) else bpe1
+        bpe2 = QUERIES["corpus_bpe_train"](SF_DIR)
+        bpe2 = bpe2.to_pandas() if not isinstance(bpe2, pd.DataFrame) else bpe2
+        assert len(bpe1) > 0 and _normalize(bpe1).equals(_normalize(bpe2)), \
+            "BPE train non-deterministic or empty under multi-node hash profile"
+        results["corpus_bpe_train[rows-only,deterministic]"] = round(
+            time.perf_counter() - t0, 3
+        )
+
+        # --- compact_parquet on the cluster (streaming maintenance job) ---
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from b_pdf_parser_ray.sources.sinks import compact_parquet
+
+        t0 = time.perf_counter()
+        frag_dir, comp_dir = "/tmp/mns_frags", "/tmp/mns_compacted"
+        for d in (frag_dir, comp_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(frag_dir)
+        src = pq.read_table(os.path.join(SF_DIR, "orders.parquet"))
+        step = max(1, src.num_rows // 16)
+        for i in range(0, src.num_rows, step):
+            pq.write_table(
+                src.slice(i, step), os.path.join(frag_dir, f"f{i:08d}.parquet")
+            )
+        ledger = compact_parquet(frag_dir, comp_dir,
+                                 target_rows_per_file=src.num_rows)
+        got_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(comp_dir, "*.parquet"))
+        )
+        assert ledger["rows"] == src.num_rows == got_rows
+        assert ledger["files_out"] < ledger["files_in"]
+        results["compact_parquet[ledger]"] = round(time.perf_counter() - t0, 3)
 
         print(json.dumps({
             "metric": "multinode_sim",
