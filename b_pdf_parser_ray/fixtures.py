@@ -420,3 +420,87 @@ def write_corpus(path: str, num_docs: int, seed: int = 42, docs_per_file: int = 
         # zstd and pay the decode for the storage/IO savings.
         .write_parquet(path, compression="none")
     )
+
+
+# ---------------------------------------------------------------------------
+# Documents-table corpus (the driver testdata `documents` shape) at bench /
+# larger-than-object-store scales, with PLANTED duplicate clusters so the
+# near-dedup pipelines have known structure to find.
+# ---------------------------------------------------------------------------
+
+_DOC_VOCAB = [
+    f"w{i:04d}" for i in range(4096)
+]  # synthetic vocabulary: shingle/minhash behavior only needs token identity
+_DOC_LANGS = ["en", "fr", "es", "de", "id"]
+_DOC_SOURCES = ["web", "books", "news", "wiki", "forum", "code"]
+
+
+def make_text_document(index: int, seed: int = 42) -> dict:
+    """One deterministic documents-table row.  Duplicate structure per
+    decade of ids (index >= 10): ``index % 10 == 8`` is an EXACT copy of
+    the decade base (``index - 8``); ``index % 10 == 7`` is a NEAR copy of
+    the base with ~5% of tokens mutated — so ~10% exact dups, ~10% near
+    dups, cluster size 3, all derivable in closed form for assertions."""
+    import numpy as np
+
+    base = index - (index % 10)
+    kind = index % 10
+    src = base if (kind in (7, 8) and index >= 10) else index
+    rng = np.random.RandomState((seed * 1_000_003 + src) % (2**31 - 1))
+    n_tokens = int(rng.randint(500, 900))
+    toks = rng.randint(0, len(_DOC_VOCAB), size=n_tokens)
+    if kind == 7 and index >= 10:  # near-dup: mutate ~5% of tokens
+        mut = np.random.RandomState((seed * 7_000_003 + index) % (2**31 - 1))
+        pos = mut.choice(n_tokens, size=max(1, n_tokens // 20), replace=False)
+        toks = toks.copy()
+        toks[pos] = mut.randint(0, len(_DOC_VOCAB), size=len(pos))
+    text = " ".join(_DOC_VOCAB[t] for t in toks)
+    return {
+        "doc_id": index,
+        "text": text,
+        "lang": _DOC_LANGS[src % len(_DOC_LANGS)],
+        "source": _DOC_SOURCES[(src // 7) % len(_DOC_SOURCES)],
+        "n_chars": len(text),
+    }
+
+
+DOCUMENTS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+
+def write_documents_corpus(
+    path: str, num_docs: int, seed: int = 42, docs_per_file: int = 25_000
+) -> None:
+    """Write a ``documents``-shaped corpus (same schema as the driver
+    testdata table) as a parquet fragment DIRECTORY named
+    ``<path>/documents.parquet/`` — the layout ``sources.tables`` already
+    reads — via a parallel Ray generation map that never materializes the
+    corpus in one process.  Deterministic: same args → same rows."""
+    import os
+
+    import ray.data
+
+    n_blocks = max(1, num_docs // docs_per_file)
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        return pa.Table.from_pylist(
+            [make_text_document(i, seed) for i in ids], schema=DOCUMENTS_SCHEMA
+        )
+
+    (
+        ray.data.range(num_docs, override_num_blocks=n_blocks)
+        .map_batches(build, batch_format="pyarrow", batch_size=docs_per_file)
+        # uncompressed like write_corpus: the dedup benches are CPU-bound
+        # and the on-disk footprint should equal the streaming footprint
+        # for larger-than-object-store evidence runs (a production corpus
+        # would pick zstd; the synthetic vocab compresses ~3.3x)
+        .write_parquet(os.path.join(path, "documents.parquet"), compression="none")
+    )

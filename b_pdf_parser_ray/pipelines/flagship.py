@@ -157,6 +157,7 @@ def run_resumable(
     concurrency=None,
     max_inflight_shards: int = 2,
     on_error: str = "raise",
+    sink_compression: str = None,
 ) -> List[Dict[str, object]]:
     """Process a sharded corpus with per-shard manifests; finished shards are
     skipped on restart.  Shard = input file (the unit the driver of a 100 TB
@@ -232,7 +233,14 @@ def run_resumable(
         # on top would duplicate rows) — reset it first
         if os.path.exists(out_path):
             shutil.rmtree(out_path)
-        extracted.write_parquet(out_path)
+        # sink_compression: parquet codec for the output shards (None =
+        # writer default/snappy; a 100-TB job typically picks zstd — the
+        # CPU-bound extract stage hides the encode cost and the output
+        # footprint roughly halves on this span-heavy schema)
+        if sink_compression:
+            extracted.write_parquet(out_path, compression=sink_compression)
+        else:
+            extracted.write_parquet(out_path)
         metrics = summarize(extracted)
         metrics["duration_sec"] = time.perf_counter() - t0
         metrics["input_path"] = path  # lineage: which shard produced this output

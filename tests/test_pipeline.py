@@ -409,3 +409,61 @@ def test_run_resumable_jsonl_shards(ray_session, tmp_path):
     assert all(not r["skipped"] for r in recs)
     recs2 = run_resumable(shards, out)
     assert all(r["skipped"] for r in recs2)
+
+
+def test_documents_corpus_generator_planted_structure(ray_session, tmp_path):
+    """The documents-shaped corpus generator (big-run evidence input) must
+    be deterministic and carry its closed-form duplicate structure: in each
+    decade of ids >= 10, id%10==8 is an EXACT copy of the decade base and
+    id%10==7 is a near copy (~5% token mutations); the first decade has no
+    duplicates."""
+    from b_pdf_parser_ray.fixtures import make_text_document, write_documents_corpus
+
+    a = make_text_document(123)
+    assert a == make_text_document(123), "generator not deterministic"
+    base, near, exact = (make_text_document(i) for i in (120, 127, 128))
+    assert exact["text"] == base["text"]
+    bt, nt = base["text"].split(), near["text"].split()
+    assert len(bt) == len(nt)
+    diff = sum(x != y for x, y in zip(bt, nt)) / len(bt)
+    assert 0 < diff <= 0.08, f"near-dup mutation rate off: {diff}"
+    assert make_text_document(7)["text"] != make_text_document(0)["text"]
+
+    write_documents_corpus(str(tmp_path), 200, docs_per_file=100)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(tmp_path / "documents.parquet"))
+    assert t.num_rows == 200
+    assert set(t.column_names) == {"doc_id", "text", "lang", "source", "n_chars"}
+    df = t.to_pandas().set_index("doc_id")
+    assert df.loc[38, "text"] == df.loc[30, "text"]
+    assert (df["n_chars"] == df["text"].str.len()).all()
+
+
+def test_run_resumable_sink_compression(ray_session, tmp_path):
+    """sink_compression='zstd' must write decodable shards with identical
+    content to the default codec (smaller is expected, not asserted —
+    content equality is the contract)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from b_pdf_parser_ray.fixtures import write_corpus
+    from b_pdf_parser_ray.pipelines.flagship import run_resumable
+
+    write_corpus(str(tmp_path / "c"), 300, docs_per_file=150)
+    shards = sorted(glob.glob(str(tmp_path / "c" / "*.parquet")))
+    run_resumable(shards, str(tmp_path / "o1"))
+    run_resumable(shards, str(tmp_path / "o2"), sink_compression="zstd")
+
+    def load(d):
+        t = pq.read_table(d)
+        return (
+            t.select(["doc_id", "is_valid", "n_spans", "n_chars"])
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+    a = load(str(tmp_path / "o1"))
+    b = load(str(tmp_path / "o2"))
+    assert a.equals(b)
