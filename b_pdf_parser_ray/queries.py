@@ -57,45 +57,26 @@ def _hash_join_partitions(sf_dir: str, table: str) -> int:
 
 
 def q1_pricing_summary(sf_dir: str):
-    """Pricing summary (TPC-H Q1 shape): pre-aggregated partials, then a
-    4-group shuffle of partial rows only."""
-    ds = read_table(
-        sf_dir,
-        "lineitem",
-        columns=[
-            "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount", "l_shipdate",
-        ],
+    """Pricing summary (TPC-H Q1 shape), derived from the shared
+    ``_lineitem_stats_frame`` execution (round-5 family fold): filter the
+    le_cutoff grain flag, fold int counts + raw float sums to flag/status
+    grain, avg = Σqty/Σn, per-member rounding last."""
+    frame = _lineitem_stats_frame(sf_dir)
+    f = frame[frame["le_cutoff"]]
+    g = f.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_base_price=("sum_base_price", "sum"),
+        sum_disc_price=("sum_disc_price", "sum"),
+        count_order=("n", "sum"),
     )
-    cutoff = pa.scalar(pd.Timestamp("1998-12-01"), type=pa.timestamp("us"))
-
-    def prep(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
-        disc_price = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
-        return batch.append_column("disc_price", disc_price)
-
-    out = grouped_agg(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        ["l_returnflag", "l_linestatus"],
-        [
-            ("l_quantity", "sum", "sum_qty"),
-            ("l_extendedprice", "sum", "sum_base_price"),
-            ("disc_price", "sum", "sum_disc_price"),
-            ("l_quantity", "mean", "avg_qty"),
-            (None, "count", "count_order"),
-        ],
-        max_groups=64,  # enum domains: |flags| x |statuses|
-    )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
-            b[c] = sql_round(b[c], 2)
-        return b
-
-    return out.map_batches(finish, batch_format="pandas")
+    g["avg_qty"] = g["sum_qty"] / g["count_order"]
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+        g[c] = sql_round(g[c], 2)
+    g["count_order"] = g["count_order"].astype("int64")
+    return g[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "avg_qty", "count_order"]
+    ]
 
 
 Q1_SQL = """
@@ -370,35 +351,19 @@ GROUP BY n_name
 
 
 def q6_forecast_revenue(sf_dir: str):
-    """TPC-H Q6 shape: pure filter + global sum — no shuffle at all; each
-    batch contributes one partial row and the driver-side merge is one row
-    per block."""
-    ds = read_table(
-        sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
-    )
-    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
-    hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.and_(
-                pc.greater_equal(batch.column("l_shipdate"), lo),
-                pc.less(batch.column("l_shipdate"), hi),
-            ),
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(batch.column("l_discount"), 0.05),
-                    pc.less_equal(batch.column("l_discount"), 0.07),
-                ),
-                pc.less(batch.column("l_quantity"), 24),
-            ),
-        )
-        b = batch.filter(m)
-        rev = pc.sum(pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))).as_py()
-        return pa.Table.from_pydict({"revenue": [rev or 0.0]})
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    total = sql_round(pd.Series([parts["revenue"].sum()]), 2)
+    """TPC-H Q6 shape, derived from the shared ``_lineitem_stats_frame``
+    execution: the 1996 ∩ discount-band ∩ qty<24 cells' Σ(extprice·disc)
+    fold.  The grain keys carry the raw distinct discount values, so the
+    BETWEEN filter here selects exactly the rows the per-row plan would
+    (same float compare semantics)."""
+    frame = _lineitem_stats_frame(sf_dir)
+    f = frame[
+        (frame["ship_year"] == 1996)
+        & (frame["l_discount"] >= 0.05)
+        & (frame["l_discount"] <= 0.07)
+        & frame["qty_lt_24"]
+    ]
+    total = sql_round(pd.Series([f["sum_disc_rev"].sum()]), 2)
     return pa.Table.from_pydict({"revenue": pa.array(total, type=pa.float64())})
 
 
@@ -1009,6 +974,70 @@ def _orders_month_frame(sf_dir: str) -> pd.DataFrame:
         ).to_pandas()
 
     return _cached_frame("orders_month", sf_dir, "orders", compute)
+
+
+def _lineitem_stats_frame(sf_dir: str) -> pd.DataFrame:
+    """Lineitem sufficient statistics at (l_returnflag, l_linestatus,
+    ship_year, l_discount, qty_lt_24, le_cutoff) grain — ONE scan + one
+    bounded exchange shared by ``q1_pricing_summary`` (fold le_cutoff=True
+    rows to flag/status grain; avg = Σqty/Σn) and ``q6_forecast_revenue``
+    (fold the 1996 ∩ discount-band ∩ qty<24 cell's Σ extprice·discount).
+    Grain is value-domain-bounded: flag(3) × status(2) × years(~7) ×
+    distinct discounts(~11) × 2 × 2 ≈ 1.8k rows.  The two filter flags
+    bake the members' CONSTANTS into the grain (q1's 1998-12-01 ship
+    cutoff needs sub-year resolution; q6's qty<24): int count + raw float
+    sums, each member applies its own output rounding — the same exact-
+    fold contract as ``_events_calendar_frame``."""
+
+    def compute() -> pd.DataFrame:
+        ds = read_table(
+            sf_dir,
+            "lineitem",
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate",
+            ],
+        )
+        cutoff = pa.scalar(pd.Timestamp("1998-12-01"), type=pa.timestamp("us"))
+
+        def prep(batch: pa.Table) -> pa.Table:
+            disc = batch.column("l_discount")
+            price = batch.column("l_extendedprice")
+            return pa.Table.from_arrays(
+                [
+                    batch.column("l_returnflag"),
+                    batch.column("l_linestatus"),
+                    pc.cast(pc.year(batch.column("l_shipdate")), pa.int32()),
+                    disc,
+                    pc.less(batch.column("l_quantity"), 24),
+                    pc.less_equal(batch.column("l_shipdate"), cutoff),
+                    batch.column("l_quantity"),
+                    price,
+                    pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                    pc.multiply(price, disc),
+                ],
+                names=[
+                    "l_returnflag", "l_linestatus", "ship_year", "l_discount",
+                    "qty_lt_24", "le_cutoff", "l_quantity", "l_extendedprice",
+                    "disc_price", "disc_rev",
+                ],
+            )
+
+        return grouped_agg(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus", "ship_year", "l_discount",
+             "qty_lt_24", "le_cutoff"],
+            [
+                (None, "count", "n"),
+                ("l_quantity", "sum", "sum_qty"),
+                ("l_extendedprice", "sum", "sum_base_price"),
+                ("disc_price", "sum", "sum_disc_price"),
+                ("disc_rev", "sum", "sum_disc_rev"),
+            ],
+            max_groups=16_384,  # enum x enum x years x distinct discounts x 2 x 2
+        ).to_pandas()
+
+    return _cached_frame("lineitem_stats", sf_dir, "lineitem", compute)
 
 
 def events_hourly(sf_dir: str):
@@ -7424,6 +7453,45 @@ def _quality_e4(quality_col) -> "pa.Array":
     )
 
 
+def _doc_quality_hist_frame(sf_dir: str) -> pd.DataFrame:
+    """(lang, source, score_e4) quality-score histogram — ONE scoring scan
+    + one value-domain-bounded exchange shared by the whole quality family
+    (round-5 fold): ``doc_quality_filter`` (fold lang+source → global e4
+    hist), ``doc_quality_pct_rank`` (fold source → per-lang hist),
+    ``doc_source_quality_gate`` (Σe4 = Σ e4·n per source — exact integer),
+    and ``corpus_build_pipeline`` (threshold).  ≤ |langs| × |sources| ×
+    |e4 domain| rows — the rounded-score value domain, never the corpus."""
+
+    def compute() -> pd.DataFrame:
+        from ray.data.aggregate import Sum
+
+        docs = read_table(
+            sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            scored = quality_score_batch(batch)
+            e4 = _quality_e4(scored.column("quality"))
+            t = pa.Table.from_arrays(
+                [batch.column("lang"), batch.column("source"), e4],
+                names=["lang", "source", "e4"],
+            )
+            out = t.group_by(
+                ["lang", "source", "e4"], use_threads=False
+            ).aggregate([([], "count_all")])
+            return out.rename_columns(["lang", "source", "e4", "n"])
+
+        return (
+            docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "source", "e4"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()  # value-domain rows only
+            .sort_values(["lang", "source", "e4"], ignore_index=True)
+        )
+
+    return _cached_frame("doc_quality_hist", sf_dir, "documents", compute)
+
+
 def doc_quality_filter(sf_dir: str, q: str = "0.25"):
     """Corpus-quantile quality pruning — the training-data 'drop the worst
     quartile' operator: compute the exact P25 of the heuristic quality
@@ -7438,7 +7506,7 @@ def doc_quality_filter(sf_dir: str, q: str = "0.25"):
     semantics).  Pass 2 recomputes scores map-side and filters against
     the integer threshold; nothing doc-grain is ever materialized."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    thr = _quality_threshold_e4(docs, q)
+    thr = _quality_threshold_e4(sf_dir, q)
     if thr is None:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "quality": pd.Series([], dtype="float64")})
@@ -7453,30 +7521,19 @@ def doc_quality_filter(sf_dir: str, q: str = "0.25"):
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
-def _quality_threshold_e4(docs, q: str = "0.25"):
+def _quality_threshold_e4(sf_dir: str, q: str = "0.25"):
     """Pass 1 of the quality-threshold operators: the exact
-    ``quantile_disc`` rank of the e4-integer score domain over a
-    (doc_id, text) Dataset, from a distributed (score_e4, count) histogram
-    (one ≤|distinct scores|-row partial per block).  Returns None on an
-    empty corpus."""
+    ``quantile_disc`` rank of the e4-integer score domain, folded from the
+    shared ``_doc_quality_hist_frame`` (lang+source folded away — integer
+    counts, exact).  Returns None on an empty corpus."""
     import math
     from fractions import Fraction
 
-    from ray.data.aggregate import Sum
-
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        scored = quality_score_batch(batch)
-        t = pa.Table.from_arrays(
-            [_quality_e4(scored.column("quality"))], names=["e4"]
-        )
-        out = t.group_by(["e4"], use_threads=False).aggregate([([], "count_all")])
-        return out.rename_columns(["e4", "n"])
-
+    frame = _doc_quality_hist_frame(sf_dir)
+    if frame.empty:
+        return None
     hist = (
-        docs.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("e4")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # ≤10⁴ rows: the rounded-score domain, not the corpus
+        frame.groupby("e4", as_index=False)["n"].sum()
         .sort_values("e4", ignore_index=True)
     )
     total = int(hist["n"].sum())
@@ -7825,24 +7882,13 @@ def doc_quality_pct_rank(sf_dir: str):
     and reads each doc's rank off a binary search.  ``percent_rank`` =
     count(<score)/(n−1) — both engines divide the same two exact integers,
     so 6-dp rounding can't flip."""
-    from ray.data.aggregate import Sum
-
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        scored = quality_score_batch(batch)
-        e4 = _quality_e4(scored.column("quality"))
-        t = pa.Table.from_arrays(
-            [batch.column("lang"), e4], names=["lang", "e4"]
-        )
-        out = t.group_by(["lang", "e4"], use_threads=False).aggregate([([], "count_all")])
-        return out.rename_columns(["lang", "e4", "n"])
-
+    # pass 1 folds from the shared _doc_quality_hist_frame (source folded
+    # away — integer counts, exact)
     hist = (
-        docs.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["lang", "e4"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # ≤ |langs| × |distinct scores| rows
+        _doc_quality_hist_frame(sf_dir)
+        .groupby(["lang", "e4"], as_index=False)["n"].sum()
         .sort_values(["lang", "e4"], ignore_index=True)
     )
     import ray
@@ -8076,7 +8122,7 @@ def corpus_build_pipeline(sf_dir: str, num_partitions: int = None):
     from .sources.tables import table_rows
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    thr = _quality_threshold_e4(docs)
+    thr = _quality_threshold_e4(sf_dir)
     if thr is None:
         return pd.DataFrame(
             {
@@ -8183,26 +8229,17 @@ def doc_source_quality_gate(sf_dir: str):
     arbitrary-precision ints, not numpy).  Pass 2 recomputes scores
     map-side and filters against the broadcast keep-set (|sources|
     strings, captured in the closure)."""
-    from ray.data.aggregate import Sum
-
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        scored = quality_score_batch(batch)
-        t = pa.Table.from_arrays(
-            [batch.column("source"), _quality_e4(scored.column("quality"))],
-            names=["source", "e4"],
-        )
-        out = t.group_by(["source"], use_threads=False).aggregate(
-            [("e4", "sum"), ([], "count_all")]
-        )
-        return out.rename_columns(["source", "se4", "n"])
-
+    # pass 1 folds from the shared _doc_quality_hist_frame: per-source
+    # Σe4 = Σ e4·n over histogram cells — exact integers (per-cell product
+    # ≤ 10⁴·|corpus| fits int64 to ~10¹⁴ docs; the keep COMPARE below
+    # still runs in Python big-ints because se4·n_total does not)
+    frame = _doc_quality_hist_frame(sf_dir)
     per_source = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Sum("se4", alias_name="se4"), Sum("n", alias_name="n"))
-        .to_pandas()  # |sources| rows — the source domain, not the corpus
+        frame.assign(se4=frame["e4"] * frame["n"])
+        .groupby("source", as_index=False)
+        .agg(se4=("se4", "sum"), n=("n", "sum"))
     )
     if per_source.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
