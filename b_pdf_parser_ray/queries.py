@@ -681,11 +681,19 @@ def doc_embedding_join(sf_dir: str):
     # (and Arrow's hash join doesn't carry list columns at all)
     joined = lookup_join(
         docs,
-        emb.map_batches(norm, batch_format="pyarrow"),
+        # LAZY: the hash plan's side is constructed only above the gate
+        lambda: emb.map_batches(norm, batch_format="pyarrow"),
         "doc_id",
         "vec_id",
         ["l2_norm"],
         right_source_rows=table_rows(sf_dir, "embeddings"),
+        # broadcast plan: the same norm kernel over a footer-pruned driver
+        # read replaces the ~0.4s-floor Ray collect (thunk MUST replicate
+        # the Dataset side exactly — same sql_round, same projection;
+        # pinned by the dual normal + forced-gate oracle tests)
+        right_driver=lambda: norm(
+            read_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        ),
     )
     # no final sort: the output is corpus-sized and the driver's value-hash
     # compare is row-order-insensitive — a global sort here would be a pure
@@ -4441,44 +4449,48 @@ def events_type_share(sf_dir: str, num_partitions: int = None):
     from .functions.joins import _collect_arrow, skew_join
     from .sources.tables import salted_partitions, table_rows
 
+    import ray.data
+
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
-    # materialize: the per-type counts feed BOTH the join's right side and
-    # the hot-key derivation — one aggregation pass, |types| rows held
-    stats = grouped_agg(
-        read_table(sf_dir, "events", columns=["event_type"]),
-        ["event_type"],
-        [(None, "count", "type_total")],
-        max_groups=64,  # type enum
-    ).materialize()
-    # hot keys for free from the count table itself: at most
-    # 2·num_partitions keys can each exceed total/(2·num_partitions), so
-    # this driver collection is bounded by construction — no extra scan of
-    # the fact table for detection
-    total = table_rows(sf_dir, "events")
-    frac = 0.5 / num_partitions
-    hot_tbl = _collect_arrow(
-        stats.map_batches(
-            lambda b: b.filter(
-                pc.greater(
-                    pc.cast(b.column("type_total"), pa.float64()),
-                    pa.scalar(frac * total),
-                )
-            ).select(["event_type"]),
-            batch_format="pyarrow",
+    # ONE aggregation execution: the per-type count table is ≤64 rows by
+    # the enum bound (max_groups), so collecting it driver-side is safe at
+    # any corpus and feeds BOTH the hot-key derivation (in-process filter,
+    # no second execution) and the join's right side (driver thunk under
+    # the broadcast cap; tiny from_arrow Dataset on the hybrid plan)
+    stats_tbl = _collect_arrow(
+        grouped_agg(
+            read_table(sf_dir, "events", columns=["event_type"]),
+            ["event_type"],
+            [(None, "count", "type_total")],
+            max_groups=64,  # type enum
         )
     )
+    # hot keys for free from the count table itself: at most
+    # 2·num_partitions keys can each exceed total/(2·num_partitions), so
+    # the hot set is bounded by construction — no extra scan for detection
+    total = table_rows(sf_dir, "events")
+    frac = 0.5 / num_partitions
     hot = (
-        hot_tbl.column("event_type").combine_chunks()
-        if "event_type" in hot_tbl.column_names
+        stats_tbl.filter(
+            pc.greater(
+                pc.cast(stats_tbl.column("type_total"), pa.float64()),
+                pa.scalar(frac * total),
+            )
+        )
+        .column("event_type")
+        .combine_chunks()
+        if stats_tbl.num_rows
         else pa.array([], type=pa.string())
     )
     enriched = skew_join(
-        ev, stats, "event_type", "event_type", ["type_total"],
+        ev, ray.data.from_arrow(stats_tbl), "event_type", "event_type",
+        ["type_total"],
         # provable bound: |type stats| ≤ |events| (footer rows); above the
         # cap the planner goes hybrid — hot types replicated, tail hashed
         right_source_rows=table_rows(sf_dir, "events"),
         num_partitions=num_partitions,
         hot_keys=hot,
+        right_driver=lambda: stats_tbl,
     )
     # distinct users exactly: pre-reduce to (type, user) grain, then fold
     per_user = grouped_agg(
