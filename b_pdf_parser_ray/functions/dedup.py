@@ -845,7 +845,13 @@ def _edge_checksum(edges_ds) -> tuple:
         )
 
     cnt = xor = tot = 0
-    for ref in edges_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
+    # materialize first: to_arrow_refs on a lazy dataset runs a hidden
+    # schema-probe limit(1) execution (see joins._collect_arrow)
+    for ref in (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ):
         t = ray.get(ref)
         if isinstance(t, pd.DataFrame):
             t = pa.Table.from_pandas(t, preserve_index=False)

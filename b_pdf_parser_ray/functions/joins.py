@@ -63,12 +63,20 @@ def join_partitions(*source_rows, target_rows: int = None, floor: int = None) ->
 
 def _collect_arrow(ds) -> pa.Table:
     """Driver-side collection of a (bounded, gate-checked) Dataset as one
-    Arrow table — block refs fetched directly, no pandas round-trip."""
+    Arrow table — block refs fetched directly, no pandas round-trip.
+
+    Materializes first: ``to_arrow_refs`` on a LAZY dataset runs a hidden
+    ``schema(fetch_if_missing=True)`` probe that EXECUTES a ``limit(1)``
+    prefix of the pipeline before the real run — one extra streaming
+    execution (~0.3-0.5 s floor) per broadcast-plan collect, measured via
+    a StreamingExecutor counter.  On a materialized dataset the schema is
+    already known and the refs are returned without a new execution."""
     import ray
 
+    mat = ds.materialize()
     tables = [
         t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
-        for t in ray.get(ds.to_arrow_refs())
+        for t in ray.get(mat.to_arrow_refs())
     ]
     # zero-COLUMN blocks appear when an upstream aggregate/map stage emits
     # schema-less empties alongside real blocks; they carry no rows and
