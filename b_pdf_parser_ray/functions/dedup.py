@@ -298,63 +298,73 @@ class MinHasher:
         )
 
 
+def _sig_matrix(batch: pa.Table) -> np.ndarray:
+    """(n, num_hashes) uint64 signature matrix from the list<uint64>
+    ``minhash`` column — flatten+reshape, no per-row Python lists."""
+    col = batch.column("minhash")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.uint64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    return flat.reshape(n, -1)
+
+
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
-    """Explode signatures to (doc_id, band_id, band_hash, sig) rows.
+    """Explode signatures to (doc_id, band_id, band_hash) rows — KEYS ONLY.
 
     Vectorized: band hashes are a position-weighted xor combine over the
     (n, bands, rows_per_band) signature tensor — no per-band Python/hashing.
-    ``band_hash`` is int64 (cheap groupby key vs the former hex string)."""
+    ``band_hash`` is int64 (cheap groupby key vs the former hex string).
+
+    Round-5 scale fix: this stage used to carry the full signature blob on
+    EVERY band row (bands × num_hashes × 8 B ≈ 8.6 KB/doc at the 64/16
+    defaults — 2× the text itself through the bucket exchange, measured
+    OutOfDisk at 10M docs × 12 GB store).  Candidates are now generated
+    from keys alone (~24 B/row) and the estimated-Jaccard filter moved to
+    a verification join against the materialized signature table — the
+    exchange shrinks ~22× and scales with corpus + true-pair output."""
     n = batch.num_rows
     if n == 0:
         return pa.Table.from_arrays(
             [pa.array([], type=pa.string()), pa.array([], type=pa.int32()),
-             pa.array([], type=pa.int64()), pa.array([], type=pa.binary())],
-            names=["doc_id", "band_id", "band_hash", "sig"],
+             pa.array([], type=pa.int64())],
+            names=["doc_id", "band_id", "band_hash"],
         )
-    sigs = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
+    sigs = _sig_matrix(batch)
     chunks = sigs.reshape(n, bands, rows_per_band)
     consts = _pos_consts(rows_per_band)
     with np.errstate(over="ignore"):
         bh = np.bitwise_xor.reduce(chunks * consts, axis=2)  # (n, bands)
-    blobs = [s.tobytes() for s in sigs]
     doc_rep = np.repeat(np.arange(n), bands)
     return pa.Table.from_arrays(
         [
             batch.column("doc_id").take(pa.array(doc_rep)),
             pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             pa.array(bh.reshape(-1).view(np.int64)),
-            pa.array([blobs[i] for i in doc_rep], type=pa.binary()),
         ],
-        names=["doc_id", "band_id", "band_hash", "sig"],
+        names=["doc_id", "band_id", "band_hash"],
     )
 
 
-def _bucket_pairs(group: pd.DataFrame, threshold: float, max_bucket: int = 200) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, filtered by signature-estimated
-    Jaccard.  Oversized buckets (degenerate content, e.g. empty docs) are
-    truncated — logged via the truncated flag rather than silently."""
+def _bucket_candidates(group: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
+    """Unverified candidate pairs (a < b) within one LSH bucket.  Oversized
+    buckets (degenerate content, e.g. empty docs) are truncated to the
+    ``max_bucket`` smallest doc_ids — logged via the truncated flag rather
+    than silently (same truncation set as the pre-round-5 in-bucket
+    filter: smallest ids first)."""
     n = len(group)
     if n < 2:
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": [], "truncated": []})
+        return pd.DataFrame({"a": [], "b": [], "truncated": []})
     truncated = n > max_bucket
     if truncated:
-        group = group.nsmallest(max_bucket, "doc_id")
+        group = group.sort_values("doc_id").head(max_bucket)
         n = max_bucket
-    ids = group["doc_id"].to_numpy()
-    sigs = np.stack(
-        [np.frombuffer(s, dtype=np.uint64) for s in group["sig"].to_numpy()]
-    )
-    a_out, b_out, j_out = [], [], []
-    for i in range(n):
-        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        keep = np.nonzero(eq >= threshold)[0]
-        for k in keep:
-            lo, hi = sorted((ids[i], ids[i + 1 + k]))
-            a_out.append(lo)
-            b_out.append(hi)
-            j_out.append(float(eq[k]))
+    ids = np.sort(group["doc_id"].to_numpy())
+    ii, jj = np.triu_indices(n, k=1)
     return pd.DataFrame(
-        {"a": a_out, "b": b_out, "est_jaccard": j_out, "truncated": truncated}
+        {"a": ids[ii], "b": ids[jj], "truncated": truncated}
     )
 
 
@@ -375,19 +385,20 @@ def _minhash_batch(
     return mh(batch)
 
 
-def _partition_pairs(
-    group: pd.DataFrame, threshold: float, max_bucket: int = 200
+def _partition_candidates(
+    group: pd.DataFrame, max_bucket: int = 200
 ) -> pd.DataFrame:
-    """Candidate pairs for ALL buckets inside one coarse partition.
+    """Unverified candidate pairs for ALL buckets inside one coarse
+    partition.
 
     Singleton buckets (the overwhelming majority) are pruned with one
     vectorized ``duplicated`` pass before any per-bucket Python runs."""
-    empty = pd.DataFrame({"a": [], "b": [], "est_jaccard": [], "truncated": []})
+    empty = pd.DataFrame({"a": [], "b": [], "truncated": []})
     dup = group[group.duplicated(["band_id", "band_hash"], keep=False)]
     if dup.empty:
         return empty
     outs = [
-        _bucket_pairs(g, threshold, max_bucket)
+        _bucket_candidates(g, max_bucket)
         for _, g in dup.groupby(["band_id", "band_hash"], sort=False)
     ]
     outs = [o for o in outs if len(o)]
@@ -413,15 +424,30 @@ def minhash_lsh_pairs(
     can fire in several bands) is the final tiny groupby.
 
     ``num_partitions`` should scale ~with cluster cores; candidate buckets
-    are tiny so partition skew is bounded by the salt."""
+    are tiny so partition skew is bounded by the salt.
+
+    Round-5 two-phase shape (the 100-TB fix, OutOfDisk-measured at 10M
+    docs with the old single-phase plan): the bucket exchange carries
+    (doc_id, band_id, band_hash) KEY rows only (~24 B vs ~8.6 KB/doc with
+    the signature blob on every band row); the signature table is computed
+    ONCE, materialized (object-store blocks, spillable), and the
+    estimated-Jaccard filter runs as a verification join of the deduped
+    candidate pairs against it through the size-gated planner — cost
+    scales with corpus + candidate output, never corpus × bands × sig.
+    Pair set and est values are IDENTICAL to the single-phase plan: the
+    same buckets yield the same candidates (same smallest-ids truncation),
+    and est is a pure pair function, so filtering after dedup equals
+    filtering in-bucket."""
     from ray.data.aggregate import Max
+
+    from .joins import lookup_join
 
     rows_per_band = num_hashes // bands
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
         _minhash_batch,
         fn_kwargs={"num_hashes": num_hashes},
         batch_format="pyarrow",
-    )
+    ).materialize()  # ONE signature computation: band explode + verify joins
     banded = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows_per_band), batch_format="pyarrow"
     )
@@ -432,21 +458,101 @@ def minhash_lsh_pairs(
         )
         return b.append_column("part", part)
 
-    pairs = (
+    cands = (
         banded.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
-            lambda g: _partition_pairs(g.drop(columns=["part"]), threshold),
+            lambda g: _partition_candidates(g.drop(columns=["part"])),
             batch_format="pandas",
         )
+        # a pair can fire in several bands — dedup BEFORE verification so
+        # each pair's signatures ship and compare once
+        .groupby(["a", "b"])
+        .aggregate(Max("truncated", alias_name="truncated"))
     )
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(
-            Max("est_jaccard", alias_name="est_jaccard"),
-            Max("truncated", alias_name="truncated"),
+
+    n_docs = sigs.count()  # metadata-cheap on a materialized dataset
+
+    def finish(b: pa.Table, sa: np.ndarray, sb: np.ndarray) -> pa.Table:
+        est = (sa == sb).mean(axis=1) if len(sa) else np.empty(0)
+        keep = est >= threshold
+        out = b.filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [out.column("a"), out.column("b"),
+             pa.array(est[keep], type=pa.float64()),
+             out.column("truncated")],
+            names=["a", "b", "est_jaccard", "truncated"],
         )
+
+    from .joins import BROADCAST_MAX_SOURCE_ROWS, _collect_arrow
+
+    if n_docs <= BROADCAST_MAX_SOURCE_ROWS:
+        # broadcast verify: the materialized sig table collects WITHOUT a
+        # new execution (refs already exist); one ray.put, est computed
+        # inside the candidate map — zero extra streaming executions
+        import ray
+
+        from .broadcast import get_cached
+
+        tbl = _collect_arrow(sigs)
+        ids = tbl.column("doc_id").combine_chunks()
+        ref = ray.put((ids, _sig_matrix(tbl)))
+
+        def verify_broadcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return finish(b, np.empty((0, 0)), np.empty((0, 0)))
+            ids_c, mat = get_cached(ref)
+            ia = pc.index_in(b.column("a"), value_set=ids_c).to_numpy(
+                zero_copy_only=False
+            )
+            ib = pc.index_in(b.column("b"), value_set=ids_c).to_numpy(
+                zero_copy_only=False
+            )
+            return finish(b, mat[ia.astype(np.int64)], mat[ib.astype(np.int64)])
+
+        return cands.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    # past the gate: verification joins through the size-gated planner —
+    # (doc_id, sig blob) sides (binary survives the acero hash join, a
+    # list<uint64> column would not); pairs are output-scale, the sig
+    # exchange is corpus × num_hashes × 8 B, never × bands
+    def blob_side(key_name: str, sig_name: str):
+        def to_blobs(b: pa.Table) -> pa.Table:
+            m = _sig_matrix(b)
+            return pa.Table.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pa.array([m[i].tobytes() for i in range(len(m))],
+                             type=pa.binary()),
+                ],
+                names=[key_name, sig_name],
+            )
+
+        return sigs.map_batches(to_blobs, batch_format="pyarrow")
+
+    withsigs = lookup_join(
+        lookup_join(
+            cands, lambda: blob_side("doc_id", "sig_a"), "a", "doc_id",
+            ["sig_a"], right_source_rows=n_docs,
+        ),
+        lambda: blob_side("doc_id", "sig_b"), "b", "doc_id",
+        ["sig_b"], right_source_rows=n_docs,
     )
+
+    def verify_joined(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return finish(b, np.empty((0, 0)), np.empty((0, 0)))
+        sa = np.stack([
+            np.frombuffer(x, dtype=np.uint64)
+            for x in b.column("sig_a").to_pylist()
+        ])
+        sb = np.stack([
+            np.frombuffer(x, dtype=np.uint64)
+            for x in b.column("sig_b").to_pylist()
+        ])
+        return finish(b.drop_columns(["sig_a", "sig_b"]), sa, sb)
+
+    return withsigs.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def ngram_jaccard(text_a: str, text_b: str, width: int = 3) -> float:

@@ -520,3 +520,33 @@ def test_exact_dedup_salted_equals_sort_exchange_plan(ray_session, dup_corpus):
         fast[["doc_id", "n_copies"]].astype("int64"),
         slow[["doc_id", "n_copies"]].astype("int64"),
     )
+
+
+def test_minhash_lsh_verify_plans_agree(ray_session, graded_corpus, monkeypatch):
+    """Round-5 two-phase LSH: the broadcast verify (sig matrix ray.put) and
+    the past-the-gate verify (size-gated sig-blob joins, forced with cap=0)
+    must produce the IDENTICAL pair set, est values and truncated flags —
+    the exchange got 22x lighter, the answer must not move."""
+    import pandas as pd
+    import ray.data
+
+    import b_pdf_parser_ray.functions.joins as joins
+
+    tbl, _ = graded_corpus
+    a = (
+        minhash_lsh_pairs(ray.data.from_arrow(tbl), threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    monkeypatch.setattr(joins, "BROADCAST_MAX_SOURCE_ROWS", 0)
+    b = (
+        minhash_lsh_pairs(ray.data.from_arrow(tbl), threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(
+        a[["a", "b", "est_jaccard", "truncated"]],
+        b[["a", "b", "est_jaccard", "truncated"]],
+        check_dtype=False,
+    )
