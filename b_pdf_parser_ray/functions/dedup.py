@@ -748,60 +748,82 @@ def embedding_near_dups(
     Each vector gets n_tables bucket keys (n_planes sign bits each); pairs
     are generated within buckets and verified by exact cosine.  Recall
     grows with n_tables; candidate cost shrinks with n_planes.
-    """
+
+    Round-5 two-phase shape (same fix as ``minhash_lsh_pairs``): the
+    bucket exchange carries (vec_id, table_id, bucket) KEYS only — the old
+    plan shipped the normalized vector on every table row (n_tables ×
+    dim × 8 B ≈ 2 KB/vector, 4× duplication).  The normalized matrix is
+    computed once, MATERIALIZED, and exact-cosine verification of the
+    deduped candidates runs under the broadcast gate as a ray.put matrix
+    verify (zero extra executions) or past it as size-gated blob joins.
+    Pair set and cosines identical: skip-oversized-bucket semantics and
+    the raw-dot threshold compare are unchanged."""
+    from ray.data.aggregate import Count
+
+    from .joins import BROADCAST_MAX_SOURCE_ROWS, _collect_arrow, lookup_join
+
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        from .ann import embedding_matrix
+
+        mat = embedding_matrix(batch.column("embedding"))
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        n = len(mat)
+        return pa.Table.from_arrays(
+            [
+                batch.column("vec_id"),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), type=pa.float64()),
+                    mat.shape[1] if n else dim,
+                ),
+            ],
+            names=["vec_id", "vec"],
+        )
+
+    norm_ds = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(normalize, batch_format="pyarrow")
+        .materialize()
+    )
 
     def bucketize(batch: pa.Table) -> pa.Table:
         from .ann import embedding_matrix
 
-        ids = batch.column("vec_id").to_pylist()
-        mat = embedding_matrix(batch.column("embedding"))
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.maximum(norms, 1e-12)
-        out_ids, out_tables, out_buckets, out_vecs = [], [], [], []
+        mat = embedding_matrix(batch.column("vec"))
+        n = len(mat)
+        out_ids, out_tables, out_buckets = [], [], []
         for t in range(n_tables):
             bits = (mat @ planes[t].T) > 0  # (n, planes)
             keys = bits @ (1 << np.arange(n_planes))
-            out_ids.extend(ids)
-            out_tables.extend([t] * len(ids))
+            out_ids.extend(batch.column("vec_id").to_pylist())
+            out_tables.extend([t] * n)
             out_buckets.extend(int(k) for k in keys)
-            out_vecs.extend(mat.tolist())
         return pa.Table.from_arrays(
             [
                 pa.array(out_ids),
                 pa.array(out_tables, type=pa.int32()),
                 pa.array(out_buckets, type=pa.int64()),
-                pa.array(out_vecs, type=pa.list_(pa.float64())),
             ],
-            names=["vec_id", "table_id", "bucket", "vec"],
+            names=["vec_id", "table_id", "bucket"],
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_cands(group: pd.DataFrame) -> pd.DataFrame:
         n = len(group)
-        if n < 2 or n > 1000:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        ids = group["vec_id"].to_numpy()
-        mat = np.stack(group["vec"].to_numpy())
-        sims = mat @ mat.T
-        a_out, b_out, c_out = [], [], []
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        for i, j in zip(ii, jj):
-            lo, hi = sorted((int(ids[i]), int(ids[j])))
-            a_out.append(lo)
-            b_out.append(hi)
-            c_out.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": c_out})
+        if n < 2 or n > 1000:  # oversized buckets skipped, as before
+            return pd.DataFrame({"a": [], "b": []})
+        ids = np.sort(group["vec_id"].to_numpy())
+        ii, jj = np.triu_indices(n, k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    from ray.data.aggregate import Max
-
-    def partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
+    def partition_cands(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": []})
         dup = group[group.duplicated(["table_id", "bucket"], keep=False)]
         if dup.empty:
             return empty
         outs = [
-            bucket_pairs(g) for _, g in dup.groupby(["table_id", "bucket"], sort=False)
+            bucket_cands(g) for _, g in dup.groupby(["table_id", "bucket"], sort=False)
         ]
         outs = [o for o in outs if len(o)]
         return pd.concat(outs, ignore_index=True) if outs else empty
@@ -815,17 +837,92 @@ def embedding_near_dups(
             "part", pc.cast(pc.bit_wise_and(mixed, num_partitions - 1), pa.int32())
         )
 
-    pairs = (
-        ds.select_columns(["vec_id", "embedding"])
-        .map_batches(bucketize, batch_format="pyarrow")
+    cands = (
+        norm_ds.map_batches(bucketize, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
-            lambda g: partition_pairs(g.drop(columns=["part"])),
+            lambda g: partition_cands(g.drop(columns=["part"])),
             batch_format="pandas",
         )
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_nb"))
     )
-    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+    def finish(b: pa.Table, sa: np.ndarray, sb: np.ndarray) -> pa.Table:
+        sims = np.einsum("ij,ij->i", sa, sb) if len(sa) else np.empty(0)
+        keep = sims >= threshold
+        out = b.filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [out.column("a"), out.column("b"),
+             pa.array(np.round(sims[keep], 6), type=pa.float64())],
+            names=["a", "b", "cosine"],
+        )
+
+    from .ann import embedding_matrix
+
+    n_vecs = norm_ds.count()  # metadata-cheap on a materialized dataset
+    if n_vecs <= BROADCAST_MAX_SOURCE_ROWS:
+        import ray
+
+        from .broadcast import get_cached
+
+        tbl = _collect_arrow(norm_ds)  # no new execution: refs exist
+        ref = ray.put(
+            (tbl.column("vec_id").combine_chunks(), embedding_matrix(tbl.column("vec")))
+        )
+
+        def verify_broadcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return finish(b, np.empty((0, 0)), np.empty((0, 0)))
+            ids_c, mat = get_cached(ref)
+            ia = pc.index_in(b.column("a"), value_set=ids_c).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            ib = pc.index_in(b.column("b"), value_set=ids_c).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            return finish(b, mat[ia], mat[ib])
+
+        return cands.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    def blob_side(key_name: str, vec_name: str):
+        def to_blobs(b: pa.Table) -> pa.Table:
+            m = embedding_matrix(b.column("vec"))
+            return pa.Table.from_arrays(
+                [
+                    b.column("vec_id"),
+                    pa.array([m[i].tobytes() for i in range(len(m))],
+                             type=pa.binary()),
+                ],
+                names=[key_name, vec_name],
+            )
+
+        return norm_ds.map_batches(to_blobs, batch_format="pyarrow")
+
+    withvecs = lookup_join(
+        lookup_join(
+            cands, lambda: blob_side("vec_id", "vec_a"), "a", "vec_id",
+            ["vec_a"], right_source_rows=n_vecs,
+        ),
+        lambda: blob_side("vec_id", "vec_b"), "b", "vec_id",
+        ["vec_b"], right_source_rows=n_vecs,
+    )
+
+    def verify_joined(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return finish(b, np.empty((0, 0)), np.empty((0, 0)))
+        sa = np.stack([
+            np.frombuffer(x, dtype=np.float64)
+            for x in b.column("vec_a").to_pylist()
+        ])
+        sb = np.stack([
+            np.frombuffer(x, dtype=np.float64)
+            for x in b.column("vec_b").to_pylist()
+        ])
+        return finish(b.drop_columns(["vec_a", "vec_b"]), sa, sb)
+
+    return withvecs.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def semantic_dedup(

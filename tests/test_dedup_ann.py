@@ -550,3 +550,34 @@ def test_minhash_lsh_verify_plans_agree(ray_session, graded_corpus, monkeypatch)
         b[["a", "b", "est_jaccard", "truncated"]],
         check_dtype=False,
     )
+
+
+def test_embedding_near_dups_verify_plans_agree(ray_session, monkeypatch):
+    """Round-5 two-phase embedding LSH: broadcast verify vs forced-gate
+    (cap=0) blob-join verify must produce identical pairs and cosines."""
+    import pandas as pd
+    import ray.data
+
+    import b_pdf_parser_ray.functions.joins as joins
+    from b_pdf_parser_ray.functions.dedup import embedding_near_dups
+
+    rng = np.random.RandomState(9)
+    base = rng.normal(size=(60, 64))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(60)]
+    for j in range(8):  # planted near-dups
+        rows.append({
+            "vec_id": 200 + j,
+            "embedding": (base[j] + rng.normal(scale=0.01, size=64)).tolist(),
+        })
+    tbl = pa.Table.from_pylist(rows)
+    a = (
+        embedding_near_dups(ray.data.from_arrow(tbl), threshold=0.9)
+        .to_pandas().sort_values(["a", "b"], ignore_index=True)
+    )
+    monkeypatch.setattr(joins, "BROADCAST_MAX_SOURCE_ROWS", 0)
+    b = (
+        embedding_near_dups(ray.data.from_arrow(tbl), threshold=0.9)
+        .to_pandas().sort_values(["a", "b"], ignore_index=True)
+    )
+    assert len(a) >= 8
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
