@@ -816,6 +816,13 @@ DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 # corpus back to back.
 
 _SHARED_FRAME_CACHE: Dict = {}
+# the whole-catalog session legitimately holds one entry per family frame +
+# materialized shared pass (~15 in round 5); the old bound of 8 CLEARED the
+# cache mid-catalog and siblings silently rebuilt their frames (measured:
+# dedup_near_keep 0.8 s warm → 3.8 s after a clear).  64 still bounds a
+# corpora-hopping test session; entries are value-domain frames or
+# object-store ref handles, never corpus bytes.
+_SHARED_FRAME_CACHE_MAX = 64
 
 
 def _table_fingerprint(sf_dir: str, table: str):
@@ -872,8 +879,8 @@ def _events_calendar_frame(sf_dir: str) -> pd.DataFrame:
         ],
         max_groups=50_000,  # calendar-bounded: |types| x hourly buckets (~9k/type/yr)
     ).to_pandas()
-    if len(_SHARED_FRAME_CACHE) > 4:  # bound: a test session hops corpora
-        _SHARED_FRAME_CACHE.clear()
+    if len(_SHARED_FRAME_CACHE) > _SHARED_FRAME_CACHE_MAX:
+        _SHARED_FRAME_CACHE.clear()  # bound: a test session hops corpora
     _SHARED_FRAME_CACHE[key] = frame
     return frame
 
@@ -897,8 +904,8 @@ def _cached_frame(key_name: str, sf_dir: str, table: str, compute):
     if hit is not None:
         return hit
     frame = compute()
-    if len(_SHARED_FRAME_CACHE) > 8:  # bound: a test session hops corpora
-        _SHARED_FRAME_CACHE.clear()
+    if len(_SHARED_FRAME_CACHE) > _SHARED_FRAME_CACHE_MAX:
+        _SHARED_FRAME_CACHE.clear()  # bound: a test session hops corpora
     _SHARED_FRAME_CACHE[key] = frame
     return frame
 
