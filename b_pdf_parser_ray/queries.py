@@ -6116,28 +6116,59 @@ def q15_top_supplier(sf_dir: str, num_partitions: int = None):
         out = t.group_by(["s_suppkey"], use_threads=False).aggregate([("rev_e4", "sum")])
         return out.rename_columns(["s_suppkey", "rev_e4"])
 
+    from .functions.joins import BROADCAST_MAX_SOURCE_ROWS, _collect_arrow
+
     rev = grouped_agg(
         li.map_batches(prep, batch_format="pyarrow"),
         ["s_suppkey"], [("rev_e4", "sum", "rev_e4")],
         # provable bound: l_suppkey ⊆ supplier's key domain (footer rows)
         max_groups=table_rows(sf_dir, "supplier"),
-    ).materialize()
-    best = rev.max("rev_e4")
-
-    top = rev.map_batches(
-        lambda b: b.filter(
-            pc.equal(b.column("rev_e4"), pa.scalar(best, type=pa.int64()))
-        ),
-        batch_format="pyarrow",
     )
+
+    # per-BLOCK max rows → tiny driver collect → exact global argmax in
+    # Python ints: correct at any block count, ≤ |blocks|·|ties| rows
+    # cross to the driver, and the whole query is ONE streaming execution
+    # (the old materialize + Dataset.max + filter chain was three)
+    def local_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        m = pc.max(b.column("rev_e4"))
+        return b.filter(pc.equal(b.column("rev_e4"), m))
+
+    cand_tbl = _collect_arrow(
+        rev.map_batches(local_max, batch_format="pyarrow")
+    )
+    best = max(cand_tbl.column("rev_e4").to_pylist())
+    cand_tbl = cand_tbl.filter(
+        pc.equal(cand_tbl.column("rev_e4"), pa.scalar(best, type=pa.int64()))
+    )
+
+    if table_rows(sf_dir, "supplier") <= BROADCAST_MAX_SOURCE_ROWS:
+        # dimension attach entirely on the driver (footer-pruned read —
+        # the keys_driver doctrine): zero further executions
+        sup = read_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        idx = pc.index_in(
+            cand_tbl.column("s_suppkey"), value_set=sup.column("s_suppkey")
+        )
+        out = pd.DataFrame(
+            {
+                "s_suppkey": cand_tbl.column("s_suppkey").to_pylist(),
+                "s_name": pc.take(sup.column("s_name"), idx).to_pylist(),
+            }
+        )
+        out["total_revenue"] = sql_round(
+            pd.Series(cand_tbl.column("rev_e4").to_pylist()) / 10_000.0, 2
+        )
+        return out[["s_suppkey", "s_name", "total_revenue"]]
+
+    import ray.data
+
     named = lookup_join(
-        top,
+        ray.data.from_arrow(cand_tbl),
         read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
         "s_suppkey", "s_suppkey", ["s_name"],
         right_source_rows=table_rows(sf_dir, "supplier"),
         num_partitions=num_partitions,
-        right_driver=lambda: read_arrow(
-            sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -7478,8 +7509,10 @@ def _doc_quality_hist_frame(sf_dir: str) -> pd.DataFrame:
     (round-5 fold): ``doc_quality_filter`` (fold lang+source → global e4
     hist), ``doc_quality_pct_rank`` (fold source → per-lang hist),
     ``doc_source_quality_gate`` (Σe4 = Σ e4·n per source — exact integer),
-    and ``corpus_build_pipeline`` (threshold).  ≤ |langs| × |sources| ×
-    |e4 domain| rows — the rounded-score value domain, never the corpus."""
+    ``corpus_build_pipeline`` (threshold) and ``source_token_budget``
+    (per-(source, e4) token sums — the ``tok`` member).  ≤ |langs| ×
+    |sources| × |e4 domain| rows — the rounded-score value domain, never
+    the corpus."""
 
     def compute() -> pd.DataFrame:
         from ray.data.aggregate import Sum
@@ -7491,19 +7524,23 @@ def _doc_quality_hist_frame(sf_dir: str) -> pd.DataFrame:
         def partial(batch: pa.Table) -> pa.Table:
             scored = quality_score_batch(batch)
             e4 = _quality_e4(scored.column("quality"))
+            n_tok = pc.cast(
+                pc.list_value_length(pc.split_pattern(batch.column("text"), " ")),
+                pa.int64(),
+            )
             t = pa.Table.from_arrays(
-                [batch.column("lang"), batch.column("source"), e4],
-                names=["lang", "source", "e4"],
+                [batch.column("lang"), batch.column("source"), e4, n_tok],
+                names=["lang", "source", "e4", "tok"],
             )
             out = t.group_by(
                 ["lang", "source", "e4"], use_threads=False
-            ).aggregate([([], "count_all")])
-            return out.rename_columns(["lang", "source", "e4", "n"])
+            ).aggregate([([], "count_all"), ("tok", "sum")])
+            return out.rename_columns(["lang", "source", "e4", "n", "tok"])
 
         return (
             docs.map_batches(partial, batch_format="pyarrow")
             .groupby(["lang", "source", "e4"])
-            .aggregate(Sum("n", alias_name="n"))
+            .aggregate(Sum("n", alias_name="n"), Sum("tok", alias_name="tok"))
             .to_pandas()  # value-domain rows only
             .sort_values(["lang", "source", "e4"], ignore_index=True)
         )
@@ -9153,29 +9190,30 @@ def source_token_budget(sf_dir: str, budget: int = 800):
             pa.int64(),
         )
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), batch.column("source"), q.column("quality"), n_tok],
-            names=["doc_id", "source", "quality", "n_tokens"],
+            [batch.column("doc_id"), batch.column("source"), q.column("quality"),
+             _quality_e4(q.column("quality")), n_tok],
+            names=["doc_id", "source", "quality", "e4", "n_tokens"],
         )
 
     compact = ds.map_batches(compact_fn, batch_format="pyarrow").materialize()
 
-    def bucket_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["source", "quality"], use_threads=False).aggregate(
-            [("n_tokens", "sum")]
-        )
-        return g.rename_columns(["source", "quality", "tok"])
-
-    hist = compact.map_batches(bucket_partial, batch_format="pyarrow").to_pandas()
-    hist = hist.groupby(["source", "quality"], as_index=False)["tok"].sum()
+    # bucket histogram folds from the shared _doc_quality_hist_frame
+    # (lang folded away — exact integer token sums); thresholds live in
+    # the e4 INT domain so the boundary compare can never drift a float
+    # ulp from the score recomputation
+    hist = (
+        _doc_quality_hist_frame(sf_dir)
+        .groupby(["source", "e4"], as_index=False)["tok"].sum()
+    )
 
     # driver: walk each source's buckets best-first to place the boundary
     thresholds: Dict[str, tuple] = {}
     for src, g in hist.groupby("source"):
-        g = g.sort_values("quality", ascending=False)
+        g = g.sort_values("e4", ascending=False)
         cum, q_star, before = 0, None, None
-        for qv, tok in zip(g["quality"], g["tok"]):
+        for qv, tok in zip(g["e4"], g["tok"]):
             if cum + tok > budget:
-                q_star, before = float(qv), int(cum)
+                q_star, before = int(qv), int(cum)
                 break
             cum += int(tok)
         thresholds[str(src)] = (q_star, before)
@@ -9183,7 +9221,9 @@ def source_token_budget(sf_dir: str, budget: int = 800):
     src_list = list(thresholds)
     src_arr = pa.array(src_list)
     qstar_np = np.array(
-        [thresholds[s][0] if thresholds[s][0] is not None else -np.inf for s in src_list]
+        [thresholds[s][0] if thresholds[s][0] is not None else np.iinfo(np.int64).min
+         for s in src_list],
+        dtype=np.int64,
     )
 
     def qstar_of(t: pa.Table) -> np.ndarray:
@@ -9194,8 +9234,8 @@ def source_token_budget(sf_dir: str, budget: int = 800):
 
     # boundary rows only: each source's single threshold bucket
     def is_boundary(t: pa.Table) -> pa.Table:
-        qual = t.column("quality").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(qual == qstar_of(t)))
+        e4 = t.column("e4").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(e4 == qstar_of(t)))
 
     boundary_keep: set = set()
     if any(q is not None for q, _ in thresholds.values()):
@@ -9208,10 +9248,10 @@ def source_token_budget(sf_dir: str, budget: int = 800):
     keep_ids = np.fromiter(boundary_keep, dtype=np.int64, count=len(boundary_keep))
 
     def final_filter(t: pa.Table) -> pa.Table:
-        qual = t.column("quality").to_numpy(zero_copy_only=False)
+        e4 = t.column("e4").to_numpy(zero_copy_only=False)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = (qual > qstar_of(t)) | np.isin(ids, keep_ids)
-        return t.filter(pa.array(keep))
+        keep = (e4 > qstar_of(t)) | np.isin(ids, keep_ids)
+        return t.filter(pa.array(keep)).drop_columns(["e4"])
 
     return compact.map_batches(final_filter, batch_format="pyarrow")
 
