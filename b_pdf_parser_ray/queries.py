@@ -7254,30 +7254,70 @@ def q11_important_parts(sf_dir: str, nation_like: str = "NATION_1%",
             names=["l_partkey", "rev_e4"],
         )
 
+    from .functions.joins import _collect_arrow
+
     vals = grouped_agg(
         li.map_batches(prep, batch_format="pyarrow"),
         ["l_partkey"], [("rev_e4", "sum", "value_e4")],
         # provable bound: l_partkey ⊆ part's key domain (footer rows)
         max_groups=table_rows(sf_dir, "part"),
-    ).materialize()
-
-    total = vals.sum("value_e4") or 0
-    threshold = float(total) * fraction
-
-    important = vals.map_batches(
-        lambda b: b.filter(
-            pc.greater(
-                pc.cast(b.column("value_e4"), pa.float64()), pa.scalar(threshold)
-            )
-        ),
-        batch_format="pyarrow",
     )
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["value"] = sql_round(b["value_e4"] / 10_000.0, 2)
-        return b[["l_partkey", "value"]]
+    # ONE execution (was materialize + Dataset.sum + filter = 3): each
+    # block emits its scalar sum (flag row) plus candidates above
+    # fraction × block_sum — SOUND prune: total ≥ block_sum, so any row
+    # above fraction × total is above fraction × block_sum; ≤ 1/fraction
+    # candidates per block by construction, so the driver collect is
+    # bounded at any corpus.  The exact global threshold applies on the
+    # driver over the collected candidates.
+    def partial(b: pa.Table) -> pa.Table:
+        bs = int(pc.sum(b.column("value_e4")).as_py() or 0)
+        cand = b.filter(
+            pc.greater(
+                pc.cast(b.column("value_e4"), pa.float64()),
+                pa.scalar(float(bs) * fraction),
+            )
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays(
+                    [cand.column("l_partkey").combine_chunks(),
+                     pa.array([0], type=pa.int64())]
+                ),
+                pa.concat_arrays(
+                    [cand.column("value_e4").combine_chunks(),
+                     pa.array([bs], type=pa.int64())]
+                ),
+                pa.array([False] * cand.num_rows + [True]),
+            ],
+            names=["l_partkey", "value_e4", "is_sum"],
+        )
 
-    return important.map_batches(finish, batch_format="pandas")
+    tbl = _collect_arrow(vals.map_batches(partial, batch_format="pyarrow"))
+    if tbl.num_rows == 0:
+        return pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    sums = tbl.filter(tbl.column("is_sum"))
+    total = int(pc.sum(sums.column("value_e4")).as_py() or 0)
+    cand = tbl.filter(pc.invert(tbl.column("is_sum")))
+    keep = cand.filter(
+        pc.greater(
+            pc.cast(cand.column("value_e4"), pa.float64()),
+            pa.scalar(float(total) * fraction),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "l_partkey": pd.Series(
+                keep.column("l_partkey").to_pylist(), dtype="int64"
+            ),
+            "value": sql_round(
+                pd.Series(keep.column("value_e4").to_pylist(), dtype="float64")
+                / 10_000.0,
+                2,
+            ),
+        }
+    )
 
 
 Q11_SQL = """
